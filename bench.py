@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the scan/join/agg/window/event queries that dominate a
+production workload. The quadratic-by-construction pairwise baselines
+(embedding_near_dup_pairs) and the hash-family dedups are correctness
+features, not throughput paths, and are excluded from the headline wall
+clock (they'd measure the test-data generator, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from economic_data_etl_spark.plans import REGISTRY
+from economic_data_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "join_broadcast_dims",
+    "join_outer_order_counts",
+    "window_rank_parts_per_brand",
+    "window_moving_avg_order_price",
+    "agg_rollup_orders",
+    "events_tumbling_window",
+    "events_session_windows",
+    "events_asof_purchase_view",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality_metrics",
+    "ann_cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so we measure queries, not startup.
+    REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        start = time.perf_counter()
+        q.spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Text-analysis column expressions (SURVEY.md §2.11 extension surface).
+
+All JVM-side: split/filter/transform/aggregate higher-order functions, no
+Python UDFs. These feed the dedup and text-quality operators and the
+`documents`-table queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny function-word list used by quality scoring and the lang-id heuristic.
+STOPWORDS = ("a", "the")
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-alnum marks.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty strings dropped."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined), for MinHash/Jaccard dedup.
+
+    Pure expression: slice the token array at each start position via
+    transform(sequence(...)). Docs shorter than n words yield a single
+    shingle of the whole doc so they still participate in dedup.
+    """
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(text, "[a-zA-Z0-9\\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped) / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    Rewards mid-length docs and lexical diversity, penalizes punctuation
+    noise. The exact formula is the engine's own contract (the reference
+    has no text operators); the oracle SQL replicates it term-for-term.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * diversity
+        + F.lit(0.3) * length_term
+        + F.lit(0.2) * (1.0 - punct_ratio(text))
+    )
+    # +5e-10 bias before round: keeps tie rounding identical to the SQL
+    # oracle (see plans/catalog.ROUND_BIAS).
+    return F.round(score + F.lit(5e-10), 4)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint (polynomial rolling hash
+    over whitespace tokens, base 31, wrapping in signed 64-bit).
+
+    fp = sum_i token_hash(t_i) * 31^(i) is order-sensitive because we fold
+    left with acc*31 + h(tok). Pure expression via aggregate().
+    """
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc * F.lit(31).cast("long") + F.xxhash64(t),
+    )

@@ -1,0 +1,37 @@
+"""Vector math over `array<float|double>` columns — pure column expressions.
+
+Everything stays JVM-side (higher-order functions `zip_with`/`aggregate`),
+so whole-stage codegen applies and there is no Python serialization in the
+hot path. Inputs are cast to array<double> so accumulation runs in float64
+regardless of the stored element type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Elementwise multiply + left-to-right sum (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) = a·b / (|a||b|); NULL if either norm is zero."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)

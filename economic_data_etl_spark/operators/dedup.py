@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design for 100 TB:
+
+- **Exact**: `dropDuplicates` on a content hash — one shuffle on the hash,
+  map-side partial dedup first. Never compares full payloads across the
+  wire; `sha2(text)` is computed in the scan stage.
+- **Jaccard via inverted index**: explode distinct shingles, self-join on
+  the shingle (the inverted-index trick), count intersections, compute
+  |A∩B| / (|A|+|B|-|A∩B|). Avoids the O(n²) doc-pair cross join; the only
+  quadratic blowup is per-shingle document frequency, which `max_df`
+  caps (a shingle appearing in > max_df docs is a stopword-shingle and
+  carries ~no signal).
+- **MinHash**: the signature is computed entirely per-row with nested
+  higher-order functions (no explode, no shuffle):
+  sig[i] = min over shingles s of xxhash64(s, i). LSH banding then buckets
+  signatures so only same-bucket docs are compared — the standard
+  shuffle-light path to near-dedup at scale.
+- **SimHash**: 64-bit per-row fingerprint from token hashes; near-dups are
+  found by banding the fingerprint into chunks (pigeonhole: hamming
+  distance ≤ d pairs must share one of d+1 chunks).
+
+No Python UDFs anywhere — xxhash64 / transform / filter / aggregate are
+all JVM expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.functions.text import tokens, word_shingles
+from economic_data_etl_spark.plans.catalog import biased_round
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of `cols` (arbitrary survivor)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic-survivor exact dedup: group by sha2(text), keep the
+    row with the smallest id. Hash-groupBy rather than sorting payloads."""
+    h = F.sha2(F.col(text_col), 256).alias("__h")
+    return (
+        df.select(h, id_col)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact set similarity, inverted-index join)
+# --------------------------------------------------------------------------
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard). `max_df` drops shingles present in more
+    than that many docs before pairing (scale guard; None = keep all).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
+    inv = shingled.select("doc", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= max_df), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Threshold binds on the raw ratio; round() is display precision only.
+    raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", biased_round(raw).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def minhash_signature(text: Column, num_perm: int = 64, shingle_n: int = 3) -> Column:
+    """array<long> MinHash signature, computed per-row (no shuffle).
+
+    sig[i] = min over shingles s of xxhash64(s, i) — xxhash64 over
+    (shingle, permutation index) is a family of independent-enough hash
+    functions.
+
+    Shape matters: higher-order-function lambdas are interpreted (not
+    codegen'd), and an expression referenced inside a lambda re-evaluates
+    per invocation. So we hash each shingle ONCE into a 64-wide array and
+    fold signatures with zip_with/least — the shingle array is built once
+    per row, not once per permutation (the naive
+    `transform(perms, i -> array_min(transform(shingles, ...)))` is ~100×
+    slower because it rebuilds the shingle array per permutation).
+    """
+    sh = word_shingles(text, shingle_n)
+    per_shingle_hashes = F.transform(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)), lambda i: F.xxhash64(s, i)
+        ),
+    )
+    max_long = F.lit((1 << 63) - 1).cast("long")
+    return F.aggregate(
+        per_shingle_hashes,
+        F.array_repeat(max_long, num_perm),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    Bucket key = xxhash64(band slice, band index); self-join on the bucket
+    — the join is on a 64-bit key, so only same-bucket docs ever meet.
+    """
+    banded = sig_df.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates refined by estimated Jaccard (fraction of agreeing
+    signature positions). Returns (id_a, id_b, est_jaccard >= threshold)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(num_perm)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", biased_round(est))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Per-row 64-bit SimHash over whitespace tokens (long column).
+
+    bit_i = 1 iff a majority of token hashes have bit i set. Built from a
+    Python loop over bit positions (literal shift amounts) so everything
+    stays a JVM expression.
+    """
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    # Per token: 64-wide ±-free bit array (one hash eval per token), then a
+    # single fold summing bit counts — same evaluate-once shape as the
+    # MinHash signature (HOF lambdas are interpreted; don't re-evaluate the
+    # token array per bit position).
+    bit_arrays = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
+                for i in range(bits)
+            ]
+        ),
+    )
+    counts = F.aggregate(
+        bit_arrays,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
+    )
+    weights = F.array(
+        *[
+            (
+                F.lit(-(2**63)) if i == bits - 1 else F.lit(1 << i)
+            ).cast("long")
+            for i in range(bits)
+        ]
+    )
+    contributions = F.zip_with(
+        counts,
+        weights,
+        lambda c, w: F.when(c * 2 >= n, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        contributions, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, chunks: int = 8
+) -> DataFrame:
+    """Near-dup candidates by the pigeonhole principle: split the 64-bit
+    fingerprint into `chunks` slices; pairs within hamming distance
+    (chunks-1) must share at least one exact slice. Join on (slice index,
+    slice value) — no pairwise scan."""
+    width = 64 // chunks
+    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
+    sliced = sh.select(
+        "doc",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "val"),
+    )
+    a, b = sliced.alias("a"), sliced.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    # Exact hamming distance on the candidates only.
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ham = sum(
+        F.shiftrightunsigned(xor, i).bitwiseAND(F.lit(1)).cast("int") for i in range(64)
+    )
+    return pairs.withColumn("hamming", ham).select("id_a", "id_b", "hamming")

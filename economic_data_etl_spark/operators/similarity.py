@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, as a 100 TB engine needs both:
+
+- **Brute-force cosine top-k** — the exact baseline. Queries are broadcast
+  (a query set is small by definition); the corpus is scanned once, scores
+  computed JVM-side via zip_with/aggregate, and per-query top-k taken with
+  a window (WindowGroupLimit keeps only k rows per partition before the
+  shuffle). Cost: one corpus scan per query batch — optimal for exact search.
+- **LSH (sign-random-projection) bucketing** — the approximate scale path.
+  Each vector gets a b-bit code from signs of dot products with b fixed
+  hyperplanes; only same-bucket (or neighboring-probe) vectors are scored.
+  Hyperplanes are seeded-deterministic driver constants.
+
+An IVF variant (Lloyd-refined centroids, probe top-c clusters) is the
+natural next step; SRP-LSH is implemented first because it is stateless
+and needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.functions.vectors import cosine_similarity
+from economic_data_etl_spark.operators.topk import grouped_top_k
+from economic_data_etl_spark.plans.catalog import biased_round
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Returns (q_id, vec_id, score, rank), rank 1..k, ties broken by vec_id.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col(query_id))
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        biased_round(cosine_similarity(F.col(vec_col), F.col("__qvec"))).alias("score"),
+    )
+    return (
+        grouped_top_k(
+            scored,
+            [query_id],
+            [F.desc("score"), F.asc(corpus_id)],
+            k,
+            rank_col="rank",
+        )
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
+def _srp_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def srp_code(vec: Column, planes: list[list[float]]) -> Column:
+    """Integer LSH code: bit j = sign(vec · plane_j) — pure expression."""
+    code = F.lit(0).cast("long")
+    v = vec.cast("array<double>")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors whose SRP code
+    matches the query's code or differs by one bit (multi-probe, so recall
+    survives near-boundary vectors). At scale this turns an O(|Q|·|C|)
+    scan into |Q| bucket lookups over a code-partitioned corpus."""
+    planes = _srp_hyperplanes(dim, bits, seed)
+    coded_corpus = corpus.withColumn("__code", srp_code(F.col(vec_col), planes))
+    q = queries.select(query_id, F.col(vec_col).alias("__qvec")).withColumn(
+        "__qcode", srp_code(F.col("__qvec"), planes)
+    )
+    # Multi-probe: query probes its own bucket + all 1-bit-flip buckets.
+    probes = F.array(
+        F.col("__qcode"),
+        *[F.col("__qcode").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    q_probed = q.withColumn("__probe", F.explode(probes))
+    joined = coded_corpus.join(
+        F.broadcast(q_probed), F.col("__code") == F.col("__probe")
+    ).filter(F.col(corpus_id) != F.col(query_id))
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        biased_round(cosine_similarity(F.col(vec_col), F.col("__qvec"))).alias("score"),
+    ).dropDuplicates([query_id, corpus_id])
+    return grouped_top_k(
+        scored, [query_id], [F.desc("score"), F.asc(corpus_id)], k, rank_col="rank"
+    ).select(query_id, corpus_id, "score", "rank")
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — exact, O(n²) scoring.
+
+    Correct baseline for embedding near-dedup; the scale path buckets by
+    SRP code first (see lsh_topk) so only same-bucket pairs are scored.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Threshold binds on the raw score; round() is display precision only.
+    raw = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", raw.alias("__raw"))
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", biased_round(F.col("__raw")).alias("cosine"))
+    )

@@ -1,0 +1,17 @@
+"""Query catalog.
+
+Importing this package populates the registry from each plan module. The
+driver contract (`__spark_entry__.queries()` / `oracle_sql()`) is a thin
+view over this registry.
+"""
+
+from economic_data_etl_spark.plans.catalog import REGISTRY, Query, register
+
+# Import for registration side effects.
+from economic_data_etl_spark.plans import relational  # noqa: E402,F401
+from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
+from economic_data_etl_spark.plans import events  # noqa: E402,F401
+from economic_data_etl_spark.plans import text  # noqa: E402,F401
+from economic_data_etl_spark.plans import vectors  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "register"]

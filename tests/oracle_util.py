@@ -1,0 +1,55 @@
+"""Local replica of the driver's correctness gate: run a catalog query in
+Spark and its oracle SQL in DuckDB on the same parquet tables, compare row
+count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from economic_data_etl_spark.sources.tables import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 vs 0.0 and float repr jitter at the 6th decimal
+        return round(v, 6) + 0.0
+    return v
+
+
+def compare_query(spark, query_fn, oracle: str, sf_dir: str) -> None:
+    sdf = query_fn(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+
+    cur = run_oracle(oracle, sf_dir)
+    duck_cols = [d[0].lower() for d in cur.description]
+    duck_rows = [tuple(_norm(v) for v in row) for row in cur.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={spark_cols} duck={duck_cols}"
+    )
+    # reorder both to sorted column order, then sort rows
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_sorted = sorted(tuple(r[i] for i in s_idx) for r in spark_rows)
+    d_sorted = sorted(tuple(r[i] for i in d_idx) for r in duck_rows)
+    assert len(s_sorted) == len(d_sorted), (
+        f"row count mismatch: spark={len(s_sorted)} duck={len(d_sorted)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, d_sorted)) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
