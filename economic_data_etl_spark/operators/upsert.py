@@ -57,10 +57,20 @@ def classify_upsert(
         Column.__and__, [incoming[k] == ex[f"__ex_{k}"] for k in keys]
     )
     joined = incoming.join(ex, cond, "left")
-    all_equal = functools.reduce(
-        Column.__and__,
-        [nan_safe_eq(F.col(c), F.col(f"__ex_{c}"), eps) for c in compare_cols],
-    )
+
+    numeric = {
+        f.name
+        for f in incoming.schema.fields
+        if f.dataType.typeName()
+        in ("double", "float", "decimal", "integer", "long", "short", "byte")
+    }
+
+    def col_equal(c: str) -> Column:
+        if c in numeric:  # epsilon tolerance only makes sense for numbers
+            return nan_safe_eq(F.col(c), F.col(f"__ex_{c}"), eps)
+        return F.col(c).eqNullSafe(F.col(f"__ex_{c}"))
+
+    all_equal = functools.reduce(Column.__and__, [col_equal(c) for c in compare_cols])
     status = (
         F.when(F.col("__ex_present").isNull(), INSERTED)
         .when(all_equal, UNCHANGED)
