@@ -1,0 +1,126 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design (the 100 TB story): image/audio/video payloads travel as `binary`
+columns next to typed metadata, decoded/processed per partition with
+Arrow-batched `mapInPandas` — the payload bytes never round-trip through
+Python row-by-row, and partition sizing is controlled by
+`spark.sql.files.maxPartitionBytes` exactly as for any other column.
+
+The actual codec calls are STUBBED: the image/audio libraries are not in
+this container. `decode_media_metadata` derives deterministic fake
+dimensions from the payload bytes (so plumbing is testable end-to-end and
+oracle-checkable); `decode_image_real` is the clearly-marked
+NotImplementedError seam where PIL/ffmpeg would slot in. Everything
+Spark-side — schema, batch iteration, UDF signatures, partitioning — is
+real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """The real-codec seam. Plug PIL/libav here when available."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use decode_media_metadata (deterministic stub) instead"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a codec: metadata derived purely from
+    the byte length, so results are reproducible and SQL-checkable."""
+    n = len(payload)
+    return n, n % 64 + 16, (n // 64) % 64 + 16, n % 10
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata adapter: materialize an opaque binary column (UTF-8 bytes
+    of the text). With real media tables the payload arrives as binary
+    from parquet and this step disappears."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: per Arrow batch, emit typed metadata per payload.
+
+    This is the real plumbing a codec UDF needs: iterator-of-batches in,
+    iterator-of-batches out, no driver involvement, output schema declared
+    up front.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pd.Series([m[0] for m in meta], dtype="int64"),
+                    "width": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[2] for m in meta], dtype="int32"),
+                    "n_frames": pd.Series([m[3] for m in meta], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-style frame sampling stub: slice the payload into fixed-size
+    chunks and keep every chunk up to max_frames — a 1-to-N mapInPandas
+    (the decode-explode shape real frame extraction has)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                chunks = [
+                    payload[i : i + every_n_bytes]
+                    for i in range(0, len(payload), every_n_bytes)
+                ][:max_frames]
+                for i, c in enumerate(chunks):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(c))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)

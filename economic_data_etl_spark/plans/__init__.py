@@ -11,6 +11,7 @@ from economic_data_etl_spark.plans.catalog import REGISTRY, Query, register
 from economic_data_etl_spark.plans import relational  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
+from economic_data_etl_spark.plans import multimodal  # noqa: E402,F401
 from economic_data_etl_spark.plans import text  # noqa: E402,F401
 from economic_data_etl_spark.plans import vectors  # noqa: E402,F401
 

@@ -1,0 +1,66 @@
+"""Multimodal-column queries: binary payload decode + frame sampling.
+
+The decode is a deterministic stub (no codecs in this container —
+operators/multimodal.py), but the Spark-side plumbing (binary columns,
+Arrow-batched mapInPandas, 1-to-N frame explode) is real, and the stub's
+arithmetic is replicated in the oracle SQL so the whole path is
+value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_metadata,
+    sample_frames,
+)
+from economic_data_etl_spark.plans.catalog import register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_decode_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT)            AS byte_len,
+               CAST(octet_length(encode(text)) % 64 + 16 AS INT)     AS width,
+               CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INT) AS height,
+               CAST(octet_length(encode(text)) % 10 AS INT)          AS n_frames
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Binary payload → typed metadata via Arrow-batched mapInPandas "
+    "(deterministic codec stub; oracle replicates its arithmetic).",
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_metadata(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sampling",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEAST(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 8)
+                    AS BIGINT) AS n_sampled,
+               CAST(LEAST(octet_length(encode(text)), 512) AS BIGINT) AS sampled_bytes
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Video-style frame sampling (1-to-N mapInPandas explode) then "
+    "per-doc frame accounting.",
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), every_n_bytes=64, max_frames=8)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,7 @@
+from economic_data_etl_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = ["tumbling_window_agg", "sliding_window_agg", "session_window_agg"]

@@ -1,0 +1,114 @@
+"""Structured Streaming operators (SURVEY.md §2.10).
+
+The reference's incremental watermark (src/extract.py:109-113) is a batch
+analogue of event-time processing; this module is the real streaming
+surface: tumbling/sliding/session windows with watermarks for late data,
+plus a foreachBatch-upsert sink so late corrections MERGE into the target
+exactly like the reference's revision handling (src/load.py:73-103).
+
+Every aggregation here shares its window math with the batch queries in
+plans/events.py — the streaming and batch paths return identical results
+on the same input (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def events_stream(spark, source_dir: str, schema, ts_col: str = "ts") -> DataFrame:
+    """File-source stream over a directory of parquet drops.
+
+    `maxFilesPerTrigger=1` makes micro-batch boundaries deterministic in
+    tests; production would leave it unset and let the trigger interval
+    govern batch size.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """Windowed count+sum with a watermark bounding state for late data."""
+    extra = group_extra or []
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window).alias("w"), *extra)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *extra, "n_events", "total_value")
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    ts: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming session windows (gap-based, state merged by Spark).
+
+    The batch twin is operators/sessionize.py; semantics match: a session
+    extends while consecutive events are within `gap`.
+    """
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.session_window(ts, gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def foreach_batch_upsert(target_path: str, keys: list[str], compare_cols: list[str]):
+    """Sink factory: MERGE each micro-batch into a parquet target via the
+    engine's upsert operator — late/revised rows update in place, exactly
+    the reference's revision path re-expressed for streams.
+
+    Usage: `stream.writeStream.foreachBatch(foreach_batch_upsert(...))`.
+    """
+    from economic_data_etl_spark.operators.upsert import upsert_parquet
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, target_path, keys, compare_cols
+        )
+
+    return _apply

@@ -1,0 +1,137 @@
+"""Structured Streaming tests: streaming window aggs must equal their
+batch twins on the same input; foreachBatch-upsert must apply revisions."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.sessionize import sessionize
+from economic_data_etl_spark.sources.tables import load_table
+from economic_data_etl_spark.streaming.windows import (
+    events_stream,
+    foreach_batch_upsert,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet file drops (= two micro-batches) of real event rows,
+    written with µs timestamps (the raw testdata is TIMESTAMP(NANOS),
+    which the streaming parquet source can't read either)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(400)
+    ev.filter(F.col("event_id") < 200).coalesce(1).write.parquet(str(d / "drop1"))
+    ev.filter(F.col("event_id") >= 200).coalesce(1).write.parquet(str(d / "drop2"))
+    # flatten: move part files into one source dir
+    src = tmp_path_factory.mktemp("events_src")
+    i = 0
+    for sub in sorted(d.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(src / f"drop{i}.parquet")
+            i += 1
+    return src
+
+
+def _run_to_memory(stream_df, name: str, mode: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestStreamingWindows:
+    def test_tumbling_matches_batch(self, spark, stream_dir):
+        batch = spark.read.parquet(str(stream_dir))
+        stream = events_stream(spark, str(stream_dir), batch.schema)
+        result = _run_to_memory(
+            tumbling_window_agg(stream, group_extra=["event_type"]),
+            "t_tumbling",
+            "complete",
+            spark,
+        )
+        expected = (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        )
+        got = {(r[0], r[1]): (r[2], round(r[3], 6)) for r in result.collect()}
+        want = {(r[0], r[1]): (r[2], round(r[3], 6)) for r in expected.collect()}
+        assert got == want
+
+    def test_session_window_matches_batch_sessionize(self, spark, stream_dir):
+        batch = spark.read.parquet(str(stream_dir))
+        stream = events_stream(spark, str(stream_dir), batch.schema)
+        result = _run_to_memory(
+            session_window_agg(stream), "t_session", "complete", spark
+        )
+        expected = (
+            sessionize(batch, key="user_id", ts="ts", gap="30 minutes")
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("session_value"),
+            )
+        )
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], round(r["session_value"], 6))
+            for r in result.collect()
+        }
+        want = {
+            (r["user_id"], r["session_start"]): (r["n_events"], round(r["session_value"], 6))
+            for r in expected.collect()
+        }
+        assert got == want
+
+
+class TestForeachBatchUpsert:
+    def test_late_revision_merges(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        target = str(tmp_path / "target")
+
+        schema = "series_id string, date date, value double"
+        d = datetime.date(2023, 1, 1)
+        spark.createDataFrame([("U", d, 1.0), ("U", datetime.date(2023, 2, 1), 2.0)], schema) \
+            .coalesce(1).write.parquet(str(tmp_path / "b1"))
+        # late revision of the first key + one new key
+        spark.createDataFrame([("U", d, 9.9), ("U", datetime.date(2023, 3, 1), 3.0)], schema) \
+            .coalesce(1).write.parquet(str(tmp_path / "b2"))
+        i = 0
+        for sub in ["b1", "b2"]:
+            for f in sorted((tmp_path / sub).glob("*.parquet")):
+                f.rename(src / f"drop{i}.parquet")
+                i += 1
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(target, ["series_id", "date"], ["value"])
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        final = {r["date"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert final == {
+            datetime.date(2023, 1, 1): 9.9,
+            datetime.date(2023, 2, 1): 2.0,
+            datetime.date(2023, 3, 1): 3.0,
+        }
