@@ -7,8 +7,24 @@ Python UDFs. These feed the dedup and text-quality operators and the
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for column expressions: evaluate `value` ONCE per row
+    and hand it to `body` as a bound lambda variable.
+
+    Higher-order-function lambdas re-evaluate any captured expression
+    subtree on every invocation (lambdas are interpreted, and a captured
+    `tokens(text)` is an expression, not a value). Binding through a
+    1-element array turns the expression into a lambda variable — an O(1)
+    slot read. This is the difference between O(len) and O(len²) per row
+    for shingling-style expressions.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 # Tiny function-word list used by quality scoring and the lang-id heuristic.
 STOPWORDS = ("a", "the")
@@ -29,18 +45,27 @@ def distinct_tokens(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (space-joined), for MinHash/Jaccard dedup.
 
-    Pure expression: slice the token array at each start position via
-    transform(sequence(...)). Docs shorter than n words yield a single
-    shingle of the whole doc so they still participate in dedup.
+    Pure expression. Each shingle is built from O(1) element_at accesses —
+    NOT slice(), which copies O(len) per position and makes shingling
+    O(len²) per document (a 10x slowdown measured at sf0.1). Docs shorter
+    than n words yield a single whole-doc shingle so they still
+    participate in dedup. element_at beyond the array end returns NULL and
+    concat_ws skips NULLs, but the sequence bound already prevents that.
     """
-    toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    def build(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
         )
-    )
+
+    # let() binds the token array once; element_at on a bound variable is
+    # an O(1) slot read instead of a per-shingle re-tokenization.
+    return let(tokens(text), build)
 
 
 def token_count(text: Column) -> Column:

@@ -72,8 +72,10 @@ def jaccard_similar_pairs(
     shingled = df.select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
     )
-    sizes = shingled.select("doc", F.size("sh").alias("n_sh"))
-    inv = shingled.select("doc", F.explode("sh").alias("shingle"))
+    # The inverted index is read three times (both join sides + sizes) —
+    # persist it so the shingling scan runs once, not three times.
+    inv = shingled.select("doc", F.explode("sh").alias("shingle")).persist()
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(freq.filter(F.col("df") <= max_df), "shingle")
@@ -182,7 +184,9 @@ def minhash_dedup_pairs(
     """LSH candidates refined by estimated Jaccard (fraction of agreeing
     signature positions). Returns (id_a, id_b, est_jaccard >= threshold)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    # Signatures feed the banding AND both sides of the candidate join —
+    # persist so the (expensive) signature scan runs once, not three times.
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist()
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -210,43 +214,43 @@ def simhash(text: Column, bits: int = 64) -> Column:
     Python loop over bit positions (literal shift amounts) so everything
     stays a JVM expression.
     """
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    from economic_data_etl_spark.functions.text import let
 
-    # Per token: 64-wide ±-free bit array (one hash eval per token), then a
-    # single fold summing bit counts — same evaluate-once shape as the
-    # MinHash signature (HOF lambdas are interpreted; don't re-evaluate the
-    # token array per bit position).
-    bit_arrays = F.transform(
-        hashes,
-        lambda h: F.array(
-            *[
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
-                for i in range(bits)
-            ]
-        ),
-    )
-    counts = F.aggregate(
-        bit_arrays,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
-    )
     weights = F.array(
         *[
-            (
-                F.lit(-(2**63)) if i == bits - 1 else F.lit(1 << i)
-            ).cast("long")
+            (F.lit(-(2**63)) if i == bits - 1 else F.lit(1 << i)).cast("long")
             for i in range(bits)
         ]
     )
-    contributions = F.zip_with(
-        counts,
-        weights,
-        lambda c, w: F.when(c * 2 >= n, w).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        contributions, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+
+    def build(hashes: Column) -> Column:
+        # `hashes` is a bound variable (see let()): size() and the folds
+        # below read it O(1) instead of re-hashing the tokens per element.
+        n = F.size(hashes)
+        bit_arrays = F.transform(
+            hashes,
+            lambda h: F.array(
+                *[
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+        )
+        counts = F.aggregate(
+            bit_arrays,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, b: F.zip_with(acc, b, lambda x, y: x + y),
+        )
+        contributions = F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 >= n, w).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            contributions, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return let(F.transform(tokens(text), lambda t: F.xxhash64(t)), build)
 
 
 def simhash_candidate_pairs(
