@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: the scale properties this engine promises
+(pushdown, pruning, broadcast joins, window group limits) must survive
+refactors. A query can be value-correct and still regress to a plan that
+dies at 100x the data — these tests pin the plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from economic_data_etl_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_q1_filter_pushed_to_scan(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q1_pricing_summary")
+        assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+
+    def test_q1_column_pruning(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q1_pricing_summary")
+        read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "l_orderkey" not in read  # unused columns pruned from the scan
+
+    def test_q6_all_predicates_pushed(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+        pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+        for frag in ("l_shipdate", "l_discount", "l_quantity"):
+            assert frag in pushed
+
+    def test_q5_dimension_joins_broadcast(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q5_region_revenue")
+        assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
+
+    def test_semi_and_anti_join_operators(self, spark, sf_dir):
+        assert "LeftSemi" in _plan(spark, sf_dir, "join_semi_customers_with_urgent_orders")
+        assert "LeftAnti" in _plan(spark, sf_dir, "join_anti_customers_without_orders")
+
+    def test_topk_uses_window_group_limit(self, spark, sf_dir):
+        assert "WindowGroupLimit" in _plan(spark, sf_dir, "window_rank_parts_per_brand")
+
+    def test_global_topk_avoids_full_sort(self, spark, sf_dir):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "topk_orders_by_price")
+
+    def test_asof_join_is_not_a_range_join(self, spark, sf_dir):
+        # union+window shape: no BroadcastNestedLoopJoin / CartesianProduct
+        plan = _plan(spark, sf_dir, "events_asof_purchase_view")
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
