@@ -89,30 +89,59 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int = 6,
+    tables: int = 8,
     dim: int = 64,
     corpus_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only corpus vectors whose SRP code
-    matches the query's code or differs by one bit (multi-probe, so recall
-    survives near-boundary vectors). At scale this turns an O(|Q|·|C|)
-    scan into |Q| bucket lookups over a code-partitioned corpus."""
-    planes = _srp_hyperplanes(dim, bits, seed)
-    coded_corpus = corpus.withColumn("__code", srp_code(F.col(vec_col), planes))
-    q = queries.select(query_id, F.col(vec_col).alias("__qvec")).withColumn(
-        "__qcode", srp_code(F.col("__qvec"), planes)
+    """Approximate cosine top-k via multi-table SRP-LSH with 1-bit
+    multi-probe: `tables` independent b-bit codes per vector; a corpus
+    vector is scored iff it shares a bucket (exactly, or within one bit
+    flip) with the query in ANY table.
+
+    Parameter intuition: P(bit agrees) = 1 - θ/π; for cos≈0.4 neighbors
+    that's ~0.63, so one 8-bit table recalls ~10% of the true top-10 —
+    useless. 6 bits × 8 tables × multiprobe-1 pushes recall above 90%
+    while still scoring only the collided fraction of the corpus. At
+    scale, corpus codes are precomputed once (tables×8 bytes/vector) and
+    the join fans each query out to tables×(bits+1) bucket lookups.
+    """
+    all_planes = _srp_hyperplanes(dim, bits * tables, seed)
+    t_codes = [
+        srp_code(F.col(vec_col), all_planes[t * bits : (t + 1) * bits])
+        for t in range(tables)
+    ]
+    # corpus: one row per (vector, table) with that table's bucket code
+    coded_corpus = corpus.select(
+        corpus_id,
+        vec_col,
+        F.posexplode(F.array(*t_codes)).alias("__ctable", "__code"),
     )
-    # Multi-probe: query probes its own bucket + all 1-bit-flip buckets.
+
+    q = queries.select(query_id, F.col(vec_col).alias("__qvec"))
+    q_t_codes = [
+        srp_code(F.col("__qvec"), all_planes[t * bits : (t + 1) * bits])
+        for t in range(tables)
+    ]
+    q_coded = q.select(
+        query_id,
+        "__qvec",
+        F.posexplode(F.array(*q_t_codes)).alias("__table", "__qcode"),
+    )
+    # Multi-probe: own bucket + every 1-bit flip within the table.
     probes = F.array(
         F.col("__qcode"),
         *[F.col("__qcode").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
     )
-    q_probed = q.withColumn("__probe", F.explode(probes))
+    q_probed = q_coded.withColumn("__probe", F.explode(probes))
+
     joined = coded_corpus.join(
-        F.broadcast(q_probed), F.col("__code") == F.col("__probe")
+        F.broadcast(q_probed),
+        (F.col("__ctable") == F.col("__table"))
+        & (F.col("__code") == F.col("__probe")),
     ).filter(F.col(corpus_id) != F.col(query_id))
     scored = joined.select(
         query_id,

@@ -60,15 +60,15 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk_lsh",
     oracle=None,
-    doc="Approximate top-10 via 8-bit sign-random-projection LSH with 1-bit "
-    "multi-probe; scores only same/neighbor-bucket vectors.",
+    doc="Approximate top-10 via multi-table SRP-LSH (8 tables x 6 bits, 1-bit "
+    "multi-probe); scores only bucket-collided vectors.",
 )
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, k=_K, bits=8, dim=64).orderBy(
+    return similarity.lsh_topk(emb, queries, k=_K, bits=6, tables=8, dim=64).orderBy(
         "q_id", "rank"
     )
 

@@ -1,0 +1,59 @@
+"""ANN quality tests: the approximate tiers (SRP-LSH, IVF) must recover a
+healthy fraction of the exact brute-force top-10."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators import ivf, similarity
+from economic_data_etl_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    return corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, corpus, queries):
+    rows = similarity.brute_force_topk(corpus, queries, k=10).collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx_rows, exact: dict[int, set[int]]) -> float:
+    got: dict[int, set[int]] = {}
+    for r in approx_rows:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+    ]
+    return sum(recalls) / len(recalls)
+
+
+class TestAnnRecall:
+    def test_lsh_recall(self, spark, corpus, queries, exact_topk):
+        rows = similarity.lsh_topk(corpus, queries, k=10, bits=8, dim=64).collect()
+        assert _recall(rows, exact_topk) >= 0.5  # multi-probe 8-bit SRP
+
+    def test_ivf_recall(self, spark, corpus, queries, exact_topk):
+        centroids = ivf.train_ivf(corpus, k=8, iters=2)
+        rows = ivf.ivf_topk(corpus, queries, centroids, k=10, n_probe=3).collect()
+        assert _recall(rows, exact_topk) >= 0.5
+
+    def test_ivf_deterministic(self, spark, corpus):
+        c1 = ivf.train_ivf(corpus, k=4, iters=1)
+        c2 = ivf.train_ivf(corpus, k=4, iters=1)
+        assert c1 == c2
