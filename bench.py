@@ -31,10 +31,15 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_windows",
     "events_asof_purchase_view",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "text_quality_metrics",
     "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_lsh",
+    "multimodal_decode_metadata",
 ]
 
 

@@ -20,6 +20,7 @@ and needs no training pass.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,6 +70,32 @@ def _srp_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+def _srp_table_codes_udf(planes: list[list[float]], bits: int, tables: int):
+    """Arrow-vectorized SRP encoder: one matmul per batch → array of
+    per-table bucket codes.
+
+    This is the one place a pandas_udf beats JVM expressions: computing
+    tables×bits dot products per row with interpreted higher-order
+    functions costs ~25k scalar ops/row (measured 11 s at sf0.1), while
+    numpy does the whole Arrow batch in one (n, dim) @ (dim, tables*bits)
+    matmul (~1 s). Codes are integers, so no float-parity concerns.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (tables*bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())  # (n, dim)
+        signs = (X @ P.T) >= 0  # (n, tables*bits)
+        by_table = signs.reshape(len(X), tables, bits)
+        codes = (by_table * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(codes.astype(np.int64)))
+
+    return encode
+
+
 def srp_code(vec: Column, planes: list[list[float]]) -> Column:
     """Integer LSH code: bit j = sign(vec · plane_j) — pure expression."""
     code = F.lit(0).cast("long")
@@ -110,26 +137,19 @@ def lsh_topk(
     the join fans each query out to tables×(bits+1) bucket lookups.
     """
     all_planes = _srp_hyperplanes(dim, bits * tables, seed)
-    t_codes = [
-        srp_code(F.col(vec_col), all_planes[t * bits : (t + 1) * bits])
-        for t in range(tables)
-    ]
+    encode = _srp_table_codes_udf(all_planes, bits, tables)
     # corpus: one row per (vector, table) with that table's bucket code
     coded_corpus = corpus.select(
         corpus_id,
         vec_col,
-        F.posexplode(F.array(*t_codes)).alias("__ctable", "__code"),
+        F.posexplode(encode(F.col(vec_col))).alias("__ctable", "__code"),
     )
 
     q = queries.select(query_id, F.col(vec_col).alias("__qvec"))
-    q_t_codes = [
-        srp_code(F.col("__qvec"), all_planes[t * bits : (t + 1) * bits])
-        for t in range(tables)
-    ]
     q_coded = q.select(
         query_id,
         "__qvec",
-        F.posexplode(F.array(*q_t_codes)).alias("__table", "__qcode"),
+        F.posexplode(encode(F.col("__qvec"))).alias("__table", "__qcode"),
     )
     # Multi-probe: own bucket + every 1-bit flip within the table.
     probes = F.array(
