@@ -87,6 +87,44 @@ def decode_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode, MEDIA_META_SCHEMA)
 
 
+def extract_features(
+    df: DataFrame, dim: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction stub: payload bytes → fixed-dim float vector.
+
+    The real version would run an image/audio encoder per Arrow batch;
+    the stub derives a deterministic unit-normalized vector from byte
+    statistics so downstream ANN search (operators/similarity.py) can be
+    exercised end-to-end: decode → embed → index → search.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("features", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                pad = (-len(arr)) % dim
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+                v = arr.reshape(-1, dim).mean(axis=0).astype(np.float64)
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(featurize, schema)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
