@@ -70,6 +70,23 @@ class TestStreamingWindows:
         want = {(r[0], r[1]): (r[2], round(r[3], 6)) for r in expected.collect()}
         assert got == want
 
+    def test_sliding_matches_batch(self, spark, stream_dir):
+        from economic_data_etl_spark.streaming.windows import sliding_window_agg
+
+        batch = spark.read.parquet(str(stream_dir))
+        stream = events_stream(spark, str(stream_dir), batch.schema)
+        result = _run_to_memory(
+            sliding_window_agg(stream), "t_sliding", "complete", spark
+        )
+        expected = (
+            batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        )
+        got = {r[0]: (r[1], round(r[2], 6)) for r in result.collect()}
+        want = {r[0]: (r[1], round(r[2], 6)) for r in expected.collect()}
+        assert got == want
+
     def test_session_window_matches_batch_sessionize(self, spark, stream_dir):
         batch = spark.read.parquet(str(stream_dir))
         stream = events_stream(spark, str(stream_dir), batch.schema)
