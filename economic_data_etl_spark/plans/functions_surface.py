@@ -186,7 +186,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    # part scales with SF — leave the join strategy to AQE size stats.
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         _r(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct")
     )
 

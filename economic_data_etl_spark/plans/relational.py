@@ -108,9 +108,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    # Filtered customer keys are small relative to orders → broadcast.
+    # NOTE: the filtered customer side scales with SF (1/5 of customers),
+    # so no explicit broadcast hint — AQE broadcasts it while its runtime
+    # size is under the threshold and falls back to shuffle join beyond.
     joined = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        cust.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
     ).join(li, li.l_orderkey == orders.o_orderkey)
     return (
@@ -163,8 +165,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
+        # supplier scales with SF → no hint (AQE decides); nation/region
+        # are fixed-cardinality → hinted broadcast is always safe.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

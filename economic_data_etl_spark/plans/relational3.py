@@ -47,8 +47,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | clause("Brand#2", 10, 30, 10, 30)
         | clause("Brand#3", 20, 50, 20, 40)
     )
+    # part scales with SF — no explicit hint (AQE decides at runtime).
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
