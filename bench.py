@@ -58,6 +58,9 @@ def main() -> None:
         start = time.perf_counter()
         q.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
+        # Dedup operators persist() shared scans; drop them so later
+        # queries aren't timed under earlier queries' storage pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

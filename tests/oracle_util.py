@@ -41,11 +41,19 @@ def compare_query(spark, query_fn, oracle: str, sf_dir: str) -> None:
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={spark_cols} duck={duck_cols}"
     )
-    # reorder both to sorted column order, then sort rows
+    # reorder both to sorted column order, then sort rows; None is not
+    # comparable to other types in Python, so sort by a type-ranked key
+    def row_key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s_sorted = sorted(tuple(r[i] for i in s_idx) for r in spark_rows)
-    d_sorted = sorted(tuple(r[i] for i in d_idx) for r in duck_rows)
+    s_sorted = sorted(
+        (tuple(r[i] for i in s_idx) for r in spark_rows), key=row_key
+    )
+    d_sorted = sorted(
+        (tuple(r[i] for i in d_idx) for r in duck_rows), key=row_key
+    )
     assert len(s_sorted) == len(d_sorted), (
         f"row count mismatch: spark={len(s_sorted)} duck={len(d_sorted)}"
     )
