@@ -31,6 +31,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_windows",
     "events_asof_purchase_view",
+    "ts_ohlc_daily",
     "q10_returned_item_revenue",
     "q14_promo_revenue_share",
     "q19_disjunctive_predicates",
