@@ -97,6 +97,63 @@ def merge_tables(
     return retained.unionByName(incoming.select(*existing.columns))
 
 
+RETAINED = "retained"  # existing-only rows; kept, never counted in stats
+
+
+def merge_with_status(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    eps: float = 1e-9,
+) -> DataFrame:
+    """ONE full-outer join producing the merged target content plus
+    STATUS_COL ∈ {inserted, updated, unchanged, retained}.
+
+    This is the single-pass MERGE shape: each side is scanned once,
+    shuffled on the key once; the merged row takes incoming values when
+    present, existing otherwise. Stats can ride along with the write via
+    observe() — no second job (see upsert_parquet).
+    """
+    all_cols = existing.columns
+    inc = incoming.select(
+        *[F.col(c).alias(f"__in_{c}") for c in all_cols],
+        F.lit(1).alias("__in_present"),
+    )
+    ex = existing.select(
+        *[F.col(c).alias(f"__ex_{c}") for c in all_cols],
+        F.lit(1).alias("__ex_present"),
+    )
+    cond = functools.reduce(
+        Column.__and__, [inc[f"__in_{k}"] == ex[f"__ex_{k}"] for k in keys]
+    )
+    joined = inc.join(ex, cond, "full_outer")
+
+    numeric = {
+        f.name
+        for f in existing.schema.fields
+        if f.dataType.typeName()
+        in ("double", "float", "decimal", "integer", "long", "short", "byte")
+    }
+
+    def col_equal(c: str) -> Column:
+        if c in numeric:
+            return nan_safe_eq(F.col(f"__in_{c}"), F.col(f"__ex_{c}"), eps)
+        return F.col(f"__in_{c}").eqNullSafe(F.col(f"__ex_{c}"))
+
+    all_equal = functools.reduce(Column.__and__, [col_equal(c) for c in compare_cols])
+    status = (
+        F.when(F.col("__ex_present").isNull(), INSERTED)
+        .when(F.col("__in_present").isNull(), RETAINED)
+        .when(all_equal, UNCHANGED)
+        .otherwise(UPDATED)
+    )
+    merged_cols = [
+        F.coalesce(F.col(f"__in_{c}"), F.col(f"__ex_{c}")).alias(c) for c in all_cols
+    ]
+    return joined.select(*merged_cols, status.alias(STATUS_COL))
+
+
 def upsert(
     existing: DataFrame,
     incoming: DataFrame,
@@ -104,6 +161,9 @@ def upsert(
     compare_cols: list[str],
     eps: float = 1e-9,
 ) -> UpsertResult:
+    """Two-job convenience form (stats action + merged lineage). For the
+    one-job write path use upsert_parquet, which rides the stats on the
+    write via observe()."""
     classified = classify_upsert(existing, incoming, keys, compare_cols, eps)
     return UpsertResult(
         merged=merge_tables(existing, incoming, keys),
@@ -121,21 +181,39 @@ def upsert_parquet(
 ) -> dict[str, int]:
     """Plain-parquet upsert with staged atomic rewrite (no Delta needed):
     write merged output to `<target>.staging`, then swap directories.
-    On object stores the swap becomes a metadata-catalog pointer flip."""
+    On object stores the swap becomes a metadata-catalog pointer flip.
+
+    Single-pass: the full-outer merge and the outcome stats share one
+    job — stats are collected by observe() metrics during the staging
+    write, so neither table is scanned twice.
+    """
     import os
     import shutil
+
+    from pyspark.sql import Observation
 
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
     else:
         existing = spark.createDataFrame([], incoming.schema)
-    res = upsert(existing, incoming, keys, compare_cols, eps)
+
+    merged = merge_with_status(existing, incoming, keys, compare_cols, eps)
+    obs = Observation()
+    observed = merged.observe(
+        obs,
+        *[
+            F.count(F.when(F.col(STATUS_COL) == s, 1)).alias(s)
+            for s in (INSERTED, UPDATED, UNCHANGED)
+        ],
+    ).drop(STATUS_COL)
+
     staging = f"{target_path}.staging"
-    res.merged.write.mode("overwrite").parquet(staging)
+    observed.write.mode("overwrite").parquet(staging)
     if os.path.exists(target_path):
         shutil.rmtree(target_path)
     os.rename(staging, target_path)
-    return res.stats
+    got = obs.get
+    return {s: int(got[s]) for s in (INSERTED, UPDATED, UNCHANGED)}
 
 
 def insert_missing(
