@@ -34,3 +34,37 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     """Read a partitioned layout; partition-column filters prune
     directories before any data file is opened."""
     return spark.read.format(fmt).load(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    files_per_partition: int = 1,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Small-files compaction: rewrite a partitioned table with a bounded
+    file count per partition.
+
+    Streaming/incremental writers accrete many small files per partition;
+    at scale that degrades scan listing and parquet row-group efficiency.
+    `repartition(partition_cols)` co-locates each hive partition's rows so
+    the writer emits `files_per_partition` files for it;
+    `sortWithinPartitions` additionally clusters rows so min/max row-group
+    stats become selective (poor-man's data clustering). Staged rewrite +
+    directory swap, same atomicity story as the upsert.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    cols = [F.col(c) for c in partition_cols]
+    compacted = df.repartition(files_per_partition * max(1, len(partition_cols)), *cols)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+    staging = f"{path}.compacting"
+    compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)

@@ -197,6 +197,12 @@ def upsert_parquet(
     else:
         existing = spark.createDataFrame([], incoming.schema)
 
+    # A batch with duplicate keys would fan out against the existing row
+    # and write duplicate target rows (the reference's SQL PK would reject
+    # the batch outright). Keep one arbitrary survivor per key — callers
+    # needing last-write-wins should pre-aggregate with an ordering column.
+    incoming = incoming.dropDuplicates(keys)
+
     merged = merge_with_status(existing, incoming, keys, compare_cols, eps)
     obs = Observation()
     observed = merged.observe(
