@@ -100,13 +100,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=None,
-    doc="MinHash(64 perms) + LSH(16 bands) candidates, est. Jaccard >= 0.5. "
-    "Per-row signatures (no shuffle), bucket join for candidates.",
+    doc="MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, est. Jaccard "
+    ">= 0.5 (band threshold (1/8)^(1/4) ~= 0.59; a 0.9-jaccard near-dup "
+    "escapes all 8 bands with p ~= 3e-8). Per-row signatures, bucket join.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+        docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
