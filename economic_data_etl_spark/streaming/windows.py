@@ -95,6 +95,33 @@ def session_window_agg(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events of
+    the same key whose timestamp falls in [left_ts - max_delay, left_ts].
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size and expire the join state — without the
+    interval bound, stream-stream join state grows forever. The canonical
+    funnel shape: purchases joined to the views that preceded them.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def foreach_batch_upsert(target_path: str, keys: list[str], compare_cols: list[str]):
     """Sink factory: MERGE each micro-batch into a parquet target via the
     engine's upsert operator — late/revised rows update in place, exactly
