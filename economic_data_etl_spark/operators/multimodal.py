@@ -87,6 +87,51 @@ def decode_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode, MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("resized", BinaryType(), False),
+        StructField("orig_bytes", LongType(), False),
+        StructField("resized_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, factor: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize/downsample stub: average every `factor` payload bytes into
+    one output byte (the real version calls the codec's scaler). Exercises
+    the binary→binary mapInPandas shape: payload in, smaller payload out,
+    sizes recorded for skew/size accounting downstream."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, orig_n, new_n = [], [], []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                pad = (-len(arr)) % factor
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+                small = (
+                    arr.reshape(-1, factor).mean(axis=1).astype(np.uint8).tobytes()
+                )
+                out.append(small)
+                orig_n.append(len(payload))
+                new_n.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": out,
+                    "orig_bytes": pd.Series(orig_n, dtype="int64"),
+                    "resized_bytes": pd.Series(new_n, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, dim: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:

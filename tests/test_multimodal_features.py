@@ -27,6 +27,17 @@ class TestFeatureExtraction:
         assert r1 == r2
         assert all(len(v) == 16 for v in r1.values())
 
+    def test_resize_shrinks_by_factor(self, spark):
+        from economic_data_etl_spark.operators.multimodal import resize_media
+
+        docs = load_table(spark, SF_DIR, "documents").limit(30)
+        resized = resize_media(attach_binary_payload(docs), factor=4)
+        rows = resized.collect()
+        assert rows
+        for r in rows:
+            assert r["resized_bytes"] == -(-r["orig_bytes"] // 4)  # ceil div
+            assert len(r["resized"]) == r["resized_bytes"]
+
     def test_features_feed_ann_search(self, spark):
         docs = load_table(spark, SF_DIR, "documents").limit(100)
         feats = extract_features(attach_binary_payload(docs), dim=16)
