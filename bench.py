@@ -3,10 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Headline set = the scan/join/agg/window/event queries that dominate a
-production workload. The quadratic-by-construction pairwise baselines
-(embedding_near_dup_pairs) and the hash-family dedups are correctness
-features, not throughput paths, and are excluded from the headline wall
-clock (they'd measure the test-data generator, not the engine).
+production workload, plus the scale-path dedup/ANN operators (ngram
+jaccard, MinHash-LSH, SimHash, SRP-LSH). The quadratic-by-construction
+pairwise baselines (embedding_near_dup_pairs) are correctness features,
+not throughput paths, and stay out of the headline wall clock (they'd
+measure the test-data generator, not the engine).
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ HEADLINE = [
     "q19_disjunctive_predicates",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_metrics",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",

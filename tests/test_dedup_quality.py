@@ -90,3 +90,22 @@ class TestSimhashAgreesWithJaccard:
         if sim_pairs:
             agreement = len(sim_pairs & jac_pairs) / len(sim_pairs)
             assert agreement >= 0.8
+
+    def test_arrow_fast_path_is_bit_identical(self, spark):
+        """simhash_arrow (numpy majority vote) must reproduce the pure
+        expression simhash() exactly, including null text (null fp) and
+        empty/whitespace text (all-ones fingerprint, -1)."""
+        docs = load_table(spark, SF_DIR, "documents")
+        edge = spark.createDataFrame(
+            [(None,), ("",), ("   ",), ("single",)], "text string"
+        )
+        for df in (docs, edge):
+            mismatches = (
+                df.select(
+                    dedup.simhash(F.col("text")).alias("expr"),
+                    dedup.simhash_arrow(F.col("text")).alias("arrow"),
+                )
+                .filter(~F.col("expr").eqNullSafe(F.col("arrow")))
+                .count()
+            )
+            assert mismatches == 0
