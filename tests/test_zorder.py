@@ -1,0 +1,57 @@
+"""Z-order clustering: the skipping win is measured, not assumed.
+
+A layout linear-sorted on column A gives perfect per-file ranges for A
+but useless ones for B (every file spans B's whole domain). The Z-curve
+layout must (a) skip most files for BOTH columns and (b) strictly beat
+the linear layout's worst column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.zorder import (
+    file_scan_fraction,
+    with_zorder_key,
+    write_zordered,
+)
+from economic_data_etl_spark.sources.tables import load_table
+
+COLS = ["l_partkey", "l_extendedprice"]
+
+
+class TestZOrder:
+    def test_zkey_is_deterministic_and_total(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").limit(2000)
+        keyed = with_zorder_key(li, COLS, bits=4)
+        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+        # 4 bits × 2 cols → 8-bit key space
+        mx = keyed.agg(F.max("__zkey")).collect()[0][0]
+        assert 0 <= mx < (1 << 10)  # null bucket can exceed 2^8 slightly
+
+    def test_zorder_skips_on_both_columns(self, spark, sf_dir, tmp_path):
+        li = load_table(spark, sf_dir, "lineitem").select(*COLS)
+        med = {
+            c: li.stat.approxQuantile(c, [0.5], 0.01)[0] for c in COLS
+        }
+
+        linear = str(tmp_path / "linear")
+        (
+            li.repartitionByRange(16, F.col(COLS[0]))
+            .sortWithinPartitions(COLS[0])
+            .write.mode("overwrite")
+            .parquet(linear)
+        )
+        zpath = str(tmp_path / "zorder")
+        write_zordered(li, zpath, COLS, bits=8, num_files=16)
+
+        lin_frac = [file_scan_fraction(linear, c, med[c]) for c in COLS]
+        z_frac = [file_scan_fraction(zpath, c, med[c]) for c in COLS]
+
+        # Linear layout: near-perfect on its sort column, near-useless on
+        # the other.
+        assert lin_frac[0] <= 0.25
+        assert lin_frac[1] >= 0.8
+        # Z-order: most files skipped for EITHER column's point filter...
+        assert max(z_frac) <= 0.5, f"z-order fractions {z_frac}"
+        # ...and the worst case beats linear's worst case outright.
+        assert max(z_frac) < max(lin_frac)
