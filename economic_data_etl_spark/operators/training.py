@@ -1,0 +1,161 @@
+"""Training-data pipeline operators: deterministic splits, dataset
+mixing, and sequence packing.
+
+Why hash-based rather than `df.sample()` / `randomSplit()`: at 100 TB a
+split must be (a) reproducible across reruns and engines, (b) stable
+under repartitioning (rows don't change split when the file layout
+changes), and (c) leakage-safe (all rows sharing a key land in the same
+split). Spark's samplers are seeded per-partition, so they fail (b) and
+(c). Here the assignment is a pure function of the row key: a 16-bit
+bucket from the md5 of (salt || key), computed JVM-side. md5 is
+bit-identical in every engine (the DuckDB oracles replay the exact
+formula), unlike xxhash64/murmur whose seeds differ between systems.
+
+Sequence packing (grouping small documents into fixed-token-budget
+training examples) is shard-local greedy first-fit-decreasing: shard by
+a stable hash of the key, pack each shard independently inside
+`applyInPandas`. Packing quality is within a few percent of global FFD
+once shards hold thousands of docs, and nothing ever leaves its
+executor — no global sort, no driver collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 16  # md5-derived bucket space (4 hex chars)
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 65536) from md5(salt || key).
+
+    Engine-portable: DuckDB spells it
+    ('0x' || substring(md5(salt || CAST(key AS VARCHAR)), 1, 4))::BIGINT.
+    """
+    hex4 = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+    return F.conv(hex4, 16, 10).cast("long")
+
+
+def split_column(
+    key: Column, fractions: Mapping[str, float], salt: str = "split-v1"
+) -> Column:
+    """CASE expression assigning each row a split label by hash bucket.
+
+    Fraction order matters (cumulative thresholds); pass an ordered
+    mapping. Fractions must sum to 1.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    bucket = hash_bucket(key, salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(cum * BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Append a `split` column (train/val/test/...) keyed on `key_col`."""
+    return df.withColumn(
+        "split", split_column(F.col(key_col), fractions, salt)
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic per-group downsampling — the training-mixture
+    rebalance (e.g. keep 25% of 'en', 100% of low-resource langs).
+
+    A row survives iff its hash bucket < rate(group) * 65536, so the
+    kept set is reproducible and monotone in the rate (raising a rate
+    only ADDS documents — mixtures stay comparable across experiments).
+    One scan, no shuffle: the filter is a scalar expression.
+    """
+    bucket = hash_bucket(F.col(key_col), salt)
+    rate = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    return df.filter(bucket < (rate * BUCKETS).cast("long"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    num_shards: int = 64,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Pack items into groups whose sizes sum to ≤ `budget` (first-fit
+    decreasing within a hash shard). Items with size ≥ budget get a
+    singleton pack (the caller chunks or drops oversize docs).
+
+    Returns (pack_id, keys array<long>, n_items, total_size, fill).
+    Deterministic: shard assignment is an md5 bucket and FFD breaks ties
+    by key, so reruns and relayouts produce identical packs.
+    """
+    out_schema = (
+        "shard long, pack_id string, keys array<long>, n_items int, "
+        "total_size long, fill double"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        items = sorted(
+            zip(pdf[key_col], pdf[size_col]),
+            key=lambda kv: (-int(kv[1]), int(kv[0])),
+        )
+        bins: list[list] = []  # [remaining, keys, total]
+        for k, s in items:
+            k, s = int(k), int(s)
+            placed = False
+            if s < budget:
+                for b in bins:
+                    if b[0] >= s:
+                        b[0] -= s
+                        b[1].append(k)
+                        b[2] += s
+                        placed = True
+                        break
+            if not placed:
+                bins.append([max(0, budget - s), [k], s])
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "pack_id": [f"{shard}-{i}" for i in range(len(bins))],
+                "keys": [b[1] for b in bins],
+                "n_items": [len(b[1]) for b in bins],
+                "total_size": [b[2] for b in bins],
+                "fill": [min(1.0, b[2] / budget) for b in bins],
+            }
+        )
+
+    shard = F.pmod(hash_bucket(F.col(key_col), salt), F.lit(num_shards))
+    return (
+        df.select(key_col, size_col)
+        .withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(pack, schema=out_schema)
+    )

@@ -1,0 +1,121 @@
+"""Training-data pipeline queries: splits, mixtures, sequence packing.
+
+The split/mix assignments are pure md5 functions of the row key (see
+operators/training.py), so the DuckDB oracles replay the EXACT formula —
+these are full value-checked queries, not rows-only: a one-bucket drift
+between engines would flip a document's split and fail the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators import training
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"en": 0.25, "fr": 0.5, "es": 0.75}  # zh/de keep default 1.0
+
+_BUCKET_SQL = (
+    "('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 4))"
+    "::BIGINT"
+)
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+        WITH b AS (
+            SELECT n_chars,
+                   {_BUCKET_SQL.format(salt="split-v1", key="doc_id")}
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {int(0.8 * 65536)} THEN 'train'
+                    WHEN bucket < {int(0.9 * 65536)} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM b
+        GROUP BY 1
+        ORDER BY split
+    """,
+    doc="Deterministic leakage-safe train/val/test assignment: 16-bit "
+    "md5 bucket of the doc key against cumulative fraction thresholds. "
+    "Stable under repartitioning and engine-portable (the oracle replays "
+    "the identical md5 formula). One scan, one small agg shuffle.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        training.hash_split(docs, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "dataset_mix_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE {_BUCKET_SQL.format(salt="mix-v1", key="doc_id")} <
+              CAST((CASE lang WHEN 'en' THEN 0.25
+                              WHEN 'fr' THEN 0.5
+                              WHEN 'es' THEN 0.75
+                              ELSE 1.0 END) * 65536 AS BIGINT)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Training-mixture rebalance: per-language deterministic "
+    "downsampling (keep 25% of en, 50% of fr, 75% of es, all zh/de) via "
+    "md5 buckets — monotone in the rate, so raising a language's share "
+    "only adds documents. Scalar filter in the scan stage; no shuffle "
+    "before the final small agg.",
+)
+def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        training.weighted_mix(docs, "lang", _MIX_RATES, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=None,
+    doc="Greedy shard-local FFD sequence packing of documents into "
+    "2048-char training examples (operators/training.py:pack_sequences); "
+    "per-shard pack counts and fill. Rows-only check: first-fit-"
+    "decreasing is not SQL-expressible; invariants (every doc packed "
+    "once, budget respected, fill >= 70%) are pinned in "
+    "tests/test_training.py.",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packs = training.pack_sequences(
+        docs, "doc_id", "n_chars", budget=2048, num_shards=16
+    )
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_items").alias("n_docs"),
+            F.sum("total_size").alias("total_chars"),
+            biased_round(F.avg("fill")).alias("avg_fill"),
+        )
+        .orderBy("shard")
+    )

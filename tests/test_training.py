@@ -1,0 +1,89 @@
+"""Training-data operators: split stability, mix monotonicity, packing
+invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators import training
+from economic_data_etl_spark.sources.tables import load_table
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+class TestHashSplit:
+    def test_partition_layout_does_not_change_assignment(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        a = training.hash_split(docs, "doc_id", SPLITS)
+        b = training.hash_split(docs.repartition(17), "doc_id", SPLITS)
+        diff = (
+            a.select("doc_id", "split")
+            .join(b.select("doc_id", F.col("split").alias("split2")), "doc_id")
+            .filter(F.col("split") != F.col("split2"))
+            .count()
+        )
+        assert diff == 0
+
+    def test_fractions_roughly_respected(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        counts = dict(
+            training.hash_split(docs, "doc_id", SPLITS)
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+        assert counts["train"] / n > 0.7
+        assert 0.03 < counts["val"] / n < 0.2
+        assert set(counts) == {"train", "val", "test"}
+
+
+class TestWeightedMix:
+    def test_raising_a_rate_only_adds_documents(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        low = training.weighted_mix(docs, "lang", {"en": 0.2}, "doc_id")
+        high = training.weighted_mix(docs, "lang", {"en": 0.6}, "doc_id")
+        lost = low.select("doc_id").exceptAll(high.select("doc_id")).count()
+        assert lost == 0
+        assert high.count() > low.count()
+
+
+class TestPackSequences:
+    def test_packing_invariants(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        budget = 2048
+        packs = training.pack_sequences(
+            docs, "doc_id", "n_chars", budget=budget, num_shards=8
+        ).persist()
+
+        # Every document packed exactly once.
+        packed_ids = packs.select(F.explode("keys").alias("doc_id"))
+        assert packed_ids.count() == docs.count()
+        assert packed_ids.distinct().count() == docs.count()
+
+        # Budget respected except singleton oversize docs.
+        violators = packs.filter(
+            (F.col("total_size") > budget) & (F.col("n_items") > 1)
+        ).count()
+        assert violators == 0
+
+        # Sizes preserved end-to-end.
+        total = packs.agg(F.sum("total_size")).collect()[0][0]
+        want = docs.agg(F.sum("n_chars")).collect()[0][0]
+        assert total == want
+
+        # FFD should fill bins decently (multi-item packs only; the tail
+        # pack of each shard may be near-empty).
+        fill = (
+            packs.filter(F.col("n_items") > 1)
+            .agg(F.avg("fill"))
+            .collect()[0][0]
+        )
+        assert fill is None or fill >= 0.7
+        packs.unpersist()
+
+    def test_packing_is_deterministic(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        a = training.pack_sequences(docs, "doc_id", "n_chars", 2048)
+        b = training.pack_sequences(docs.repartition(13), "doc_id", "n_chars", 2048)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
