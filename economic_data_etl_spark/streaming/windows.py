@@ -95,6 +95,27 @@ def session_window_agg(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    `dropDuplicates` on a stream keeps every key ever seen — state grows
+    without bound and a 100 TB/day feed OOMs the state store. This uses
+    `dropDuplicatesWithinWatermark`: a key's state is dropped once the
+    watermark passes it, so memory is proportional to the watermark
+    horizon, and any duplicate arriving within that horizon (the only
+    kind an at-least-once upstream produces) is still suppressed. The
+    batch twin is operators/dedup.py:exact_dedup.
+    """
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

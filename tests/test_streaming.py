@@ -113,6 +113,46 @@ class TestStreamingWindows:
         assert got == want
 
 
+class TestStreamingDedup:
+    def test_cross_batch_duplicates_suppressed(self, spark, tmp_path):
+        """An at-least-once upstream redelivers keys in later
+        micro-batches; dropDuplicatesWithinWatermark must emit each key
+        once while keeping only watermark-bounded state."""
+        from economic_data_etl_spark.streaming.windows import streaming_dedup
+
+        base = datetime.datetime(2025, 6, 1, 12, 0, 0)
+        rows = [
+            (i, base + datetime.timedelta(minutes=i % 50), float(i))
+            for i in range(120)
+        ]
+        dup_rows = [rows[i] for i in range(40, 80)]  # redelivered keys
+        src = tmp_path / "dedup_src"
+        src.mkdir()
+        schema = "event_id long, ts timestamp, value double"
+        spark.createDataFrame(rows[:80], schema).coalesce(1).write.parquet(
+            str(tmp_path / "d1")
+        )
+        spark.createDataFrame(
+            rows[80:] + dup_rows, schema
+        ).coalesce(1).write.parquet(str(tmp_path / "d2"))
+        i = 0
+        for sub in ("d1", "d2"):
+            for f in sorted((tmp_path / sub).glob("*.parquet")):
+                f.rename(src / f"drop{i}.parquet")
+                i += 1
+
+        stream = events_stream(spark, str(src), schema)
+        result = _run_to_memory(
+            streaming_dedup(stream, ["event_id"], watermark="2 hours"),
+            "dedup_stream",
+            "append",
+            spark,
+        )
+        got = [r["event_id"] for r in result.collect()]
+        assert len(got) == 120  # each key exactly once
+        assert sorted(got) == list(range(120))
+
+
 class TestForeachBatchUpsert:
     def test_late_revision_merges(self, spark, tmp_path):
         src = tmp_path / "src"
