@@ -103,6 +103,97 @@ def jaccard_similar_pairs(
     )
 
 
+def jaccard_similar_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING (the PPJoin
+    family of exact set-similarity joins). Identical output to
+    `jaccard_similar_pairs` — same DuckDB oracle — at a fraction of the
+    join cost.
+
+    Why it's exact: order every document's shingles by a global
+    rarest-first key (document frequency, ties by shingle). J(A,B) >= t
+    implies |A∩B| >= t·|A∪B| >= ⌈t·|A|⌉; a set sharing >= ⌈t·|A|⌉
+    elements with A cannot avoid the first |A| - ⌈t·|A|⌉ + 1 elements
+    of A under ANY consistent total order (pigeonhole) — only that
+    prefix needs to enter the inverted index. At t=0.8 that is
+    ~20% of each doc's shingles, and because the prefix keeps the
+    RAREST shingles, the quadratic per-shingle pair blowup collapses
+    (frequent shingles — the expensive ones — never reach the join).
+    Candidates are then verified EXACTLY with array_intersect on the
+    full shingle arrays, plus the length filter |B| >= t·|A| (a pair
+    failing it cannot reach threshold).
+
+    Shuffle budget: df-count agg, per-doc re-sort agg, candidate join,
+    two verify joins — all on keys that shrink as threshold rises.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # Arrays feed the ordering AND the verify step — one shingling pass.
+    shingled = shingled.persist()
+
+    inv = shingled.select("doc", "n_sh", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Re-assemble each doc's shingles rarest-first; keep only the prefix
+    # that can witness a >= t pair.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    ordered = (
+        inv.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ord"),
+        )
+        .select(
+            "doc",
+            "n_sh",
+            F.slice(
+                F.transform(F.col("ord"), lambda x: x["shingle"]),
+                F.lit(1),
+                prefix_len,
+            ).alias("prefix"),
+        )
+    )
+    pre_inv = ordered.select(
+        "doc", "n_sh", F.explode("prefix").alias("shingle")
+    )
+    a, b = pre_inv.alias("a"), pre_inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: J >= t forces t·|A| <= |B| <= |A|/t; the
+            # doc-id ordering says nothing about sizes, so bound both ways
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    raw = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__raw", raw)
+        .filter(F.col("__raw") >= threshold)
+        .select("id_a", "id_b", biased_round(F.col("__raw")).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -85,11 +85,15 @@ _JACCARD_ORACLE = r"""
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="3-word-shingle Jaccard >= 0.8 pairs via inverted-index join (no O(n²) cross join).",
+    doc="3-word-shingle Jaccard >= 0.8 pairs, exact, via prefix-filtered "
+    "set-similarity join (PPJoin-style): only each doc's rarest "
+    "|d|-⌈0.8|d|⌉+1 shingles enter the inverted index, candidates verify "
+    "with array_intersect. Output proven identical to the naive "
+    "inverted-index join (tests/test_dedup_quality.py).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_similar_pairs(
+    return dedup.jaccard_similar_pairs_prefix(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).orderBy("id_a", "id_b")
 

@@ -91,6 +91,31 @@ class TestSimhashAgreesWithJaccard:
             agreement = len(sim_pairs & jac_pairs) / len(sim_pairs)
             assert agreement >= 0.8
 
+    def test_prefix_filtered_jaccard_equals_naive(self, spark):
+        """The PPJoin-style prefix-filtered join is an exact algorithm:
+        its output must equal the full inverted-index join pair-for-pair
+        at multiple thresholds (including ones low enough to stress the
+        prefix-length math)."""
+        docs = load_table(spark, SF_DIR, "documents")
+        for thr in (0.3, 0.5, 0.8):
+            naive = sorted(
+                map(
+                    tuple,
+                    dedup.jaccard_similar_pairs(
+                        docs, "doc_id", "text", n=3, threshold=thr
+                    ).collect(),
+                )
+            )
+            fast = sorted(
+                map(
+                    tuple,
+                    dedup.jaccard_similar_pairs_prefix(
+                        docs, "doc_id", "text", n=3, threshold=thr
+                    ).collect(),
+                )
+            )
+            assert naive == fast, f"divergence at threshold {thr}"
+
     def test_arrow_fast_path_is_bit_identical(self, spark):
         """simhash_arrow (numpy majority vote) must reproduce the pure
         expression simhash() exactly, including null text (null fp) and
