@@ -25,6 +25,7 @@ from economic_data_etl_spark.plans import multimodal  # noqa: E402,F401
 from economic_data_etl_spark.plans import text  # noqa: E402,F401
 from economic_data_etl_spark.plans import timeseries  # noqa: E402,F401
 from economic_data_etl_spark.plans import training  # noqa: E402,F401
+from economic_data_etl_spark.plans import variant  # noqa: E402,F401
 from economic_data_etl_spark.plans import vectors  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]
