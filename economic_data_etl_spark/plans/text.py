@@ -98,6 +98,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_COMPONENTS_ORACLE = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                        ELSE [array_to_string(w, ' ')]
+                   END) AS shingles
+        FROM toks
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS node FROM edges
+    ), reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_COMPONENTS_ORACLE,
+    doc="Near-dup CLUSTERS, not just pairs: connected components over "
+    "Jaccard >= 0.5 edges (operators/components.py, iterative min-label "
+    "propagation with per-round lineage truncation). component = min "
+    "reachable doc_id, i.e. the canonical survivor of each duplicate "
+    "group. The DuckDB oracle computes the identical transitive closure "
+    "with WITH RECURSIVE — an exact cross-engine check of an iterative "
+    "graph algorithm.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    return (
+        connected_components(pairs, "id_a", "id_b")
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash-LSH near-dedup (rows-only: hash family not SQL-portable).
 # --------------------------------------------------------------------------
