@@ -82,6 +82,39 @@ class TestPackSequences:
         assert fill is None or fill >= 0.7
         packs.unpersist()
 
+    def test_packing_invariants_hold_on_random_inputs(self, spark):
+        """Property check: for arbitrary size distributions (including
+        zero-size and oversize items) every key is packed exactly once
+        and no multi-item pack exceeds the budget."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        budget = 100
+        sizes = st.lists(
+            st.integers(min_value=0, max_value=250), min_size=1, max_size=40
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(sizes=sizes)
+        def run(sizes):
+            rows = [(i, s) for i, s in enumerate(sizes)]
+            df = spark.createDataFrame(rows, "doc_id long, n long")
+            packs = training.pack_sequences(
+                df, "doc_id", "n", budget=budget, num_shards=4
+            ).collect()
+            packed = [k for r in packs for k in r["keys"]]
+            assert sorted(packed) == list(range(len(sizes)))
+            for r in packs:
+                if r["n_items"] > 1:
+                    assert r["total_size"] <= budget
+                assert r["total_size"] == sum(sizes[k] for k in r["keys"])
+
+        run()
+
     def test_packing_is_deterministic(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         a = training.pack_sequences(docs, "doc_id", "n_chars", 2048)
