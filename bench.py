@@ -39,10 +39,15 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_components",
     "text_quality_metrics",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
     "multimodal_decode_metadata",
+    "train_val_test_split",
+    "variant_typed_extraction",
+    "sketch_hll_distinct_rollup",
+    "histogram_order_totalprice",
 ]
 
 

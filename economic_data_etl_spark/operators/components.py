@@ -40,16 +40,22 @@ def connected_components(
     `max_iter` rounds (raises if not converged — silent truncation would
     return WRONG clusters)."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    # Symmetrized edges drive every round — keep them materialized.
-    sym = sym.localCheckpoint()
+    # No distinct(): min-propagation is idempotent over duplicate edges,
+    # and deduplicating would shuffle the full edge list once for
+    # nothing. Symmetrized edges drive every round — materialize them
+    # once, in partition counts proportional to the GRAPH (near-dup
+    # edges ≪ documents), so each round pays task overhead for the edge
+    # list, not the session's default shuffle width.
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    n_part = max(4, sym.sparkSession.sparkContext.defaultParallelism // 8)
+    sym = sym.repartition(n_part, "v").localCheckpoint()
 
+    # Seed each node with min(itself, min neighbor) — exactly what the
+    # first propagation round would compute, one round for free.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .repartition(n_part, "node")
         .localCheckpoint()
     )
     for _ in range(max_iter):
