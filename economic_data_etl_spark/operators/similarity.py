@@ -65,6 +65,38 @@ def brute_force_topk(
     )
 
 
+def quantize_int8(vec: Column, as_storage: bool = False) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i·127/max|x| + 0.5).
+
+    The 100 TB story: a float32 embedding column is usually the widest
+    thing in a training corpus; int8 codes cut it 4× (64-dim: 256 B →
+    64 B/row) while cosine survives almost unchanged — per-vector scale
+    factors cancel in the cosine ratio, so rank order degrades only
+    through the ±0.5 rounding noise (recall@10 ≥ 0.9 pinned in
+    tests/test_ann.py).
+
+    floor(x+0.5) instead of round(): identical in every engine, whereas
+    round() half-ties differ between Spark (HALF_UP) and DuckDB
+    (multiply-based) — this keeps the oracle exact. The max|x| bind goes
+    through let() so it is computed once per row, not once per element
+    (interpreted-HOF re-evaluation pitfall).
+
+    as_storage=True returns array<tinyint> (the compact layout);
+    default returns array<double> codes ready for JVM-side dot products.
+    """
+    from economic_data_etl_spark.functions.text import let
+
+    def build(mx: Column) -> Column:
+        q = F.transform(
+            vec, lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5))
+        )
+        if as_storage:
+            q = F.transform(q, lambda c: c.cast("tinyint"))
+        return q
+
+    return let(F.array_max(F.transform(vec, F.abs)), build)
+
+
 def _srp_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()

@@ -58,6 +58,61 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_int8",
+    oracle=f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> floor(x * 127.0 / mx + 0.5)) AS qv
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(
+                           embedding::DOUBLE[], x -> abs(x))) AS mx
+                FROM embeddings
+            )
+        ), q AS (
+            SELECT vec_id AS q_id, qv AS query_qv
+            FROM qz WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.q_id, e.vec_id,
+                   ROUND(5e-10 + list_cosine_similarity(e.qv, q.query_qv), 4)
+                       AS score
+            FROM qz e, q
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, vec_id ASC
+                   ) AS INT) AS rank
+            FROM scored
+        ) t
+        WHERE rank <= {_K}
+        ORDER BY q_id, rank
+    """,
+    doc="Cosine top-10 over int8-QUANTIZED embeddings (4× smaller "
+    "vectors; similarity.quantize_int8): per-vector scales cancel in "
+    "the cosine ratio, so ranking survives quantization (recall vs "
+    "exact pinned >= 0.9 in tests/test_ann.py). Integer dot products "
+    "are bit-exact across engines, making this oracle STRICTER than "
+    "the float baseline's.",
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.quantize_int8(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        similarity.brute_force_topk(emb, queries, k=_K)
+        .select("q_id", "vec_id", "score", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
     "ann_cosine_topk_lsh",
     oracle=None,
     doc="Approximate top-10 via multi-table SRP-LSH (8 tables x 6 bits, 1-bit "

@@ -53,6 +53,32 @@ class TestAnnRecall:
         rows = ivf.ivf_topk(corpus, queries, centroids, k=10, n_probe=3).collect()
         assert _recall(rows, exact_topk) >= 0.5
 
+    def test_int8_quantized_recall(self, spark, corpus, queries, exact_topk):
+        """int8 codes are 4x smaller; cosine ranking must survive the
+        +-0.5 rounding noise nearly intact."""
+        qcorpus = corpus.select(
+            "vec_id",
+            similarity.quantize_int8(F.col("embedding")).alias("embedding"),
+        )
+        qqueries = queries.select(
+            "q_id",
+            similarity.quantize_int8(F.col("embedding")).alias("embedding"),
+        )
+        rows = similarity.brute_force_topk(qcorpus, qqueries, k=10).collect()
+        assert _recall(rows, exact_topk) >= 0.9
+
+    def test_int8_codes_fit_in_a_byte(self, spark, corpus):
+        codes = corpus.select(
+            similarity.quantize_int8(
+                F.col("embedding"), as_storage=True
+            ).alias("q")
+        )
+        assert codes.schema["q"].dataType.simpleString() == "array<tinyint>"
+        bad = codes.select(F.explode("q").alias("c")).filter(
+            (F.col("c") > 127) | (F.col("c") < -127)
+        )
+        assert bad.count() == 0
+
     def test_ivf_deterministic(self, spark, corpus):
         c1 = ivf.train_ivf(corpus, k=4, iters=1)
         c2 = ivf.train_ivf(corpus, k=4, iters=1)
