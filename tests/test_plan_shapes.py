@@ -55,3 +55,50 @@ class TestPlanShapes:
         # union+window shape: no BroadcastNestedLoopJoin / CartesianProduct
         plan = _plan(spark, sf_dir, "events_asof_purchase_view")
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(
+        self, spark, sf_dir
+    ):
+        """At cluster scale a fact-fact shuffle join moves the ENTIRE
+        probe side even when the build side is selective. Spark's runtime
+        bloom filter (injected from the filtered build side into the
+        probe scan) is the defense — pin that the optimizer actually
+        injects it when a selective filter feeds a shuffle join."""
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.sources.tables import load_table
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            # thresholds sized for test data; at real scale the defaults
+            # (10MB application side) fire on their own
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            li = load_table(spark, sf_dir, "lineitem")
+            orders = load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain(True)
+            assert "bloom_filter_agg" in buf.getvalue()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
