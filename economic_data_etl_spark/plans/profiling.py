@@ -73,6 +73,52 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_summary",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 11 <> 0
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice * 1.1 ELSE o_totalprice END
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 <> 0
+        )
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                         THEN 'unchanged'
+                    ELSE 'updated' END AS change,
+               COUNT(*) AS n
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        GROUP BY 1
+        ORDER BY change
+    """,
+    doc="Snapshot diff audit (operators/diff.py): classify every key as "
+    "inserted/deleted/updated/unchanged between two deterministic "
+    "derivations of orders, in ONE full-outer join with null-safe "
+    "column comparison. The oracle replays the same join in SQL.",
+)
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.diff import diff_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return diff_summary(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@register(
     "histogram_order_totalprice",
     oracle="""
         WITH bounds AS (
