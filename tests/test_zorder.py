@@ -47,11 +47,16 @@ class TestZOrder:
         lin_frac = [file_scan_fraction(linear, c, med[c]) for c in COLS]
         z_frac = [file_scan_fraction(zpath, c, med[c]) for c in COLS]
 
-        # Linear layout: near-perfect on its sort column, near-useless on
-        # the other.
-        assert lin_frac[0] <= 0.25
-        assert lin_frac[1] >= 0.8
-        # Z-order: most files skipped for EITHER column's point filter...
-        assert max(z_frac) <= 0.5, f"z-order fractions {z_frac}"
-        # ...and the worst case beats linear's worst case outright.
-        assert max(z_frac) < max(lin_frac)
+        # Absolute bounds are deliberately loose: RangePartitioner samples
+        # its split points, so exact file boundaries wobble run-to-run.
+        # Linear layout: tight on its sort column, near-useless on the
+        # other.
+        assert lin_frac[0] <= 0.4, f"linear fractions {lin_frac}"
+        assert lin_frac[1] >= 0.7, f"linear fractions {lin_frac}"
+        # Z-order: a point filter on EITHER column skips a healthy
+        # majority of files...
+        assert max(z_frac) <= 0.6, f"z-order fractions {z_frac}"
+        # ...and the worst column beats linear's worst column outright —
+        # the claim that actually matters, and it is not borderline
+        # (≈0.3 vs ≈1.0).
+        assert max(z_frac) < 0.75 * max(lin_frac)
