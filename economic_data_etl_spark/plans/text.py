@@ -126,7 +126,7 @@ _COMPONENTS_ORACLE = r"""
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
     ), edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -149,7 +149,7 @@ _COMPONENTS_ORACLE = r"""
     "dedup_cluster_components",
     oracle=_COMPONENTS_ORACLE,
     doc="Near-dup CLUSTERS, not just pairs: connected components over "
-    "Jaccard >= 0.5 edges (operators/components.py, iterative min-label "
+    "Jaccard >= 0.8 edges (operators/components.py, iterative min-label "
     "propagation with per-round lineage truncation). component = min "
     "reachable doc_id, i.e. the canonical survivor of each duplicate "
     "group. The DuckDB oracle computes the identical transitive closure "
@@ -163,7 +163,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_similar_pairs_prefix(
-        docs, "doc_id", "text", n=3, threshold=0.5
+        docs, "doc_id", "text", n=3, threshold=0.8
     )
     return (
         connected_components(pairs, "id_a", "id_b")
