@@ -98,6 +98,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "features_hashed_tf",
+    oracle=None,
+    doc="Hashing-trick term frequencies (operators/features.py): sparse "
+    "map of xxhash64(token) mod 2^12 buckets per document, no fitted "
+    "vocabulary, two shuffles. Rows-only check (hash is Spark-"
+    "specific); conservation — bucket counts sum to the exact "
+    "whitespace token count — is pinned in tests/test_features.py.",
+)
+def features_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.features import hashed_tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_tf(docs, "doc_id", "text", dim=1 << 12)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_buckets"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
 _COMPONENTS_ORACLE = r"""
     WITH RECURSIVE toks AS (
         SELECT doc_id,
