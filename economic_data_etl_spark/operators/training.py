@@ -140,7 +140,10 @@ def pack_sequences(
                         placed = True
                         break
             if not placed:
-                bins.append([max(0, budget - s), [k], s])
+                # Oversize items get remaining = -1, not 0: a 0 would let
+                # zero-size items join and silently break the "oversize
+                # packs are singletons" contract.
+                bins.append([budget - s if s < budget else -1, [k], s])
         return pd.DataFrame(
             {
                 "shard": shard,
