@@ -95,6 +95,52 @@ def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_quota_sample",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5('sample-v1' || CAST(c_custkey AS VARCHAR)),
+                                c_custkey
+                   ) AS rn
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_sampled,
+               ROUND(5e-10 + SUM(c_acctbal), 4) AS sampled_acctbal
+        FROM ranked WHERE rn <= 20
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="Deterministic stratified QUOTA sampling: exactly 20 customers "
+    "per market segment, chosen by ranking each stratum on the md5 of "
+    "the key — reproducible across engines/reruns/layouts, unlike "
+    "sampleBy (per-partition seeded, approximate counts). One window "
+    "shuffle on the stratum; at scale WindowGroupLimit stops each "
+    "partition after 20 rows.",
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.concat(F.lit("sample-v1"), F.col("c_custkey").cast("string"))),
+        "c_custkey",
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            biased_round(F.sum("c_acctbal")).alias("sampled_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "sequence_packing_stats",
     oracle=None,
     doc="Greedy shard-local FFD sequence packing of documents into "
