@@ -12,8 +12,11 @@ Layout:
     schemas     explicit StructType schemas (never inference in prod paths)
     sources/    parquet table catalog + FRED/BLS JSON parsers + ingest state
     functions/  scalar/text/vector column-expression helpers (JVM-side)
-    operators/  upsert, dedup (exact/minhash/simhash/jaccard), similarity,
-                as-of & range joins, top-k
+    operators/  upsert, snapshot diff, SCD2 versioning, dedup (exact /
+                minhash / simhash / prefix-filtered jaccard / connected
+                components), similarity (exact / LSH / IVF / int8),
+                as-of & range joins, top-k, Z-order clustering,
+                training-data ops (splits, mixing, packing, hashed TF)
     plans/      the query catalog exposed through __spark_entry__
     streaming/  Structured Streaming windows + stateful ops
 """

@@ -65,6 +65,42 @@ class TestScd2:
         )
         assert per_key == 0
 
+    def test_matches_model_on_random_histories(self, spark):
+        """Property check: arbitrary event interleavings (dup timestamps
+        excluded — callers pre-resolve those) must match the sequential
+        model."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        history = st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # key
+                st.sampled_from(["A", "B", None]),       # attr
+                st.integers(min_value=0, max_value=9),   # day
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda e: (e[0], e[2]),  # one event per (key, ts)
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(history=history)
+        def run(history):
+            events = [(k, a, _ts(d)) for k, a, d in history]
+            got = {
+                tuple(r)
+                for r in scd2_from_events(
+                    spark.createDataFrame(events, SCHEMA), "k", ["attr"], "ts"
+                ).collect()
+            }
+            assert got == _model(events)
+
+        run()
+
     def test_incremental_merge_equals_full_rebuild(self, spark):
         all_events = [
             (1, "A", _ts(0)), (1, "B", _ts(2)), (1, "C", _ts(5)),
