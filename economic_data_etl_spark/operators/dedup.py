@@ -135,8 +135,11 @@ def jaccard_similar_pairs_prefix(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    # Arrays feed the ordering AND the verify step — one shingling pass.
-    shingled = shingled.persist()
+    # Deliberately NOT persisted: the shingle arrays are read three times
+    # (index build + both verify sides) but recomputing the projection is
+    # cheaper than materializing a corpus-sized array column into the
+    # cache (measured 2× faster cold at sf0.1), and at real scale caching
+    # the full shingle table is exactly the memory pressure to avoid.
 
     inv = shingled.select("doc", "n_sh", F.explode("sh").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
