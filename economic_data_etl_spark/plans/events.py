@@ -224,3 +224,122 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value")).alias("total_value"))
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel + retention (classic event analytics).
+# --------------------------------------------------------------------------
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+            GROUP BY e.user_id
+        ), f AS (
+            SELECT s.user_id, s.signup_ts, p.first_purchase,
+                   (p.first_purchase IS NOT NULL AND
+                    p.first_purchase <= s.signup_ts + INTERVAL 7 DAY)
+                       AS converted
+            FROM s LEFT JOIN p ON s.user_id = p.user_id
+        )
+        SELECT COUNT(*) AS n_signup_users,
+               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_converted_7d,
+               ROUND(5e-10 + AVG(CASE WHEN converted THEN
+                   (epoch(first_purchase) - epoch(signup_ts)) / 3600.0
+               END), 4) AS avg_hours_to_convert
+        FROM f
+    """,
+    doc="Two-step funnel: users whose first purchase follows their first "
+    "signup within 7 days, plus mean hours-to-convert. Two small aggs + "
+    "one join keyed on user_id — no event-sequence explosion. Elapsed "
+    "time via timestamp→double (µs-exact in both engines; "
+    "unix_timestamp would truncate sub-second parts differently).",
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase")
+        <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    hours = (
+        F.col("first_purchase").cast("double")
+        - F.col("signup_ts").cast("double")
+    ) / 3600.0
+    return (
+        s.join(p, "user_id", "left")
+        .select("signup_ts", "first_purchase", converted.alias("converted"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias(
+                "n_converted_7d"
+            ),
+            biased_round(
+                F.avg(F.when(F.col("converted"), hours))
+            ).alias("avg_hours_to_convert"),
+        )
+    )
+
+
+@register(
+    "retention_weekly_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id,
+                   CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+            FROM events e
+        )
+        SELECT f.cohort_week,
+               CAST((epoch(a.active_week) - epoch(f.cohort_week))
+                    / 604800 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly retention triangle: users grouped by first-seen week, "
+    "counted in each later week they were active. Week offsets via "
+    "epoch arithmetic on Monday-truncated timestamps (exact multiples "
+    "of 604800s in both engines). Two aggs + one user-keyed join.",
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    offset = (
+        (
+            F.col("active_week").cast("double")
+            - F.col("cohort_week").cast("double")
+        )
+        / 604800
+    ).cast("long")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
