@@ -73,3 +73,42 @@ class TestBucketedJoin:
             )
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestAqeSkewJoin:
+    def test_runtime_skew_split_activates(self, spark):
+        """Salting (above) is the manual defense; AQE's skew-join split
+        is the automatic one. Pin that a runtime-detected hot key turns
+        the final adaptive plan into SortMergeJoin(skew=true) —
+        thresholds scaled down so test-sized partitions count as skewed
+        (defaults: factor 5, 256MB)."""
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            hot = spark.range(200000).select(
+                F.lit(0).alias("k"), F.col("id").alias("v")
+            )
+            cold = spark.range(1000).select(
+                (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+            )
+            right = spark.range(101).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            j = hot.union(cold).join(right, "k")
+            assert len(j.collect()) == 201000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
