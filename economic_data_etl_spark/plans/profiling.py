@@ -73,6 +73,42 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_fingerprint_orders",
+    oracle="""
+        SELECT CAST(SUM(('0x' || substring(md5(
+                   concat_ws('|',
+                       COALESCE(CAST(o_orderkey AS VARCHAR), '<null>'),
+                       COALESCE(o_orderstatus, '<null>'),
+                       COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>')
+                   )), 1, 12))::BIGINT) AS BIGINT) AS fingerprint,
+               COUNT(*) AS n_rows
+        FROM orders
+    """,
+    doc="Order-insensitive table checksum: md5 each canonicalized row "
+    "(null sentinel so NULL never collides with its string form), take "
+    "48 bits, SUM — commutative, so two tables match iff content "
+    "matches regardless of partitioning or row order. The cheap way to "
+    "answer 'did the migration/replica/engine produce the same table?' "
+    "without moving either side. Engine-portable by construction "
+    "(md5 + hex arithmetic), hence the exact DuckDB oracle.",
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sent = F.lit("<null>")
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), sent),
+        F.coalesce(F.col("o_orderstatus"), sent),
+        F.coalesce(F.col("o_orderpriority").cast("string"), sent),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return orders.agg(
+        F.sum(row_hash).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "snapshot_diff_summary",
     oracle="""
         WITH old AS (
