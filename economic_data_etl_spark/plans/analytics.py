@@ -325,8 +325,8 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_orderkey,
             l_linenumber,
             ROUND(5e-10 + ABS(l_discount - 0.05), 4)            AS abs_disc_diff,
-            CEIL(l_quantity)                            AS qty_ceil,
-            FLOOR(l_extendedprice / 100)                AS price_hundreds,
+            CAST(CEIL(l_quantity) AS BIGINT)            AS qty_ceil,
+            CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_hundreds,
             ROUND(5e-10 + SQRT(l_extendedprice), 4)             AS price_sqrt,
             ROUND(5e-10 + LN(l_extendedprice + 1), 4)           AS price_ln,
             ROUND(5e-10 + POWER(1 + l_tax, 2), 4)               AS tax_sq,

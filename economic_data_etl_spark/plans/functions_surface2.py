@@ -102,7 +102,7 @@ def scalar_string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey,
                CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH          AS plus_3mo,
-               last_day(CAST(o_orderdate AS DATE))                   AS month_end,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
                CAST(date_part('dow', o_orderdate) AS INT)            AS dow,
                CAST(date_part('doy', o_orderdate) AS INT)            AS doy,
                CAST(date_part('week', o_orderdate) AS INT)           AS iso_week,
@@ -120,7 +120,7 @@ def scalar_date_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
-            F.last_day(d).alias("month_end"),
+            F.last_day(d).cast("timestamp").alias("month_end"),
             # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
             (F.dayofweek(d) - 1).cast("int").alias("dow"),
             F.dayofyear(d).cast("int").alias("doy"),

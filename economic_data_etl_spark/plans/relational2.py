@@ -305,7 +305,7 @@ def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
             FROM orders GROUP BY 1
         )
-        SELECT d.day, COALESCE(p.n, 0) AS n_orders
+        SELECT CAST(d.day AS TIMESTAMP) AS day, COALESCE(p.n, 0) AS n_orders
         FROM days d LEFT JOIN per_day p ON d.day = p.day
         WHERE d.day < DATE '1995-04-01'
         ORDER BY d.day
@@ -327,8 +327,11 @@ def calendar_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         days.join(per_day, "day", "left")
-        .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
         .filter(F.col("day") < F.lit("1995-04-01").cast("date"))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
         .orderBy("day")
     )
 

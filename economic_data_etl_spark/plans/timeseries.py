@@ -63,7 +63,7 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_ohlc_daily",
     oracle="""
         SELECT user_id,
-               CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
                ROUND(5e-10 + arg_min(value, ts), 4)  AS open,
                ROUND(5e-10 + MAX(value), 4)          AS high,
                ROUND(5e-10 + MIN(value), 4)          AS low,
@@ -82,7 +82,7 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     return (
         ev.groupBy(
-            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+            "user_id", F.date_trunc("day", "ts").alias("day")
         )
         .agg(
             _r(F.min_by("value", "ts")).alias("open"),
@@ -99,7 +99,7 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_day_over_day_change",
     oracle="""
         WITH daily AS (
-            SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+            SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
                    SUM(value) AS day_total
             FROM events WHERE user_id <= 10
             GROUP BY 1, 2
@@ -119,7 +119,7 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum("value").alias("day_total"))
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("day_total").over(w)

@@ -1,0 +1,68 @@
+"""Pin pandas-level dtype parity between every Spark catalog query and its
+DuckDB oracle.
+
+The driver hashes results after a pandas conversion, so value-identical
+results can still hash-mismatch when dtypes drift: DuckDB types
+``SUM(CASE ... 1 ELSE 0 END)`` as HUGEINT (lands as float64), DuckDB DATE
+becomes datetime64 while a Spark DATE becomes object, and DuckDB
+CEIL/FLOOR return DOUBLE where Spark returns LONG. Round 1's only red row
+(q12_priority_by_lateness) was exactly this class. This test compares
+dtype KINDS (int/float/bool/datetime/object) per column across the whole
+oracle-backed catalog so the class can't regress.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from economic_data_etl_spark.plans import REGISTRY
+from economic_data_etl_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_BACKED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+
+
+def _kind(dtype) -> str:
+    k = dtype.kind  # i,u,f,b,M,m,O
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_oracle_dtype_kinds_match(spark, duck, name):
+    q = REGISTRY[name]
+    spdf = q.spark(spark, SF_DIR).toPandas()
+    dpdf = duck.execute(q.oracle).df()
+    s_kinds = {c.lower(): _kind(spdf[c].dtype) for c in spdf.columns}
+    d_kinds = {c.lower(): _kind(dpdf[c].dtype) for c in dpdf.columns}
+    assert set(s_kinds) == set(d_kinds), (
+        f"column mismatch: spark={sorted(s_kinds)} duck={sorted(d_kinds)}"
+    )
+    if len(spdf) == 0 and len(dpdf) == 0:
+        # pandas defaults every column of an empty frame to object; no
+        # values will be hashed, so kind drift is unobservable
+        return
+    diffs = {
+        c: (s_kinds[c], d_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != d_kinds[c]
+    }
+    assert not diffs, f"dtype-kind drift (spark, duck): {diffs}"
