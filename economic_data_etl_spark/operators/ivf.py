@@ -105,22 +105,35 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: score only the n_probe nearest clusters
-    per query. Queries are collected (a query batch is driver-size by
-    definition); probe lists are computed in numpy and broadcast."""
+    per query. Probe assignment stays distributed: each query scores the
+    k driver-constant centroids as a pure expression, sorts (−dot, id)
+    structs, and explodes the first n_probe — no shuffle, no query-side
+    collect, so a 10M-query offline batch runs without touching the
+    driver. Centroids are L2-normalized, so dot order == cosine order
+    regardless of query norm.
+
+    The broadcast hint fits interactive/moderate query batches; for an
+    offline batch too big to broadcast, drop the hint and salt the
+    cluster key (only k distinct values) before the shuffle join —
+    at warehouse scale the corpus is written partitioned by `cluster`,
+    so each probe reads only its clusters' files either way."""
     indexed = assign_clusters(corpus, centroids, vec_col)
 
-    q_rows = queries.select(query_id, vec_col).collect()
-    c = np.array(centroids, dtype=np.float64)
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        qv = qv / (np.linalg.norm(qv) or 1.0)
-        order = np.argsort(-(c @ qv))
-        for cl in order[:n_probe]:
-            probe_rows.append((r[0], int(cl), [float(x) for x in r[1]]))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id} long, cluster int, __qvec array<float>"
+    dots = [_dot_with_literal(F.col(vec_col), c) for c in centroids]
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-d).alias("neg_dot"), F.lit(i).cast("int").alias("cluster")
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    probes = queries.select(
+        query_id,
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.slice(ranked, 1, n_probe)["cluster"]).alias("cluster"),
     )
 
     joined = indexed.join(F.broadcast(probes), "cluster").filter(
