@@ -6,15 +6,15 @@ from __future__ import annotations
 
 import pytest
 
-from economic_data_etl_spark.operators.components import connected_components
+from economic_data_etl_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
 
 
-def _components(spark, edges, **kw):
+def _components(spark, edges, fn=connected_components, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    return {
-        r["node"]: r["component"]
-        for r in connected_components(df, **kw).collect()
-    }
+    return {r["node"]: r["component"] for r in fn(df, **kw).collect()}
 
 
 class TestConnectedComponents:
@@ -40,3 +40,33 @@ class TestConnectedComponents:
                 spark.createDataFrame(chain, "src long, dst long"),
                 max_iter=2,
             ).collect()
+
+
+class TestAlternatingStar:
+    def test_long_chain_within_log_bound(self, spark):
+        # 256-node path: diameter 255 would need 255 label-propagation
+        # rounds; alternating star must finish within ~2·log2(n) = 16
+        n = 256
+        chain = [(i, i + 1) for i in range(n - 1)]
+        got = _components(
+            spark, chain, fn=connected_components_star, max_iter=16
+        )
+        assert got == {i: 0 for i in range(n)}
+
+    def test_matches_label_propagation_on_mixed_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        ]
+        a = _components(spark, edges)
+        b = _components(spark, edges, fn=connected_components_star)
+        assert a == b
+
+    def test_self_loop_only_node_maps_to_itself(self, spark):
+        got = _components(
+            spark, [(7, 7), (1, 2)], fn=connected_components_star
+        )
+        assert got == {7: 7, 1: 1, 2: 1}
