@@ -112,6 +112,70 @@ def quality_score(text: Column) -> Column:
     return F.round(score + F.lit(5e-10), 4)
 
 
+def top_token_frac(text: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token.
+
+    A Gopher/MassiveText-style repetition signal: boilerplate and
+    keyword-stuffed documents concentrate mass on one token. Pure
+    expression — the per-distinct-token count is O(n·distinct) of O(1)
+    lambda-variable reads (both arrays are let-bound), which at document
+    scale (~1e2–1e4 tokens) stays far cheaper than an explode + shuffle
+    per document and keeps the filter embarrassingly parallel at 100 TB.
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        mx = let(
+            toks,
+            lambda t: F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda d: F.size(F.filter(t, lambda x: x == d)),
+                )
+            ),
+        )
+        return F.when(n > 0, mx / n).otherwise(F.lit(0.0))
+
+    return let(tokens(text), build)
+
+
+def dup_token_frac(text: Column) -> Column:
+    """Fraction of token instances that are repeats: 1 - distinct/total."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """ALL n-word grams in order (duplicates kept, unlike word_shingles).
+
+    Needed by repetition metrics, where the duplicate fraction IS the
+    signal. Docs shorter than n words yield one whole-doc gram.
+    """
+
+    def build(toks: Column) -> Column:
+        n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+
+    return let(tokens(text), build)
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram instances that are repeats of an earlier one."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Order-sensitive 64-bit document fingerprint (polynomial rolling hash
     over whitespace tokens, base 31, wrapping in signed 64-bit).
