@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -207,3 +208,62 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+BYTE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("n_distinct_bytes", IntegerType(), False),
+        StructField("entropy", DoubleType(), False),
+    ]
+)
+
+
+def byte_entropy_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload byte histogram stats via mapInArrow — the zero-copy
+    lane for binary columns.
+
+    mapInPandas materializes each binary cell as a Python bytes object
+    inside a pandas column; mapInArrow hands the raw Arrow buffers
+    straight to numpy (`np.frombuffer` is a view, not a copy), which is
+    the right default for payload-heavy media tables where the decode
+    input dominates the batch. Emits (id, byte_len, n_distinct_bytes,
+    shannon entropy in bits/byte) — the standard cheap screen for
+    corrupt/compressed/encrypted payloads before real decode."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            lens: list[int] = []
+            nds: list[int] = []
+            ents: list[float] = []
+            for buf in payloads:
+                a = np.frombuffer(buf.as_py() or b"", dtype=np.uint8)
+                if a.size == 0:
+                    lens.append(0)
+                    nds.append(0)
+                    ents.append(0.0)
+                    continue
+                cnt = np.bincount(a, minlength=256)
+                nz = cnt[cnt > 0]
+                p = nz / a.size
+                lens.append(int(a.size))
+                nds.append(int(nz.size))
+                ents.append(float(-(p * np.log2(p)).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(nds, pa.int32()),
+                    pa.array(ents, pa.float64()),
+                ],
+                names=["doc_id", "byte_len", "n_distinct_bytes", "entropy"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(stats, BYTE_STATS_SCHEMA)

@@ -20,6 +20,7 @@ from economic_data_etl_spark.plans import sketches  # noqa: E402,F401
 from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
+from economic_data_etl_spark.plans import graph  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface2  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface3  # noqa: E402,F401

@@ -64,3 +64,47 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle=r"""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, c, COUNT(*) AS n
+            FROM chars WHERE c <> '' GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY 1
+        )
+        SELECT cnt.doc_id,
+               CAST(MAX(t) AS BIGINT) AS byte_len,
+               CAST(COUNT(*) AS INT) AS n_distinct_bytes,
+               ROUND(5e-10 - SUM((n * 1.0 / t) * log2(n * 1.0 / t)), 4)
+                   AS entropy
+        FROM cnt JOIN tot USING (doc_id)
+        GROUP BY cnt.doc_id
+        ORDER BY cnt.doc_id
+    """,
+    doc="Payload byte-entropy screen via mapInArrow "
+    "(operators/multimodal.py byte_entropy_stats): raw Arrow buffers "
+    "viewed by numpy with no pandas materialization — the zero-copy "
+    "lane for binary media columns. The oracle histograms characters, "
+    "which equals bytes for this ASCII corpus (asserted by the "
+    "byte_len column doubling as an octet-length check).",
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.multimodal import (
+        byte_entropy_stats,
+    )
+    from economic_data_etl_spark.plans.catalog import biased_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = byte_entropy_stats(attach_binary_payload(docs))
+    return stats.select(
+        "doc_id",
+        "byte_len",
+        "n_distinct_bytes",
+        biased_round(F.col("entropy")).alias("entropy"),
+    ).orderBy("doc_id")

@@ -165,3 +165,111 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-aware linear interpolation (resample + interpolate).
+# --------------------------------------------------------------------------
+@register(
+    "ts_linear_interpolate",
+    oracle=r"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, AVG(value) AS v
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ), j AS (
+            SELECT s.event_type, s.hr, h.v
+            FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+        ), w AS (
+            SELECT event_type, hr, v,
+                   LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_h,
+                   FIRST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+            FROM j
+        )
+        SELECT event_type, hr,
+               CAST(v IS NOT NULL AS INT) AS observed,
+               ROUND(5e-10 + CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                       THEN prev_v + (next_v - prev_v)
+                            * (epoch(hr) - epoch(prev_h))
+                            / (epoch(next_h) - epoch(prev_h))
+                   ELSE COALESCE(prev_v, next_v) END, 4) AS value
+        FROM w
+        ORDER BY event_type, hr
+    """,
+    doc="Resample to an hourly grid and LINEARLY INTERPOLATE interior "
+    "gaps (edges forward/back-fill): per-type spine via "
+    "sequence()+explode (distributed, no driver-side date math), then "
+    "ONE window pass computing last/first non-null value AND its "
+    "timestamp; the interpolation weight is exact integer epoch "
+    "arithmetic. The time-series upgrade of ts_forward_fill for "
+    "economic series where holding the last value misstates trends.",
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    hr_obs = F.when(F.col("v").isNotNull(), F.col("hr"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_h = F.last(hr_obs, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_h = F.first(hr_obs, ignorenulls=True).over(w_next)
+    frac = (F.unix_timestamp("hr") - F.unix_timestamp(prev_h)) / (
+        F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return (
+        j.select(
+            "event_type",
+            "hr",
+            F.col("v").isNotNull().cast("int").alias("observed"),
+            biased_round(filled).alias("value"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -165,3 +165,81 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-ranked token-budget mixture.
+# --------------------------------------------------------------------------
+@register(
+    "dataset_token_budget_mix",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lang, text,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                       AS toks,
+                   ROUND(5e-10
+                       + 0.5 * (CASE WHEN len(w) > 0
+                                     THEN len(list_distinct(w)) * 1.0 / len(w)
+                                     ELSE 0.0 END)
+                       + 0.3 * LEAST(len(w) / 100.0, 1.0)
+                       + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                                           THEN length(regexp_replace(
+                                               text, '[a-zA-Z0-9\s]', '', 'g'))
+                                                * 1.0 / length(text)
+                                           ELSE 0.0 END), 4) AS q
+            FROM toks
+        ), c AS (
+            SELECT lang, doc_id, toks, q,
+                   SUM(toks) OVER (
+                       PARTITION BY lang ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM m
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+               MIN(q) AS min_quality_kept
+        FROM c
+        WHERE cum <= 2000
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Token-budget mixture construction: per language, take documents "
+    "best-quality-first until a 2000-BPE-token budget fills — greedy "
+    "curriculum selection as ONE window pass (cumulative token sum over "
+    "quality-ranked docs), no iteration and no driver loop. Ordering "
+    "ties break on doc_id and quality_score is already display-rounded, "
+    "so the cut point is engine-independent.",
+)
+def dataset_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from economic_data_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.bpe_token_count(F.col("text")).alias("toks"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum", F.sum("toks").over(w))
+        .filter(F.col("cum") <= 2000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("toks").alias("tokens_kept"),
+            F.min("q").alias("min_quality_kept"),
+        )
+        .orderBy("lang")
+    )
