@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_cluster_components",
     "text_quality_metrics",
+    "text_repetition_metrics",
+    "decontam_overlap_report",
+    "curation_funnel_summary",
+    "graph_pagerank_trade",
+    "ts_linear_interpolate",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
     "multimodal_decode_metadata",

@@ -3,10 +3,9 @@
 The second iterative graph operator next to connected components
 (operators/components.py) — same execution discipline:
 
-- Edges (+ out-degrees) are computed ONCE, repartitioned on the join key,
-  and persisted: every iteration joins ranks back to the same partitioned
-  edge table, so the per-round shuffle moves only the rank vector (one
-  double per node), never the edge list.
+- Edges are computed ONCE and persisted: every iteration joins ranks
+  back to the same cached edge table, so the per-round shuffle moves
+  only the rank vector (one double per node), never the edge list.
 - Ranks are localCheckpoint'ed each round to truncate lineage — an
   unbounded iteration count must not grow a plan tree (Catalyst analysis
   is quadratic-ish in depth).
@@ -34,15 +33,34 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank. Returns (node, rank) with sum(rank) ~= 1.
 
-    `edges` is directed; symmetrize before calling for undirected graphs.
-    Dangling nodes (no out-edges) receive rank but leak their mass — the
-    classic simplified formulation; callers needing mass conservation
-    should add self-loops.
+    `edges` is directed; symmetrize before calling for undirected graphs
+    and pass ``symmetric=True``: on a symmetrized graph every node has
+    both out- and in-edges, so the node set IS the degree table's key
+    set (no union-distinct over both endpoints) and every node receives
+    contributions (no per-round left join against the node set) — two
+    fewer shuffles per run and one fewer per round, same answer.
+
+    Dangling nodes (no out-edges, impossible when symmetric) receive
+    rank but leak their mass — the classic simplified formulation;
+    callers needing mass conservation should add self-loops.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Persist the raw edge table FIRST: it feeds the degree agg, the
+    # node set, and the per-iteration join — without the cache an
+    # expensive upstream edge derivation (e.g. a fact-fact join +
+    # distinct) re-executes once per consumer. Caching edges once is
+    # also the 100 TB play: it's the same table every iteration reads,
+    # so materialize it, don't re-derive it.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
+    # Materialize the cache with ONE pass before anything branches off
+    # it: partitions not yet cached when the first multi-branch job runs
+    # would re-execute the upstream derivation once per branch.
+    e.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Pre-partition on src: the per-round ranks join then lines up with
     # zero movement of the edge side.
@@ -51,12 +69,15 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    if symmetric:
+        nodes = deg.select(F.col("src").alias("node")).persist()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
     n = nodes.count()  # one scalar to the driver; sizes the teleport term
     base = (1.0 - damping) / n
 
@@ -68,15 +89,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+        if symmetric:
+            # every node has in-edges: contribs already covers the full
+            # node set, no re-join needed.
+            ranks = contribs.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("contrib")).alias(
+                    "rank"
+                ),
+            ).localCheckpoint(eager=False)
+        else:
+            ranks = (
+                nodes.join(
+                    contribs, nodes["node"] == contribs["dst"], "left"
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
     return ranks

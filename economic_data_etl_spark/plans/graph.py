@@ -90,20 +90,27 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Distinct on the INTEGER key pair first (cheaper hashing than the
+    # display strings), with the slim orders projection broadcast so the
+    # fact side never shuffles for the join; node labels are attached
+    # after dedup, on 2x fewer rows.
     base = (
-        orders.join(
-            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     edges = base.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
     n_nodes = ranks.agg(F.count(F.lit(1)).alias("n"))
     return (
         ranks.crossJoin(F.broadcast(n_nodes))

@@ -224,3 +224,119 @@ def decontam_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(
         train, bench, "doc_id", "text", n=3, min_overlap=3
     ).orderBy("train_id")
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation funnel.
+# --------------------------------------------------------------------------
+@register(
+    "curation_funnel_summary",
+    oracle=rf"""
+        WITH corpus AS (
+            SELECT * FROM documents WHERE source <> 'src0'
+        ), tokc AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM corpus
+        ), rep AS (
+            SELECT doc_id, text, len(w) AS n, len(list_distinct(w)) AS nd,
+                   list_max(list_transform(
+                       list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d)))) AS mx
+            FROM tokc
+        ), kept AS (
+            SELECT doc_id, text FROM rep
+            WHERE n > 0 AND mx * 1.0 / n <= {_TOP_TOKEN_MAX}
+              AND 1.0 - nd * 1.0 / n <= {_DUP_TOKEN_MAX}
+        ), surv AS (
+            SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text
+        ), ssh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(w) >= 3
+                            THEN list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                            ELSE [array_to_string(w, ' ')]
+                       END)) AS shingle
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS w
+                  FROM surv) t
+        ), bsh AS (
+            SELECT doc_id AS bench_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(w) >= 3
+                            THEN list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                            ELSE [array_to_string(w, ' ')]
+                       END)) AS shingle
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents WHERE source = 'src0') t
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT s.doc_id, b.bench_id
+                FROM ssh s JOIN bsh b USING (shingle)
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 3
+            )
+        ), final AS (
+            SELECT * FROM surv
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        SELECT * FROM (
+            SELECT 0 AS stage, 'raw' AS name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs
+            UNION ALL SELECT 1, 'quality',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM kept)
+            UNION ALL SELECT 2, 'exact_dedup',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+            UNION ALL SELECT 3, 'decontam',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM final)
+        )
+        ORDER BY stage
+    """,
+    doc="End-to-end curation funnel — the composed training-data pipeline "
+    "as ONE declarative plan: repetition-filter the training corpus "
+    "(source != src0), exact-dedup survivors (min doc_id per text), "
+    "then drop docs sharing >= 3 shingles with the benchmark set, "
+    "reporting per-stage document counts. Each stage reuses the "
+    "standalone operator (functions/text.py thresholds, hash-groupBy "
+    "dedup, operators/contamination.py broadcast decontam), so the "
+    "funnel is the integration check that the pieces compose.",
+)
+def curation_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    text = F.col("text")
+    kept = corpus.filter(
+        (T.token_count(text) > 0)
+        & (T.top_token_frac(text) <= _TOP_TOKEN_MAX)
+        & (T.dup_token_frac(text) <= _DUP_TOKEN_MAX)
+    )
+    surv = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    contaminated = contamination_report(
+        surv, bench, "doc_id", "text", n=3, min_overlap=3
+    ).select(F.col("train_id").alias("doc_id"))
+    final = surv.join(contaminated, "doc_id", "left_anti")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("name"), "n_docs"
+        )
+
+    return (
+        stage(0, "raw", corpus)
+        .union(stage(1, "quality", kept))
+        .union(stage(2, "exact_dedup", surv))
+        .union(stage(3, "decontam", final))
+        .orderBy("stage")
+    )
