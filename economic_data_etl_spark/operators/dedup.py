@@ -239,15 +239,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+    """(doc, band, bucket) rows: bucket = xxhash64(band slice, band idx).
 
-    Bucket key = xxhash64(band slice, band index); self-join on the bucket
-    — the join is on a 64-bit key, so only same-bucket docs ever meet.
-    """
-    banded = sig_df.select(
+    The shared banding step for self-join dedup AND incremental
+    batch-vs-index dedup — both sides of any candidate join must band
+    identically for buckets to collide."""
+    return sig_df.select(
         "doc",
         F.posexplode(
             F.transform(
@@ -258,6 +258,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    Bucket key = xxhash64(band slice, band index); self-join on the bucket
+    — the join is on a 64-bit key, so only same-bucket docs ever meet.
+    """
+    banded = band_buckets(sig_df, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -289,6 +300,68 @@ def minhash_dedup_pairs(
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(num_perm)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", biased_round(est))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_incremental_pairs(
+    index_sigs: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of an INCOMING batch against a precomputed corpus
+    signature index, plus pairs within the batch itself.
+
+    The daily-increment pattern for a 100 TB corpus: signatures for the
+    standing corpus are computed once and persisted (`index_sigs` is the
+    (doc, sig) table `minhash_signatures` produces — in production, read
+    back from the signature store, bucketed by band); each new batch
+    only signs ITS OWN documents, bands them, and joins against the
+    index's buckets. Corpus text is never re-read, and the join touches
+    only colliding buckets. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, est_jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    inc_sigs = minhash_signatures(
+        incoming, id_col, text_col, num_perm, shingle_n
+    ).persist()
+    all_sigs = index_sigs.unionByName(inc_sigs)
+    inc_b = band_buckets(inc_sigs, bands, rows_per_band)
+    all_b = band_buckets(all_sigs, bands, rows_per_band)
+    a, b = inc_b.alias("a"), all_b.alias("b")
+    # incoming vs (index + incoming): doc-id inequality both dedups the
+    # (x,x) self-match and canonicalizes within-batch pairs to a < b;
+    # cross pairs keep incoming on the left.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq

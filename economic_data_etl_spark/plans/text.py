@@ -415,3 +415,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=None,
+    doc="Incremental near-dedup of an arriving batch (source = src10) "
+    "against the standing corpus's PRECOMPUTED MinHash signature index "
+    "(operators/dedup.py:minhash_incremental_pairs): only the batch is "
+    "signed, the corpus text is never re-read, and the banded join "
+    "touches only colliding buckets — the daily-crawl-increment "
+    "pattern at 100 TB. Rows-only check (hash family not SQL-"
+    "portable); equivalence with full-corpus LSH on pairs touching "
+    "the batch is pinned in tests/test_dedup_quality.py.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.col("source") != "src10")
+    incoming = docs.filter(F.col("source") == "src10")
+    index_sigs = dedup.minhash_signatures(
+        standing, "doc_id", "text", num_perm=32, shingle_n=3
+    )
+    return dedup.minhash_incremental_pairs(
+        index_sigs, incoming, "doc_id", "text",
+        num_perm=32, bands=8, threshold=0.5,
+    ).orderBy("id_a", "id_b")

@@ -178,3 +178,27 @@ def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=None,
+    doc="Approximate top-10 via a trained IVF index (operators/ivf.py): "
+    "8 Lloyd-trained centroids, 3-cluster probes. Training collects "
+    "only k x dim floats; probe assignment is a pure expression over "
+    "driver-constant centroids (no query-side collect); the probe join "
+    "scans ~n_probe/k of the corpus. Deterministic (seeded from the "
+    "first k vectors by id), rows-only check; recall >= 0.9 vs the "
+    "exact baseline is pinned in tests/test_ann.py.",
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    centroids = ivf.train_ivf(emb, k=8, iters=2)
+    return ivf.ivf_topk(
+        emb, queries, centroids, k=_K, n_probe=3
+    ).orderBy("q_id", "rank")

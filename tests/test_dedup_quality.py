@@ -134,3 +134,40 @@ class TestSimhashAgreesWithJaccard:
                 .count()
             )
             assert mismatches == 0
+
+
+def test_incremental_minhash_matches_full_rebuild(spark, sf_dir):
+    """Pairs touching the incoming batch must be identical whether the
+    corpus is deduped wholesale or the batch is joined against the
+    standing signature index."""
+    from pyspark.sql import functions as F
+
+    from economic_data_etl_spark.operators import dedup
+    from economic_data_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.col("source") != "src10")
+    incoming = docs.filter(F.col("source") == "src10")
+    inc_ids = {r[0] for r in incoming.select("doc_id").collect()}
+
+    full = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    ).collect()
+    want = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in full
+        if r["id_a"] in inc_ids or r["id_b"] in inc_ids
+    }
+
+    index_sigs = dedup.minhash_signatures(
+        standing, "doc_id", "text", num_perm=32, shingle_n=3
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dedup.minhash_incremental_pairs(
+            index_sigs, incoming, "doc_id", "text",
+            num_perm=32, bands=8, threshold=0.5,
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one batch-touching pair"
