@@ -12,6 +12,7 @@ measure the test-data generator, not the engine).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -73,7 +74,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         # Dedup operators persist() shared scans; drop them so later
         # queries aren't timed under earlier queries' storage pressure.
+        # localCheckpoint RDDs (components/pagerank rounds) are pinned
+        # until their Python DataFrames are collected — gc.collect()
+        # lets the ContextCleaner unpersist them between queries.
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
