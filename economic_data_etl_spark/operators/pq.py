@@ -1,0 +1,231 @@
+"""Product-quantization (PQ) approximate nearest neighbor.
+
+The compressed-index leg of the ANN stack (stateless SRP-LSH in
+operators/similarity.py, coarse-cluster IVF in operators/ivf.py): each
+corpus vector is stored as m sub-space codebook ids — m bytes instead of
+dim floats (32x smaller at dim=64, m=8, k<=256) — and queries score codes
+through a per-query lookup table (ADC, asymmetric distance computation).
+
+Scale split, explicit:
+
+- **Training is a constant-size problem**: PQ codebooks are fit on a
+  bounded sample (industry practice is ~100k vectors no matter the
+  corpus size), so the Lloyd loop runs on the driver in numpy over a
+  deterministic `orderBy(id).limit(sample_n)` sample. Nothing here
+  grows with the corpus.
+- **Encoding and scoring are corpus-size**: both run as pure JVM
+  expressions. Encoding = per-subspace argmax of (x_s·c - |c|²/2) over
+  literal codebooks; scoring = ONE 128-float LUT built per query row,
+  then each (query, code) pair costs m array lookups + adds instead of
+  a dim-wide dot product — the whole point of ADC.
+
+No reference counterpart; extends the engine's ANN surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.topk import grouped_top_k
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> list[list[list[float]]]:
+    """codebooks[s][c] = centroid c of subspace s. Deterministic: the
+    sample is the first `sample_n` vectors by id, init is the sample's
+    first k subvectors, and numpy reductions are fixed-order."""
+    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    codebooks = []
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        codebooks.append(C.tolist())
+    return codebooks
+
+
+def _sub_dot(vec: Column, s: int, d_sub: int, centroid: list[float]) -> Column:
+    sub = F.slice(vec.cast("array<double>"), s * d_sub + 1, d_sub)
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `codes` (array<int>, one id per subspace) and `recon_norm`
+    (L2 norm of the reconstruction, read off the codes — no second pass
+    over the vector)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    code_cols = []
+    norm2_terms = []
+    for s, book in enumerate(codebooks):
+        # argmin ||x_s - c||^2 == argmax (x_s·c - |c|^2/2)
+        scores = F.array(
+            *[
+                _sub_dot(F.col(vec_col), s, d_sub, c)
+                - F.lit(0.5 * float(np.dot(c, c)))
+                for c in book
+            ]
+        )
+        code = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        code_cols.append(code)
+        norm2_lut = F.array(
+            *[F.lit(float(np.dot(c, c))) for c in book]
+        )
+        norm2_terms.append(norm2_lut)
+    out = df.withColumn("codes", F.array(*code_cols))
+    norm2 = None
+    for s, lut in enumerate(norm2_terms):
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        norm2 = term if norm2 is None else norm2 + term
+    return out.withColumn("recon_norm", F.sqrt(norm2))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via ADC over PQ codes.
+
+    score(q, x) ~= dot(q, reconstruct(codes)) / (|q| * recon_norm);
+    dot(q, x̂) = sum_s LUT_q[s*k + codes[s]] where LUT_q holds the m×k
+    sub-dots of THIS query against every codebook centroid — built once
+    per query row, so the per-pair cost is m lookups, not a dim-wide
+    dot. Queries are broadcast (they're the small side); the encoded
+    corpus streams through unshuffled."""
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    encoded = pq_encode(corpus, codebooks, vec_col).select(
+        corpus_id, "codes", "recon_norm"
+    )
+    lut = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_dot(F.col(vec_col), s, d_sub, c)
+                        for c in codebooks[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    q_norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    q = queries.select(
+        query_id, lut.alias("__lut"), q_norm.alias("__qnorm")
+    )
+    # per-pair ADC: sum over subspaces of LUT[s*kc + code_s]
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at("__lut", s * kc + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__qnorm") * F.col("recon_norm")
+    scored = (
+        encoded.join(F.broadcast(q), F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(
+                F.when(denom != 0.0, approx_dot / denom) + F.lit(5e-10), 4
+            ).alias("score"),
+        )
+    )
+    return grouped_top_k(
+        scored, [query_id], [F.desc("score"), F.asc(corpus_id)], k,
+        rank_col="rank",
+    ).select(query_id, corpus_id, "score", "rank")
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard production PQ shape.
+
+    Stage 1 scans the compressed codes (m bytes/vector) and keeps a
+    `shortlist` per query; stage 2 fetches full vectors for ONLY those
+    shortlist rows and re-scores exactly. At 100 TB the full-precision
+    table is touched for shortlist×queries rows instead of the whole
+    corpus — the compressed scan does the winnowing. Deterministic ties
+    (score desc, id asc) at both stages."""
+    from economic_data_etl_spark.functions.vectors import cosine_similarity
+
+    short = pq_topk(
+        corpus, queries, codebooks, k=shortlist,
+        corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
+    ).select(query_id, corpus_id)
+    qv = queries.select(
+        query_id, F.col(vec_col).alias("__qvec")
+    )
+    rescored = (
+        short.join(corpus.select(corpus_id, vec_col), corpus_id)
+        .join(F.broadcast(qv), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qvec"))
+                + F.lit(5e-10),
+                4,
+            ).alias("score"),
+        )
+    )
+    return grouped_top_k(
+        rescored, [query_id], [F.desc("score"), F.asc(corpus_id)], k,
+        rank_col="rank",
+    ).select(query_id, corpus_id, "score", "rank")

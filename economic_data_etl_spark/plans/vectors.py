@@ -202,3 +202,27 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_topk(
         emb, queries, centroids, k=_K, n_probe=3
     ).orderBy("q_id", "rank")
+
+
+@register(
+    "ann_cosine_topk_pq",
+    oracle=None,
+    doc="Approximate top-10 via product quantization + exact re-rank "
+    "(operators/pq.py): 8 subspaces x 32 centroids trained on a "
+    "constant-size driver sample, corpus stored as 8 codes/vector "
+    "(32x compression), ADC scoring through a per-query LUT, then an "
+    "exact cosine re-rank of the 100-row shortlist. Deterministic "
+    "(fixed sample, init, tie order); rows-only check; recall >= 0.9 "
+    "vs exact pinned in tests/test_ann.py.",
+)
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    books = pq.train_pq(emb, m=8, k=32, iters=5)
+    return pq.pq_topk_rerank(
+        emb, queries, books, k=_K, shortlist=100
+    ).orderBy("q_id", "rank")

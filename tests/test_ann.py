@@ -83,3 +83,26 @@ class TestAnnRecall:
         c1 = ivf.train_ivf(corpus, k=4, iters=1)
         c2 = ivf.train_ivf(corpus, k=4, iters=1)
         assert c1 == c2
+
+
+class TestPQ:
+    def test_pq_rerank_recall(self, spark, corpus, queries, exact_topk):
+        from economic_data_etl_spark.operators import pq
+
+        books = pq.train_pq(corpus, m=8, k=32, iters=5)
+        rows = pq.pq_topk_rerank(
+            corpus, queries, books, k=10, shortlist=100
+        ).collect()
+        assert _recall(rows, exact_topk) >= 0.9
+
+    def test_pq_codes_shape_and_determinism(self, spark, corpus):
+        from economic_data_etl_spark.operators import pq
+
+        b1 = pq.train_pq(corpus, m=8, k=16, iters=2)
+        b2 = pq.train_pq(corpus, m=8, k=16, iters=2)
+        assert b1 == b2  # deterministic sample + init + reductions
+        enc = pq.pq_encode(corpus, b1).select("vec_id", "codes", "recon_norm")
+        rows = enc.collect()
+        assert all(len(r["codes"]) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["codes"])
+        assert all(r["recon_norm"] > 0 for r in rows)
