@@ -90,3 +90,57 @@ def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source, word
         """
     )
+
+
+_BFS_BODY = """
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM {orders} JOIN {lineitem} ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT 'c:' || CAST(c AS {str_t}) AS src,
+               's:' || CAST(s AS {str_t}) AS dst
+        FROM base
+        UNION ALL
+        SELECT 's:' || CAST(s AS {str_t}), 'c:' || CAST(c AS {str_t})
+        FROM base
+    ), reach(node, hop) AS (
+        SELECT 'c:' || CAST(c_custkey AS {str_t}), 0
+        FROM {customer} WHERE c_custkey <= 3
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 3
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node) t
+    GROUP BY hop
+    ORDER BY hop
+"""
+
+
+@register(
+    "sql_recursive_bfs",
+    oracle=_BFS_BODY.format(
+        orders="orders", lineitem="lineitem", customer="customer",
+        str_t="VARCHAR",
+    ),
+    doc="SQL front door: WITH RECURSIVE (Spark 4.x) breadth-first "
+    "reachability over the customer↔supplier trade graph — nodes within "
+    "3 hops of customers 1-3, counted at their MINIMUM hop distance. "
+    "UNION ALL recursion with an explicit depth guard terminates on the "
+    "cyclic (undirected) graph; the identical SQL text runs on DuckDB "
+    "as the oracle. Complements the DataFrame-API iteration operators "
+    "(components, pagerank) with the declarative-recursion surface.",
+)
+def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "__sql_r_orders")
+    _view(spark, sf_dir, "lineitem", "__sql_r_lineitem")
+    _view(spark, sf_dir, "customer", "__sql_r_customer")
+    return spark.sql(
+        _BFS_BODY.format(
+            orders="__sql_r_orders",
+            lineitem="__sql_r_lineitem",
+            customer="__sql_r_customer",
+            str_t="STRING",
+        )
+    )
