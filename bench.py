@@ -8,17 +8,24 @@ jaccard, MinHash-LSH, SimHash, SRP-LSH). The quadratic-by-construction
 pairwise baselines (embedding_near_dup_pairs) are correctness features,
 not throughput paths, and stay out of the headline wall clock (they'd
 measure the test-data generator, not the engine).
+
+Isolation: EACH query runs in its own subprocess with a fresh
+SparkSession/JVM. Round 2 showed shared-session timings are untrustworthy:
+the iterative operators (components, pagerank) pin localCheckpoint RDDs
+that `clearCache()` + `gc.collect()` do not free promptly, and every later
+query was timed under that storage/GC pressure (`dedup_cluster_components`
+159 s shared vs 7.6 s clean). Per-query processes make each number the
+clean standalone time; JVM startup and a warm-up query run before the
+timer starts, so neither is measured.
 """
 
 from __future__ import annotations
 
-import gc
 import json
 import os
+import subprocess
+import sys
 import time
-
-from economic_data_etl_spark.plans import REGISTRY
-from economic_data_etl_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -56,31 +63,80 @@ HEADLINE = [
     "histogram_order_totalprice",
 ]
 
+# Several light queries share one subprocess to amortize JVM startup; each
+# heavy/iterative query gets a process to itself so nothing it pins can
+# leak into another query's timer. A query is "heavy" if it persists,
+# localCheckpoints, or loops (dedup clustering, pagerank, LSH families).
+ISOLATED = {
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "decontam_overlap_report",
+    "curation_funnel_summary",
+    "graph_pagerank_trade",
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_lsh",
+}
+
+
+def run_batch(names: list[str], sf_dir: str) -> None:
+    """Child entry: time each query in a fresh session, one JSON line per
+    query on stdout (Spark logs go to stderr)."""
+    from economic_data_etl_spark.plans import REGISTRY
+    from economic_data_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="engine-bench-worker")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM + parquet footers so the timer sees queries, not startup.
+    REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
+    for name in names:
+        start = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).collect()
+        elapsed = round(time.perf_counter() - start, 3)
+        print(json.dumps({"name": name, "sec": elapsed}), flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="engine-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so we measure queries, not startup.
-    REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
+    # Partition the headline list into subprocess batches, preserving
+    # order: contiguous runs of light queries share a process; each
+    # ISOLATED query is its own batch.
+    batches: list[list[str]] = []
+    for name in HEADLINE:
+        if name in ISOLATED or not batches or batches[-1][-1] in ISOLATED:
+            batches.append([name])
+        else:
+            batches[-1].append(name)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        start = time.perf_counter()
-        q.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-        # Dedup operators persist() shared scans; drop them so later
-        # queries aren't timed under earlier queries' storage pressure.
-        # localCheckpoint RDDs (components/pagerank rounds) are pinned
-        # until their Python DataFrames are collected — gc.collect()
-        # lets the ContextCleaner unpersist them between queries.
-        spark.catalog.clearCache()
-        gc.collect()
+    for batch in batches:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--batch", *batch],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=os.environ,
+        )
+        if proc.returncode != 0:
+            for name in batch:
+                timings.setdefault(name, -1.0)
+            print(
+                f"bench batch {batch} failed:\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            timings[rec["name"]] = rec["sec"]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t > 0), 3)
     print(
         json.dumps(
             {
@@ -92,8 +148,13 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--batch":
+        run_batch(
+            sys.argv[2:],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from economic_data_etl_spark.functions.casts import ts_diff_seconds
 from economic_data_etl_spark.operators.asof import asof_join
 from economic_data_etl_spark.operators.sessionize import sessionize
 from economic_data_etl_spark.plans.catalog import biased_round, register
@@ -258,8 +259,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Two-step funnel: users whose first purchase follows their first "
     "signup within 7 days, plus mean hours-to-convert. Two small aggs + "
     "one join keyed on user_id — no event-sequence explosion. Elapsed "
-    "time via timestamp→double (µs-exact in both engines; "
-    "unix_timestamp would truncate sub-second parts differently).",
+    "time via timestampdiff(MICROSECOND) (NTZ-safe under Spark 4.1, "
+    "µs-exact in both engines; unix_timestamp would truncate sub-second "
+    "parts differently).",
 )
 def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -279,10 +281,7 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_purchase")
         <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
     )
-    hours = (
-        F.col("first_purchase").cast("double")
-        - F.col("signup_ts").cast("double")
-    ) / 3600.0
+    hours = ts_diff_seconds("signup_ts", "first_purchase") / 3600.0
     return (
         s.join(p, "user_id", "left")
         .select("signup_ts", "first_purchase", converted.alias("converted"))
@@ -330,13 +329,9 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
-    offset = (
-        (
-            F.col("active_week").cast("double")
-            - F.col("cohort_week").cast("double")
-        )
-        / 604800
-    ).cast("long")
+    offset = (ts_diff_seconds("cohort_week", "active_week") / 604800).cast(
+        "long"
+    )
     return (
         firsts.join(activity, "user_id")
         .groupBy("cohort_week", offset.alias("week_offset"))

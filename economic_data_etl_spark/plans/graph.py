@@ -107,9 +107,18 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
     )
+    # Symmetrize in-stage with explode: a union of two selects over the
+    # (uncached) pair derivation would execute the join+distinct TWICE —
+    # explode doubles rows inside the same stage, one execution, no
+    # extra shuffle.
     edges = base.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
     n_nodes = ranks.agg(F.count(F.lit(1)).alias("n"))
     return (

@@ -107,7 +107,7 @@ _BFS_BODY = """
         SELECT 'c:' || CAST(c_custkey AS {str_t}), 0
         FROM {customer} WHERE c_custkey <= 3
         UNION ALL
-        SELECT e.dst, r.hop + 1
+        SELECT DISTINCT e.dst, r.hop + 1
         FROM reach r JOIN edges e ON e.src = r.node
         WHERE r.hop < 3
     )
@@ -127,10 +127,14 @@ _BFS_BODY = """
     doc="SQL front door: WITH RECURSIVE (Spark 4.x) breadth-first "
     "reachability over the customer↔supplier trade graph — nodes within "
     "3 hops of customers 1-3, counted at their MINIMUM hop distance. "
-    "UNION ALL recursion with an explicit depth guard terminates on the "
-    "cyclic (undirected) graph; the identical SQL text runs on DuckDB "
-    "as the oracle. Complements the DataFrame-API iteration operators "
-    "(components, pagerank) with the declarative-recursion surface.",
+    "The recursive step is SELECT DISTINCT, so each level is a node-SET "
+    "(≤|V| rows), not a path multiset — without it the dense bipartite "
+    "graph enumerates paths and blows the 1M-row recursion limit at "
+    "sf0.01 (UNION-distinct recursion would be equivalent but Spark 4.1 "
+    "rejects it: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). Depth guard "
+    "terminates the cyclic (undirected) walk; the identical SQL text "
+    "runs on DuckDB as the oracle. Complements the DataFrame-API "
+    "iteration operators (components, pagerank).",
 )
 def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders", "__sql_r_orders")

@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_event_time(df: DataFrame, ts: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time zone).
+
+    Spark 4.1 rejects `withWatermark` on TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE): watermarks compare instants,
+    and an NTZ value names a wall-clock, not an instant. The parquet
+    fixtures carry NTZ, so every streaming operator pins the event-time
+    column to TIMESTAMP first — a no-op when the source already provides
+    instants.
+    """
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(df.schema[ts].dataType, TimestampType):
+        return df
+    return df.withColumn(ts, F.col(ts).cast("timestamp"))
+
+
 def events_stream(spark, source_dir: str, schema, ts_col: str = "ts") -> DataFrame:
     """File-source stream over a directory of parquet drops.
 
@@ -41,7 +58,8 @@ def tumbling_window_agg(
     """Windowed count+sum with a watermark bounding state for late data."""
     extra = group_extra or []
     return (
-        stream.withWatermark(ts, watermark)
+        _as_event_time(stream, ts)
+        .withWatermark(ts, watermark)
         .groupBy(F.window(ts, window).alias("w"), *extra)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -59,7 +77,8 @@ def sliding_window_agg(
     watermark: str = "2 hours",
 ) -> DataFrame:
     return (
-        stream.withWatermark(ts, watermark)
+        _as_event_time(stream, ts)
+        .withWatermark(ts, watermark)
         .groupBy(F.window(ts, window, slide).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
@@ -79,7 +98,8 @@ def session_window_agg(
     extends while consecutive events are within `gap`.
     """
     return (
-        stream.withWatermark(ts, watermark)
+        _as_event_time(stream, ts)
+        .withWatermark(ts, watermark)
         .groupBy(F.session_window(ts, gap).alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -111,8 +131,10 @@ def streaming_dedup(
     kind an at-least-once upstream produces) is still suppressed. The
     batch twin is operators/dedup.py:exact_dedup.
     """
-    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
-        keys
+    return (
+        _as_event_time(stream, ts)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(keys)
     )
 
 
@@ -133,8 +155,8 @@ def stream_stream_interval_join(
     interval bound, stream-stream join state grows forever. The canonical
     funnel shape: purchases joined to the views that preceded them.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (l[key] == r[key])
         & (r[right_ts] <= l[left_ts])

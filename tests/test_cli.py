@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -30,7 +31,11 @@ class TestOfflineCli:
             ],
             capture_output=True,
             text=True,
-            timeout=300,
+            timeout=600,
+            # The replay is 9 rows; a 4-thread child JVM avoids fighting the
+            # test session's local[32] JVM for cores (the 300 s timeouts were
+            # pure scheduler contention, not work).
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
 

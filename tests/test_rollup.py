@@ -18,7 +18,7 @@ class TestContinuousAggregate:
     def test_incremental_equals_full_recompute(self, spark, tmp_path):
         ev = load_table(spark, SF_DIR, "events")
         cut = ev.agg(
-            F.expr("percentile(cast(ts as double), 0.6)").alias("c")
+            F.expr("percentile(" + "unix_micros(cast(ts as timestamp)) / 1e6" + ", 0.6)").alias("c")
         ).collect()[0]["c"]
         cutoff = F.timestamp_seconds(F.lit(cut))
         first = ev.filter(F.col("ts") < cutoff)
