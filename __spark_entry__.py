@@ -27,20 +27,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].spark(spark, SF0001_DIR)
 
 
-def _already_sampled() -> frozenset[str]:
-    """Query names with a driver CORRECTNESS row from any prior round."""
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+def _driver_status() -> dict[str, bool]:
+    """name -> latest driver verdict (True = green) across all prior
+    CORRECTNESS_r*.json rounds; absent = never sampled."""
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return frozenset(seen)
+        for name, row in rows.items():
+            if row.get("err") == "no_oracle":
+                # rows-only by design: the driver ran the query and saw
+                # rows — that's the strongest row this class can get.
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = bool(row.get("rows_match")) and row.get("err") is None
+                # any explicit False on schema/hash is a failure.
+                for k in ("schema_match", "hash_match"):
+                    if row.get(k) is False:
+                        ok = False
+            status[name] = ok
+    return status
 
 
 def _rotation_order() -> list[str]:
-    """All registered queries, never-driver-sampled first.
+    """All registered queries: never-driver-sampled first, then queries
+    whose LATEST driver row failed (err / hash-mismatch — a fix needs a
+    fresh row to prove itself), then the green tail.
 
     The driver checks a ~50-query prefix of `queries()` per round, so a
     fixed order would leave the same tail unverified forever. Fresh
@@ -49,8 +64,8 @@ def _rotation_order() -> list[str]:
     go last (they keep their local oracle tests either way).
     """
     names = list(REGISTRY)
-    sampled = _already_sampled()
-    fresh = [n for n in names if n not in sampled]
+    status = _driver_status()
+    fresh = [n for n in names if n not in status]
     groups: dict[str, list[str]] = {}
     for n in fresh:
         groups.setdefault(n.split("_", 1)[0], []).append(n)
@@ -60,7 +75,8 @@ def _rotation_order() -> list[str]:
         for b in buckets:
             if b:
                 order.append(b.pop(0))
-    order.extend(n for n in names if n in sampled)
+    order.extend(n for n in names if status.get(n) is False)
+    order.extend(n for n in names if status.get(n) is True)
     return order
 
 
