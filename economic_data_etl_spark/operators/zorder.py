@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from economic_data_etl_spark.functions.casts import ts_epoch_seconds
+
 
 def _bucketize(df: DataFrame, cols: Sequence[str], bits: int) -> DataFrame:
     """Add __bkt_<col> (long in [0, 2^bits)) per clustered column."""
@@ -46,12 +48,16 @@ def _bucketize(df: DataFrame, cols: Sequence[str], bits: int) -> DataFrame:
     for c in cols:
         dcol = f"__dbl_{c}"
         # Timestamps/dates → epoch seconds; everything else → double.
+        # timestamp_ntz must route through ts_epoch_seconds: Spark 4.1
+        # forbids casting NTZ to double, and unix_timestamp doesn't
+        # accept NTZ either.
         field = dict(df.dtypes)[c]
-        src = (
-            F.unix_timestamp(F.col(c)).cast("double")
-            if field in ("timestamp", "date")
-            else F.col(c).cast("double")
-        )
+        if field in ("timestamp", "timestamp_ntz"):
+            src = ts_epoch_seconds(F.col(c))
+        elif field == "date":
+            src = F.unix_timestamp(F.col(c)).cast("double")
+        else:
+            src = F.col(c).cast("double")
         df = df.withColumn(dcol, src)
         bounds = df.stat.approxQuantile(dcol, probs, 0.001)
         # Dedup (constant-ish columns repeat boundaries) and wrap ±inf.

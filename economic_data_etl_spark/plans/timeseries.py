@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from economic_data_etl_spark.functions.casts import ts_diff_seconds
 from economic_data_etl_spark.plans.catalog import biased_round, register
 from economic_data_etl_spark.sources.tables import load_table
 
@@ -253,8 +254,8 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_h = F.last(hr_obs, ignorenulls=True).over(w_prev)
     next_v = F.first("v", ignorenulls=True).over(w_next)
     next_h = F.first(hr_obs, ignorenulls=True).over(w_next)
-    frac = (F.unix_timestamp("hr") - F.unix_timestamp(prev_h)) / (
-        F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    frac = ts_diff_seconds(prev_h, F.col("hr")) / ts_diff_seconds(
+        prev_h, next_h
     )
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))

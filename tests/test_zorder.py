@@ -60,3 +60,12 @@ class TestZOrder:
         # the claim that actually matters, and it is not borderline
         # (≈0.3 vs ≈1.0).
         assert max(z_frac) < 0.75 * max(lin_frac)
+
+    def test_zkey_on_timestamp_ntz_column(self, spark, sf_dir):
+        # Spark 4.1 forbids TIMESTAMP_NTZ → DOUBLE casts; the bucketizer
+        # must route NTZ through ts_epoch_seconds (regression: the old
+        # dtype dispatch only knew "timestamp" and fell into cast).
+        ev = load_table(spark, sf_dir, "events").limit(2000)
+        assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+        keyed = with_zorder_key(ev, ["ts", "user_id"], bits=4)
+        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
