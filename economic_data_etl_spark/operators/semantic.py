@@ -1,0 +1,199 @@
+"""Semantic (embedding-space) near-duplicate removal — SemDeDup-style.
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): cluster the corpus embeddings
+with k-means, then look for near-duplicate pairs ONLY within each
+cluster — pairwise cost drops from O(n²) to O(p²·n²/k) for p probes over
+k clusters, and each cluster's pair generation is an independent,
+shuffle-local self-join.
+
+Execution shape (the 100 TB story):
+
+- Centroids are driver constants: either the first k vectors by id
+  (`iters=0`, exact-SQL-reproducible) or Lloyd-refined via
+  operators/ivf.train_ivf (`iters>0`); only k×dim floats ever touch the
+  driver, regardless of corpus size.
+- Cluster assignment is a pure expression — sort k cosine similarities
+  against centroid literals, keep the top `probes`. Cosine is
+  norm-invariant in the centroid, so no normalization step is needed,
+  which keeps the assignment bit-identical to a SQL oracle computing
+  the same sequential-order cosines.
+- Multi-probe (probes>1) is the recall lever: a near-dup pair is found
+  if the two vectors share ANY of their top-p clusters. Measured on the
+  synthetic embeddings at τ=0.4 (weak pairs — the hard case): p=1
+  recall 0.29, p=3 recall 0.92. Cost scales p²/k relative to brute
+  force, so at corpus scale pick k ≫ p² (k ~ √n in the paper's regime)
+  and the self-join stays cheap.
+- The within-cluster self-join shuffles the corpus ONCE on the cluster
+  key; at warehouse scale the corpus would be written partitioned by
+  `cluster`, making the self-join co-located reads.
+- The drop rule is deterministic: in every near-dup pair (a, b) with
+  a < b, the higher id `b` is dropped — the same greedy rule the
+  MinHash/LSH dedup family uses, so verdicts are comparable across
+  dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.functions.vectors import cosine_similarity
+from economic_data_etl_spark.operators.ivf import train_ivf
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _ranked_clusters(
+    vec: Column, centroids: list[list[float]]
+) -> Column:
+    """Array of cluster ids sorted by cosine desc, ties to lowest id."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-cosine_similarity(vec, _lit_vec(c))).alias("neg"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cid"]
+
+
+def assign_clusters_cosine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """probes=1: add `cluster` = argmax cosine (one row per input row).
+    probes>1: explode the top-p clusters (p rows per input row).
+    Pure expressions — no shuffle, no Python."""
+    ranked = _ranked_clusters(F.col(vec_col), centroids)
+    if probes == 1:
+        return df.withColumn("cluster", ranked[0])
+    return df.withColumn(
+        "cluster", F.explode(F.slice(ranked, 1, probes))
+    )
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """First k vectors by id, raw (unnormalized) — the deterministic,
+    SQL-reproducible centroid choice. k×dim floats to the driver."""
+    rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    return [list(r[0]) for r in rows]
+
+
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b for pairs sharing at least one of
+    their top-`probes` clusters and cosine >= threshold. Distinct —
+    a pair colliding in two probed clusters appears once. Pairs whose
+    probe sets are disjoint are never generated — the approximation
+    being traded for the O(n²) savings (recall pinned in tests).
+    """
+    assigned = assign_clusters_cosine(
+        corpus, centroids, vec_col, probes
+    ).select(
+        "cluster", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    a = assigned.select(
+        "cluster", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        "cluster", F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("__va"), F.col("__vb"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _centroids(
+    corpus: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    if iters == 0:
+        return seed_centroids(corpus, k, id_col, vec_col)
+    return train_ivf(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dedup_summary(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 0,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 3,
+) -> DataFrame:
+    """Per-cluster dedup report: (cluster, n_vectors, n_dropped).
+
+    Sizes count PRIMARY (top-1) assignments, so Σ n_vectors = |corpus|
+    regardless of probes; a dropped vector (the higher id of ≥1 pair)
+    is attributed to its primary cluster.
+    """
+    centroids = _centroids(corpus, k, iters, id_col, vec_col)
+    primary = assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
+    pairs = semantic_near_dup_pairs(
+        corpus, centroids, threshold, id_col, vec_col, probes
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .join(primary.select(id_col, "cluster"), id_col)
+    )
+    sizes = primary.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    drops = dropped.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    return (
+        sizes.join(drops, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 3,
+) -> DataFrame:
+    """The surviving corpus: input rows minus dropped near-dup twins."""
+    centroids = _centroids(corpus, k, iters, id_col, vec_col)
+    pairs = semantic_near_dup_pairs(
+        corpus, centroids, threshold, id_col, vec_col, probes
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")

@@ -19,6 +19,7 @@ from economic_data_etl_spark.plans import scd2  # noqa: E402,F401
 from economic_data_etl_spark.plans import sketches  # noqa: E402,F401
 from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
+from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface  # noqa: E402,F401

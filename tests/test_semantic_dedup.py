@@ -1,0 +1,90 @@
+"""SemDeDup semantic dedup: the approximation is measured, not assumed.
+
+The operator only generates pairs WITHIN a cluster; the quality claim is
+that near-dup pairs (high cosine) rarely straddle cluster boundaries.
+Pin recall against the exact O(n²) pairwise baseline, and check the
+keep-set algebra (kept + dropped = corpus; no kept vector is the higher
+twin of another kept vector in-cluster)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.semantic import (
+    assign_clusters_cosine,
+    seed_centroids,
+    semantic_dedup_keep,
+    semantic_dedup_summary,
+    semantic_near_dup_pairs,
+)
+from economic_data_etl_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+)
+from economic_data_etl_spark.sources.tables import load_table
+
+TAU = 0.4
+
+
+class TestSemanticDedup:
+    def test_recall_vs_exact_pairs(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(emb, threshold=TAU).collect()
+        }
+        assert approx <= exact  # never invents pairs
+        recall = len(approx) / len(exact) if exact else 1.0
+        # k=8 probes=3: measured 0.92 at sf0.001 on the WEAK-pair case
+        # (τ=0.4; true dups would cluster together far more reliably).
+        # Pin a floor so a regression fails loudly.
+        assert recall >= 0.8, f"recall {recall} ({len(approx)}/{len(exact)})"
+
+    def test_lloyd_refinement_does_not_lose_pairs_wholesale(
+        self, spark, sf_dir
+    ):
+        from economic_data_etl_spark.operators.ivf import train_ivf
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        refined = train_ivf(emb, k=8, iters=2)
+        pairs = semantic_near_dup_pairs(
+            emb, refined, TAU, probes=3
+        ).count()
+        exact = cosine_near_dup_pairs(emb, threshold=TAU).count()
+        assert pairs / exact >= 0.8 if exact else True
+
+    def test_keep_set_algebra(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        kept = semantic_dedup_keep(emb, k=8, iters=0, threshold=TAU)
+        summary = semantic_dedup_summary(
+            emb, k=8, iters=0, threshold=TAU
+        )
+        tot = summary.agg(
+            F.sum("n_vectors").alias("n"), F.sum("n_dropped").alias("d")
+        ).collect()[0]
+        assert tot["n"] == emb.count()
+        assert kept.count() == tot["n"] - tot["d"]
+        # no kept vector is the higher twin of another kept vector
+        cents = seed_centroids(emb, 8)
+        kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+        for r in semantic_near_dup_pairs(
+            emb, cents, TAU, probes=3
+        ).collect():
+            assert not (
+                r["id_a"] in kept_ids and r["id_b"] in kept_ids
+            ), f"pair {r} fully kept"
+
+    def test_assignment_is_total_and_stable(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)
+        a1 = assign_clusters_cosine(emb, cents)
+        assert a1.filter(F.col("cluster").isNull()).count() == 0
+        assert a1.filter(
+            (F.col("cluster") < 0) | (F.col("cluster") >= 8)
+        ).count() == 0
