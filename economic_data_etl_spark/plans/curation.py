@@ -1,12 +1,16 @@
-"""Training-data curation queries, part 3: source quotas, importance
-weighting, and semantic dedup.
+"""Training-data curation queries, part 3: mixing, weighting, and
+semantic dedup.
 
-Three operators a web-scale pretraining pipeline runs after quality
+Five operators a web-scale pretraining pipeline runs after quality
 filtering and before tokenization:
 
 - per-domain quotas (cap any one source's share of the corpus),
+- temperature-scaled source mixing (mT5-style n^τ sampling rates with
+  deterministic hash membership),
 - DSIR-style importance weighting (Xie et al., arXiv:2302.03169 —
   rank raw docs by how target-like their unigram distribution is),
+- cross-document duplicated-ngram fraction (corpus-level repetition,
+  the complement of the within-doc Gopher filters in text2.py),
 - SemDeDup semantic dedup over embeddings (operators/semantic.py).
 
 No reference counterpart (the reference is an economic-series ETL);
@@ -232,4 +236,168 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_summary(
         emb, k=_SEM_K, iters=0, threshold=_SEM_TAU, probes=_SEM_PROBES
+    )
+
+
+_DUP_NGRAM_N = 5
+_DUP_FRAC_MAX = 0.5
+_TEMP_TAU = 0.7
+
+
+@register(
+    "dedup_duplicated_ngram_fraction",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(w) >= {_DUP_NGRAM_N}
+                            THEN list_transform(
+                                generate_series(1, len(w) - {_DUP_NGRAM_N - 1}),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2],
+                                               w[i+3], w[i+4]))
+                            ELSE [array_to_string(w, ' ')]
+                       END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), cnt AS (
+            SELECT shingle, COUNT(*) AS n_docs FROM inv GROUP BY shingle
+        ), per_doc AS (
+            SELECT i.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM inv i JOIN cnt c USING (shingle)
+            GROUP BY i.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               ROUND(5e-10 + n_dup * 1.0 / n_shingles, 4) AS dup_frac,
+               CAST(CASE WHEN n_dup * 1.0 / n_shingles <= {_DUP_FRAC_MAX}
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    doc="Cross-document duplicated-text fraction (the corpus-level twin "
+    "of the Gopher WITHIN-doc repetition filters; cf. Lee et al., "
+    "'Deduplicating Training Data Makes Language Models Better', "
+    "arXiv:2107.06499): per document, the fraction of its distinct "
+    "5-word shingles that also appear in at least one OTHER document, "
+    "and a keep verdict at a fixed ceiling. Two shuffles total — one "
+    "groupBy counting docs per shingle, one join back + per-doc "
+    "re-agg; both key on the shingle/doc, never on the corpus "
+    "pairwise. The verdict binds on the RAW ratio so display rounding "
+    "can't flip it.",
+)
+def dedup_duplicated_ngram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            word_shingles(F.col("text"), _DUP_NGRAM_N)
+        ).alias("shingle"),
+    )
+    cnt = inv.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_doc = (
+        inv.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+    )
+    raw_frac = F.col("n_dup") / F.col("n_shingles")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_shingles",
+            biased_round(raw_frac).alias("dup_frac"),
+            (raw_frac <= _DUP_FRAC_MAX).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_docs, pow(n_docs, {_TEMP_TAU}) AS wt
+            FROM sizes
+        ), rates AS (
+            SELECT source, n_docs,
+                   wt / (SELECT SUM(wt) FROM w) AS rate
+            FROM w
+        ), sampled AS (
+            SELECT d.source, COUNT(*) AS n_sampled
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < r.rate
+            GROUP BY d.source
+        )
+        SELECT r.source,
+               CAST(r.n_docs AS BIGINT) AS n_docs,
+               ROUND(5e-10 + r.rate, 4) AS rate,
+               CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM rates r LEFT JOIN sampled s USING (source)
+        ORDER BY r.source
+    """,
+    doc="Temperature-scaled source mixing (the multilingual-sampling "
+    "rule of Xue et al., mT5, arXiv:2010.11934, applied to sources): "
+    "source s is sampled with probability ∝ n_s^τ (τ=0.7), flattening "
+    "the head and boosting the tail vs proportional sampling. "
+    "Membership is decided per doc by deterministic hash "
+    "(first 8 md5 hex digits as a uniform [0,1) draw < rate) — "
+    "reproducible across engines and restarts, no RNG state. One "
+    "groupBy for sizes; the rate table is tiny and broadcast back; "
+    "the corpus scan never shuffles.",
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    w = sizes.select(
+        "source", "n_docs", F.pow("n_docs", F.lit(_TEMP_TAU)).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").alias("tot"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", (F.col("wt") / F.col("tot")).alias("rate")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(draw < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            biased_round(F.col("rate")).alias("rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("source")
     )

@@ -51,6 +51,24 @@ class TestPlanShapes:
     def test_global_topk_avoids_full_sort(self, spark, sf_dir):
         assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "topk_orders_by_price")
 
+    def test_source_quota_uses_window_group_limit(self, spark, sf_dir):
+        """The quota's rank<=k filter must compile to WindowGroupLimit:
+        each map task pre-trims to its local top-k per source BEFORE the
+        shuffle — the property that keeps a million-doc domain from
+        moving wholesale at 100 TB."""
+        assert "WindowGroupLimit" in _plan(spark, sf_dir, "curation_source_quota")
+
+    def test_semantic_dedup_assignment_has_no_shuffle_before_pairs(
+        self, spark, sf_dir
+    ):
+        """Cluster assignment is argmax over centroid literals — a pure
+        projection. The ONLY shuffles in the pair path key on the
+        cluster id (plus the final summary aggs); a cartesian or
+        nested-loop join here would be the O(n²) plan the operator
+        exists to avoid."""
+        plan = _plan(spark, sf_dir, "dedup_semantic_embedding")
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
     def test_asof_join_is_not_a_range_join(self, spark, sf_dir):
         # union+window shape: no BroadcastNestedLoopJoin / CartesianProduct
         plan = _plan(spark, sf_dir, "events_asof_purchase_view")
