@@ -61,6 +61,10 @@ HEADLINE = [
     "variant_typed_extraction",
     "sketch_hll_distinct_rollup",
     "histogram_order_totalprice",
+    "dedup_semantic_embedding",
+    "dedup_duplicated_ngram_fraction",
+    "text_importance_weights",
+    "curation_source_quota",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
@@ -77,6 +81,8 @@ ISOLATED = {
     "graph_pagerank_trade",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
+    "dedup_semantic_embedding",
+    "dedup_duplicated_ngram_fraction",
 }
 
 

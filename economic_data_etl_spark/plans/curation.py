@@ -31,6 +31,12 @@ _DSIR_TOP = 50
 _SEM_K = 8
 _SEM_TAU = 0.4
 _SEM_PROBES = 3
+# Clusters scale with the corpus (k ≈ n/250): with fixed k the
+# within-cluster self-join is O(p²n²/k) — quadratic, a scale-killer; with
+# k ∝ n it is O(p²·n·250) — linear. At the test SFs (n ≤ 2000) this
+# floor keeps k at 8, so the oracle is unchanged while the scale path is
+# real.
+_SEM_DOCS_PER_CLUSTER = 250
 
 
 @register(
@@ -178,7 +184,9 @@ def text_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH seeds AS (
             SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-            FROM embeddings WHERE vec_id < {_SEM_K}
+            FROM embeddings
+            WHERE vec_id < GREATEST({_SEM_K},
+                (SELECT COUNT(*) // {_SEM_DOCS_PER_CLUSTER} FROM embeddings))
         ), scored AS (
             SELECT e.vec_id, s.cid,
                    list_cosine_similarity(e.embedding::DOUBLE[], s.cv) AS d
@@ -234,8 +242,11 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one scalar to the driver — sizes k to the corpus (see
+    # _SEM_DOCS_PER_CLUSTER); same GREATEST floor as the oracle.
+    k = max(_SEM_K, emb.count() // _SEM_DOCS_PER_CLUSTER)
     return semantic_dedup_summary(
-        emb, k=_SEM_K, iters=0, threshold=_SEM_TAU, probes=_SEM_PROBES
+        emb, k=k, iters=0, threshold=_SEM_TAU, probes=_SEM_PROBES
     )
 
 
