@@ -1,0 +1,121 @@
+"""Streaming semantic dedup: each micro-batch of embeddings joins a
+persistent cluster-assignment index, emits near-dup pairs, and appends
+its own assignments.
+
+The streaming twin of `operators/semantic.py:semantic_near_dup_pairs` —
+the continuously-ingesting shape: every vector is centroid-ranked exactly
+once (on arrival, a pure expression over driver-constant centroids), the
+standing index holds (cluster, vec_id, embedding) rows — p rows per
+vector for p probes — partitioned by cluster in production so the
+per-batch candidate join co-locates, and per-batch work is
+|batch| × (cluster occupancy), never corpus².
+
+Centroids are FROZEN at pipeline start (passed in, not re-trained per
+batch): re-training would silently re-cluster history and make results
+batch-order-dependent. Re-clustering is an offline rebuild, exactly like
+re-banding the MinHash index (streaming/incremental_dedup.py).
+
+foreachBatch rather than a stateful operator for the same reason as the
+MinHash twin: the index must outlive the stream and be readable by other
+jobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from economic_data_etl_spark.functions.vectors import cosine_similarity
+from economic_data_etl_spark.operators.semantic import assign_clusters_cosine
+
+IDX_SCHEMA = StructType(
+    [
+        StructField("cluster", IntegerType(), True),
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(FloatType(), True), True),
+    ]
+)
+
+
+def _read_index(spark, index_dir: str) -> DataFrame:
+    if os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    ):
+        return spark.read.schema(IDX_SCHEMA).parquet(index_dir)
+    return spark.createDataFrame([], IDX_SCHEMA)
+
+
+def foreach_batch_incremental_semantic(
+    index_dir: str,
+    pairs_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the foreachBatch function. Per micro-batch:
+
+    1. rank the batch's vectors against the frozen centroids, explode
+       the top-`probes` clusters
+    2. near-dup pairs of batch vs (index ∪ batch) sharing a probed
+       cluster with cosine >= threshold → append pairs_dir (canonical
+       id_a < id_b, distinct)
+    3. append the batch's assignments to index_dir
+
+    Restart semantics: at-least-once appends; readers dedupe pairs by
+    (id_a, id_b) and the index by (cluster, vec_id) — the same contract
+    as the MinHash streaming twin.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = (
+            assign_clusters_cosine(batch_df, centroids, vec_col, probes)
+            .select(
+                F.col("cluster").cast("int"),
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<float>").alias("embedding"),
+            )
+            .persist()
+        )
+        assigned.count()
+        seen = _read_index(spark, index_dir).unionByName(assigned)
+        a = assigned.select(
+            "cluster",
+            F.col("vec_id").alias("__na"),
+            F.col("embedding").alias("__va"),
+        )
+        b = seen.select(
+            "cluster",
+            F.col("vec_id").alias("__nb"),
+            F.col("embedding").alias("__vb"),
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("__na") != F.col("__nb"))
+            .filter(
+                cosine_similarity(F.col("__va"), F.col("__vb"))
+                >= F.lit(threshold)
+            )
+            .select(
+                F.least("__na", "__nb").alias("id_a"),
+                F.greatest("__na", "__nb").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        assigned.write.mode("append").parquet(index_dir)
+        assigned.unpersist()
+
+    return handle
