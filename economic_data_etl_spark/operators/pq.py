@@ -41,10 +41,29 @@ def train_pq(
     sample_n: int = 2048,
 ) -> list[list[list[float]]]:
     """codebooks[s][c] = centroid c of subspace s. Deterministic: the
-    sample is the first `sample_n` vectors by id, init is the sample's
-    first k subvectors, and numpy reductions are fixed-order."""
-    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    sample is a hash-stride gate (every `stride`-th id by xxhash64,
+    driver-sorted by id, truncated to `sample_n`), init is the sample's
+    first k subvectors, and numpy reductions are fixed-order.
+
+    The gate replaces an `orderBy(id).limit(n)` sample — a GLOBAL SORT
+    of the corpus just to pick training rows, which at 100 TB is the
+    most expensive operator in the whole pipeline. The filter runs
+    inside the same scan that encoding needs anyway, moves ~sample_n
+    rows to the driver, and stays deterministic (hash of the id, not
+    partition order). When the corpus is smaller than `sample_n`
+    (stride 1) it degenerates to the full corpus — identical to the
+    old sample."""
+    n_total = corpus.count()  # one scalar to the driver
+    stride = max(1, n_total // sample_n)
+    rows = (
+        corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    X = np.array([r[1] for r in rows[:sample_n]], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
