@@ -200,14 +200,24 @@ def text_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), best AS (
             SELECT vec_id, cluster FROM ranked WHERE rn = 1
         ), probed AS (
-            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, r.cluster
-            FROM embeddings e JOIN ranked r USING (vec_id)
-            WHERE r.rn <= {_SEM_PROBES}
-        ), pairs AS (
+            SELECT vec_id, cluster FROM ranked WHERE rn <= {_SEM_PROBES}
+        ), cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM probed a JOIN probed b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU}
+        ), normed AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                           embedding::DOUBLE[], y -> y * y)))) AS nv
+            FROM embeddings
+        ), pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN normed na ON na.vec_id = c.id_a
+            JOIN normed nb ON nb.vec_id = c.id_b
+            WHERE list_dot_product(na.nv, nb.nv) >= {_SEM_TAU}
         ), dropped AS (
             SELECT DISTINCT p.id_b, bb.cluster
             FROM pairs p JOIN best bb ON bb.vec_id = p.id_b

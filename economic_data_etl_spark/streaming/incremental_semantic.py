@@ -5,10 +5,10 @@ its own assignments.
 The streaming twin of `operators/semantic.py:semantic_near_dup_pairs` —
 the continuously-ingesting shape: every vector is centroid-ranked exactly
 once (on arrival, a pure expression over driver-constant centroids), the
-standing index holds (cluster, vec_id, embedding) rows — p rows per
-vector for p probes — partitioned by cluster in production so the
-per-batch candidate join co-locates, and per-batch work is
-|batch| × (cluster occupancy), never corpus².
+standing index holds (cluster, vec_id, nv) rows — p rows per vector for
+p probes, nv the L2-normalized vector — partitioned by cluster in
+production so the per-batch candidate join co-locates, and per-batch
+work is |batch| × (cluster occupancy), never corpus².
 
 Centroids are FROZEN at pipeline start (passed in, not re-trained per
 batch): re-training would silently re-cluster history and make results
@@ -28,21 +28,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
     StructType,
 )
 
-from economic_data_etl_spark.functions.vectors import cosine_similarity
+from economic_data_etl_spark.functions.vectors import dot_product, l2_normalize
 from economic_data_etl_spark.operators.semantic import assign_clusters_cosine
 
+# The index stores the L2-NORMALIZED vector at float64: pair scoring is
+# then one dot product per candidate (same normalize-then-dot order as
+# the batch operator, so stream == batch bit-for-bit; storing float32
+# would re-round and break that equivalence).
 IDX_SCHEMA = StructType(
     [
         StructField("cluster", IntegerType(), True),
         StructField("vec_id", LongType(), True),
-        StructField("embedding", ArrayType(FloatType(), True), True),
+        StructField("nv", ArrayType(DoubleType(), True), True),
     ]
 )
 
@@ -85,34 +89,40 @@ def foreach_batch_incremental_semantic(
             .select(
                 F.col("cluster").cast("int"),
                 F.col(id_col).cast("long").alias("vec_id"),
-                F.col(vec_col).cast("array<float>").alias("embedding"),
+                l2_normalize(F.col(vec_col)).alias("nv"),
             )
             .persist()
         )
         assigned.count()
         seen = _read_index(spark, index_dir).unionByName(assigned)
         a = assigned.select(
-            "cluster",
-            F.col("vec_id").alias("__na"),
-            F.col("embedding").alias("__va"),
+            "cluster", F.col("vec_id").alias("__na")
         )
-        b = seen.select(
-            "cluster",
-            F.col("vec_id").alias("__nb"),
-            F.col("embedding").alias("__vb"),
-        )
-        pairs = (
+        b = seen.select("cluster", F.col("vec_id").alias("__nb"))
+        cand = (
             a.join(b, "cluster")
             .filter(F.col("__na") != F.col("__nb"))
-            .filter(
-                cosine_similarity(F.col("__va"), F.col("__vb"))
-                >= F.lit(threshold)
-            )
             .select(
                 F.least("__na", "__nb").alias("id_a"),
                 F.greatest("__na", "__nb").alias("id_b"),
             )
             .distinct()
+        )
+        vecs = seen.select("vec_id", "nv").dropDuplicates(["vec_id"])
+        va = vecs.select(
+            F.col("vec_id").alias("id_a"), F.col("nv").alias("__va")
+        )
+        vb = vecs.select(
+            F.col("vec_id").alias("id_b"), F.col("nv").alias("__vb")
+        )
+        pairs = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(
+                dot_product(F.col("__va"), F.col("__vb"))
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
         )
         pairs.write.mode("append").parquet(pairs_dir)
         assigned.write.mode("append").parquet(index_dir)
