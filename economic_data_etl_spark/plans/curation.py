@@ -1,7 +1,7 @@
 """Training-data curation queries, part 3: mixing, weighting, and
 semantic dedup.
 
-Five operators a web-scale pretraining pipeline runs after quality
+Six operators a web-scale pretraining pipeline runs after quality
 filtering and before tokenization:
 
 - per-domain quotas (cap any one source's share of the corpus),
@@ -11,6 +11,8 @@ filtering and before tokenization:
   rank raw docs by how target-like their unigram distribution is),
 - cross-document duplicated-ngram fraction (corpus-level repetition,
   the complement of the within-doc Gopher filters in text2.py),
+- exact-substring duplicated spans (gaps-and-islands over duplicated
+  sliding windows — the relational stand-in for suffix-array dedup),
 - SemDeDup semantic dedup over embeddings (operators/semantic.py).
 
 No reference counterpart (the reference is an economic-series ETL);
@@ -421,4 +423,118 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+_SPAN_L = 8  # window length in tokens for exact-substring detection
+
+
+@register(
+    "dedup_longest_duplicated_span",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM documents
+        ), wins AS (
+            SELECT doc_id, i AS pos,
+                   concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                             w[i+4], w[i+5], w[i+6], w[i+7]) AS win
+            FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_L - 1})) AS t(i)
+            WHERE len(w) >= {_SPAN_L}
+        ), cnt AS (
+            SELECT win, COUNT(*) AS n FROM wins GROUP BY win
+        ), marked AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN cnt c USING (win)
+            WHERE c.n >= 2
+        ), islands AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM marked
+        ), runs AS (
+            SELECT doc_id, COUNT(*) AS run_len
+            FROM islands GROUP BY doc_id, isl
+        ), per_doc AS (
+            SELECT w.doc_id,
+                   COUNT(*) AS n_windows,
+                   COUNT(*) FILTER (WHERE c.n >= 2) AS n_dup_windows
+            FROM wins w JOIN cnt c USING (win)
+            GROUP BY w.doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.n_windows AS BIGINT) AS n_windows,
+               CAST(p.n_dup_windows AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(MAX(r.run_len) + {_SPAN_L - 1}, 0) AS BIGINT)
+                   AS longest_dup_span
+        FROM per_doc p LEFT JOIN runs r USING (doc_id)
+        GROUP BY p.doc_id, p.n_windows, p.n_dup_windows
+        ORDER BY p.doc_id
+    """,
+    doc="Exact-substring duplication spans (Lee et al., 'Deduplicating "
+    "Training Data Makes Language Models Better', arXiv:2107.06499, "
+    "re-expressed relationally — no suffix array): hash every "
+    f"{_SPAN_L}-token sliding window with its POSITION, count windows "
+    "globally, then per document find the longest RUN of consecutive "
+    "duplicated positions (gaps-and-islands: pos − row_number is "
+    "constant within a run). longest_dup_span is in TOKENS (run + L−1); "
+    "docs shorter than L tokens are excluded (no windows). One "
+    "groupBy on the window text, one join back, one per-doc window "
+    "pass — the corpus never self-joins pairwise.",
+)
+def dedup_longest_duplicated_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n_win = F.size(toks) - F.lit(_SPAN_L - 1)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j) for j in range(_SPAN_L)],
+                    ).alias("win"),
+                ),
+            )
+        ).alias("s"),
+    ).filter(F.size(toks) >= _SPAN_L).select("doc_id", "s.pos", "s.win")
+    cnt = wins.groupBy("win").agg(F.count(F.lit(1)).alias("n"))
+    joined = wins.join(cnt, "win")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
+    )
+    marked = joined.filter(F.col("n") >= 2).select("doc_id", "pos")
+    isl = marked.withColumn(
+        "isl",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    runs = isl.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    longest = runs.groupBy("doc_id").agg(
+        (F.max("run_len") + F.lit(_SPAN_L - 1)).alias("span")
+    )
+    return (
+        per_doc.join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.coalesce(F.col("span"), F.lit(0)).cast("long").alias(
+                "longest_dup_span"
+            ),
+        )
+        .orderBy("doc_id")
     )
