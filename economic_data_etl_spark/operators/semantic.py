@@ -145,6 +145,58 @@ def semantic_near_dup_pairs(
     )
 
 
+def semantic_incremental_pairs(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 3,
+) -> DataFrame:
+    """(id_a, id_b), id_a < id_b, for near-dup pairs with AT LEAST ONE
+    side in `batch`: batch-vs-index plus batch-vs-batch, never
+    index-vs-index — per-call work is |batch| × cluster occupancy, the
+    corpus (index) is re-scanned but never self-joined. The batch twin
+    of streaming/incremental_semantic.py (which additionally persists
+    the assignments); centroids must be the FROZEN set both sides were
+    assigned with.
+    """
+    b_assigned = assign_clusters_cosine(
+        batch, centroids, vec_col, probes
+    ).select("cluster", F.col(id_col).alias("id_a"))
+    all_assigned = assign_clusters_cosine(
+        index.unionByName(batch), centroids, vec_col, probes
+    ).select("cluster", F.col(id_col).alias("id_b"))
+    cand = (
+        b_assigned.join(all_assigned, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    nv = l2_normalize(F.col(vec_col))
+    vecs = index.unionByName(batch).select(
+        F.col(id_col).alias("__vid"), nv.alias("__nv")
+    )
+    va = vecs.select(
+        F.col("__vid").alias("id_a"), F.col("__nv").alias("__va")
+    )
+    vb = vecs.select(
+        F.col("__vid").alias("id_b"), F.col("__nv").alias("__vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            dot_product(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def _centroids(
     corpus: DataFrame, k: int, iters: int, id_col: str, vec_col: str
 ) -> list[list[float]]:

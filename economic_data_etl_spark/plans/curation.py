@@ -538,3 +538,70 @@ def dedup_longest_duplicated_span(
         )
         .orderBy("doc_id")
     )
+
+
+_INC_SPLIT = 400  # vec_id >= split = the "newly arrived" batch
+
+
+@register(
+    "dedup_incremental_semantic",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {_SEM_K}
+        ), scored AS (
+            SELECT e.vec_id, s.cid,
+                   list_cosine_similarity(e.embedding::DOUBLE[], s.cv) AS d
+            FROM embeddings e CROSS JOIN seeds s
+        ), probed AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, CAST(cid AS INT) AS cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d DESC, cid ASC
+                       ) AS rn
+                FROM scored
+            ) t WHERE rn <= {_SEM_PROBES}
+        ), cand AS (
+            SELECT DISTINCT LEAST(b.vec_id, o.vec_id) AS id_a,
+                            GREATEST(b.vec_id, o.vec_id) AS id_b
+            FROM probed b JOIN probed o
+              ON b.cluster = o.cluster AND b.vec_id <> o.vec_id
+            WHERE b.vec_id >= {_INC_SPLIT}
+        ), normed AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                           embedding::DOUBLE[], y -> y * y)))) AS nv
+            FROM embeddings
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN normed na ON na.vec_id = c.id_a
+        JOIN normed nb ON nb.vec_id = c.id_b
+        WHERE list_dot_product(na.nv, nb.nv) >= {_SEM_TAU}
+        ORDER BY id_a, id_b
+    """,
+    doc="Incremental semantic dedup: near-dup pairs with at least one "
+    f"side in the newly-arrived batch (vec_id >= {_INC_SPLIT}) against "
+    "the standing corpus — batch-vs-index and batch-vs-batch, never "
+    "index-vs-index, so per-increment work is |batch| × cluster "
+    "occupancy while history is never re-paired. Centroids are FROZEN "
+    "(first k of the original corpus) — the invariant the streaming "
+    "twin (streaming/incremental_semantic.py) relies on; "
+    "tests/test_semantic_dedup.py pins incremental ≡ full-minus-"
+    "index-only-pairs.",
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.semantic import (
+        seed_centroids,
+        semantic_incremental_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = emb.filter(F.col("vec_id") < _INC_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= _INC_SPLIT)
+    cents = seed_centroids(index, _SEM_K)
+    return semantic_incremental_pairs(
+        index, batch, cents, _SEM_TAU, probes=_SEM_PROBES
+    ).orderBy("id_a", "id_b")

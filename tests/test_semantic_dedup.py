@@ -88,3 +88,31 @@ class TestSemanticDedup:
         assert a1.filter(
             (F.col("cluster") < 0) | (F.col("cluster") >= 8)
         ).count() == 0
+
+    def test_incremental_equals_full_minus_index_only(self, spark, sf_dir):
+        from economic_data_etl_spark.operators.semantic import (
+            semantic_incremental_pairs,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(F.col("vec_id") >= 400)
+        cents = seed_centroids(index, 8)  # == first 8 of the full corpus
+
+        inc = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_incremental_pairs(
+                index, batch, cents, TAU, probes=3
+            ).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        index_only = {
+            (a, b) for a, b in full if a < 400 and b < 400
+        }
+        assert inc == full - index_only
+        assert inc, "fixture must produce at least one incremental pair"
