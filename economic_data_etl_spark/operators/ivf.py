@@ -70,6 +70,10 @@ def train_ivf(
     seed_rows = (
         corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     )
+    if not seed_rows:
+        # empty corpus: nothing to train — callers short-circuit to an
+        # empty result instead of feeding numpy a 0-d array.
+        return []
     centroids = _normalize(np.array([r[0] for r in seed_rows], dtype=np.float64))
 
     for _ in range(iters):

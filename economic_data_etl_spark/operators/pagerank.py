@@ -83,6 +83,10 @@ def pagerank(
             .persist()
         )
     n = nodes.count()  # one scalar to the driver; sizes the teleport term
+    if n == 0:
+        # empty graph: empty (node, rank) result, not a ZeroDivisionError
+        # — empty partitions/slices are routine upstream at scale.
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -63,6 +63,9 @@ def train_pq(
         .collect()
     )
     rows.sort(key=lambda r: r[0])
+    if not rows:
+        # empty corpus: nothing to train — callers short-circuit.
+        return []
     X = np.array([r[1] for r in rows[:sample_n]], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:

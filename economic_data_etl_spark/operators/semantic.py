@@ -162,6 +162,10 @@ def semantic_incremental_pairs(
     the assignments); centroids must be the FROZEN set both sides were
     assigned with.
     """
+    if not centroids:
+        return batch.sparkSession.createDataFrame(
+            [], "id_a long, id_b long"
+        )
     b_assigned = assign_clusters_cosine(
         batch, centroids, vec_col, probes
     ).select("cluster", F.col(id_col).alias("id_a"))
@@ -221,6 +225,12 @@ def semantic_dedup_summary(
     is attributed to its primary cluster.
     """
     centroids = _centroids(corpus, k, iters, id_col, vec_col)
+    if not centroids:
+        # empty corpus (seed sample came back empty): empty summary with
+        # the normal schema — upstream slices are routinely empty.
+        return corpus.sparkSession.createDataFrame(
+            [], "cluster int, n_vectors long, n_dropped long"
+        )
     primary = assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
     pairs = semantic_near_dup_pairs(
         corpus, centroids, threshold, id_col, vec_col, probes
@@ -260,6 +270,8 @@ def semantic_dedup_keep(
 ) -> DataFrame:
     """The surviving corpus: input rows minus dropped near-dup twins."""
     centroids = _centroids(corpus, k, iters, id_col, vec_col)
+    if not centroids:
+        return corpus  # empty corpus: nothing to drop
     pairs = semantic_near_dup_pairs(
         corpus, centroids, threshold, id_col, vec_col, probes
     )

@@ -199,6 +199,10 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     centroids = ivf.train_ivf(emb, k=8, iters=2)
+    if not centroids:  # empty corpus → empty top-k, same schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, score double, rank int"
+        )
     return ivf.ivf_topk(
         emb, queries, centroids, k=_K, n_probe=3
     ).orderBy("q_id", "rank")
@@ -223,6 +227,10 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     books = pq.train_pq(emb, m=8, k=32, iters=5)
+    if not books:  # empty corpus → empty top-k, same schema
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, score double, rank int"
+        )
     return pq.pq_topk_rerank(
         emb, queries, books, k=_K, shortlist=100
     ).orderBy("q_id", "rank")
