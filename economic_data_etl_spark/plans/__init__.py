@@ -22,6 +22,9 @@ from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph  # noqa: E402,F401
+from economic_data_etl_spark.plans import graph2  # noqa: E402,F401
+from economic_data_etl_spark.plans import statistics  # noqa: E402,F401
+from economic_data_etl_spark.plans import text3  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface2  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface3  # noqa: E402,F401
