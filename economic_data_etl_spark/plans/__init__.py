@@ -21,6 +21,7 @@ from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
+from economic_data_etl_spark.plans import events2  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph2  # noqa: E402,F401
 from economic_data_etl_spark.plans import statistics  # noqa: E402,F401
@@ -36,5 +37,6 @@ from economic_data_etl_spark.plans import timeseries  # noqa: E402,F401
 from economic_data_etl_spark.plans import training  # noqa: E402,F401
 from economic_data_etl_spark.plans import variant  # noqa: E402,F401
 from economic_data_etl_spark.plans import vectors  # noqa: E402,F401
+from economic_data_etl_spark.plans import vectors2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,86 @@
+"""Event-sequence analytics: per-user event-type transition matrix.
+
+The classic first-order Markov view of a clickstream: for every user,
+order events by time and count (previous_type -> current_type)
+transitions, then normalize rows into probabilities. One window pass
+partitioned by user (the same shuffle key every per-user analytic in
+plans/events.py uses) plus one small aggregation — no self-joins. At
+100 TB the window partitions by user_id, so state per task is one
+user's ordered slice; skewed power-users are bounded by session length,
+not corpus size.
+
+Ordering inside a user is (ts, event_id): ts alone can tie (multiple
+events in the same microsecond), and an unspecified tiebreak would make
+lag() nondeterministic across engines; event_id is unique so the order
+is total.
+
+Reference parity: no sequence analytics exist in the reference; this
+extends the events-table surface (SURVEY.md §2.10 north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS curr_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type, curr_type, COUNT(*) AS n_transitions
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n_transitions,
+           ROUND(5e-10 + n_transitions * 1.0 / SUM(n_transitions)
+                 OVER (PARTITION BY prev_type),
+                 4) AS p_transition
+    FROM counts
+    ORDER BY prev_type, curr_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() window keyed (user_id, ts, event_id), transition "
+    "counts, and per-source-state probabilities via a second window "
+    "over the tiny counts table. One user-keyed shuffle total.",
+)
+def events_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = events.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return counts.select(
+        "prev_type",
+        "curr_type",
+        "n_transitions",
+        biased_round(
+            F.col("n_transitions")
+            * 1.0
+            / F.sum("n_transitions").over(
+                Window.partitionBy("prev_type")
+            )
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "curr_type")
