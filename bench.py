@@ -65,6 +65,11 @@ HEADLINE = [
     "dedup_duplicated_ngram_fraction",
     "text_importance_weights",
     "curation_source_quota",
+    "graph_triangle_census",
+    "events_transition_matrix",
+    "ts_outlier_mad",
+    "text_bigram_collocations",
+    "embedding_random_projection",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
@@ -83,6 +88,7 @@ ISOLATED = {
     "ann_cosine_topk_lsh",
     "dedup_semantic_embedding",
     "dedup_duplicated_ngram_fraction",
+    "graph_triangle_census",
 }
 
 

@@ -53,7 +53,9 @@ from economic_data_etl_spark.sources.tables import load_table
     doc="First-order Markov transition matrix over per-user event "
     "sequences: lag() window keyed (user_id, ts, event_id), transition "
     "counts, and per-source-state probabilities via a second window "
-    "over the tiny counts table. One user-keyed shuffle total.",
+    "over the tiny counts table. Only the lag() window shuffles the "
+    "full events table; everything downstream operates on the "
+    "|event_types|^2-row counts.",
 )
 def events_transition_matrix(
     spark: SparkSession, sf_dir: str

@@ -95,10 +95,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tri
     """,
     doc="Global triangle census of the part co-purchase graph: edge/"
-    "node/wedge counts, triangle count via the a<b<c compact-forward "
-    "two-join, and the global clustering coefficient 3*triangles/wedges. "
-    "Edges are generated per-order in-stage (no lineitem self-join "
-    "shuffle); the triangle join keys on edge endpoints only.",
+    "node/wedge counts, triangles counted by intersecting forward-"
+    "neighbor adjacency lists per base edge (a<b<c orientation, no "
+    "wedge-path materialization), and the global clustering coefficient "
+    "3*triangles/wedges. Edges are generated per-order in-stage (no "
+    "lineitem self-join shuffle); the oracle cross-checks with an "
+    "independent join-based triangle enumeration.",
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)

@@ -52,10 +52,11 @@ def _oracle_component(k: int) -> str:
     + ", ".join(_oracle_component(k) for k in range(_K_OUT))
     + " FROM embeddings ORDER BY vec_id",
     doc="JL random projection of every embedding onto 4 components via "
-    "a derive-on-the-fly ±1 LCG sign matrix (scale 1/sqrt(4)): pure "
-    "map stage, no shuffle, no broadcast state, deterministic fold "
-    "order on both engines. The oracle regenerates the identical signs "
-    "from the same integer LCG inside SQL.",
+    "a derive-on-the-fly ±1 LCG sign matrix (scale 1/sqrt(4)): the "
+    "projection itself is a pure map stage (no shuffle, no broadcast "
+    "state; only the presentation orderBy exchanges), deterministic "
+    "fold order on both engines. The oracle regenerates the identical "
+    "signs from the same integer LCG inside SQL.",
 )
 def embedding_random_projection(
     spark: SparkSession, sf_dir: str
