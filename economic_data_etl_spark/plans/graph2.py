@@ -103,70 +103,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent join-based triangle enumeration.",
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
-    # The edge set feeds four consumers (two sides of the triangle join,
-    # the degree agg, and the edge count); without a checkpoint Spark
-    # would re-derive the groupBy+explode+distinct chain for each.
-    edges = edges.localCheckpoint(eager=False)
-
-    deg = edges.select(F.col("a").alias("node")).unionAll(
-        edges.select("b")
-    ).groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    totals = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) / 2")).alias("n_wedges"),
+    from economic_data_etl_spark.operators.graphstats import (
+        triangle_census,
     )
+
     # Adjacency-intersection counting instead of wedge enumeration: the
     # e1⋈e2-on-b wedge join materializes and shuffles every a<b<c path
     # (~35M rows at sf0.1 — 12 s; the classic triangle scale-killer).
     # Intersecting forward-neighbor lists per edge counts the same
-    # triangles with only two edge-keyed joins and zero wedge rows
-    # (measured 12.2 s → ~5 s at sf0.1). |N+(a) ∩ N+(b)| counts exactly
-    # the c > b neighbors both share, so each triangle lands on its
-    # (a, b) base edge once.
-    adj = edges.groupBy(F.col("a").alias("node")).agg(
-        F.collect_list("b").alias("nbrs")
-    )
-    tri = (
-        edges.join(
-            adj.select(
-                F.col("node").alias("a"), F.col("nbrs").alias("na")
-            ),
-            "a",
-        )
-        .join(
-            adj.select(
-                F.col("node").alias("b"), F.col("nbrs").alias("nb")
-            ),
-            "b",
-        )
-        .select(F.size(F.array_intersect("na", "nb")).alias("t"))
-        .agg(
-            F.coalesce(F.sum("t"), F.lit(0))
-            .cast("bigint")
-            .alias("n_triangles")
-        )
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        n_edges.crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(tri))
-        .select(
-            "n_edges",
-            "n_nodes",
-            "n_wedges",
-            "n_triangles",
-            F.when(F.col("n_wedges") == 0, F.lit(0.0))
-            .otherwise(3.0 * F.col("n_triangles") / F.col("n_wedges"))
-            .alias("cc_raw"),
-        )
-        .select(
-            "n_edges",
-            "n_nodes",
-            "n_wedges",
-            "n_triangles",
-            biased_round(F.col("cc_raw")).alias("clustering_coeff"),
-        )
+    # triangles with two edge-keyed joins and zero wedge rows (measured
+    # 12.2 s → ~5 s at sf0.1). The checkpoint stops the groupBy+explode+
+    # distinct edge derivation re-executing for each census consumer.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    census = triangle_census(edges)
+    return census.select(
+        "n_edges",
+        "n_nodes",
+        "n_wedges",
+        "n_triangles",
+        biased_round(F.col("clustering_coeff")).alias("clustering_coeff"),
     )
 
 

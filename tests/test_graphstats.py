@@ -1,0 +1,80 @@
+"""Known-graph checks for the adjacency-intersection triangle counter —
+independent of the DuckDB oracle (which shares no code but does share
+the input derivation; these pin the operator against graphs with
+hand-countable answers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from economic_data_etl_spark.operators.graphstats import (
+    degrees,
+    triangle_census,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    # orient a < b as the operator contract requires
+    rows = [(min(a, b), max(a, b)) for a, b in pairs]
+    assert len(set(rows)) == len(rows), "test graph has duplicate edges"
+    return spark.createDataFrame(rows, "a long, b long")
+
+
+def _census(spark, pairs):
+    return triangle_census(_edges(spark, pairs)).collect()[0]
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    row = _census(spark, k4)
+    assert row.n_triangles == 4
+    assert row.n_edges == 6
+    assert row.n_nodes == 4
+    # every vertex has degree 3 -> 4 * C(3,2) = 12 wedges; cc = 3*4/12
+    assert row.n_wedges == 12
+    assert row.clustering_coeff == pytest.approx(1.0)
+
+
+def test_path_graph_has_none(spark):
+    row = _census(spark, [(0, 1), (1, 2), (2, 3)])
+    assert row.n_triangles == 0
+    assert row.n_wedges == 2
+    assert row.clustering_coeff == pytest.approx(0.0)
+
+
+def test_triangle_with_pendant(spark):
+    # one triangle {0,1,2} plus pendant edge 2-3
+    row = _census(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    assert row.n_triangles == 1
+    assert row.n_edges == 4
+    assert row.n_wedges == 1 + 1 + 3  # deg 2,2,3,1
+    assert row.clustering_coeff == pytest.approx(3 * 1 / 5)
+
+
+def test_two_disjoint_triangles(spark):
+    row = _census(
+        spark, [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)]
+    )
+    assert row.n_triangles == 2
+    assert row.n_nodes == 6
+
+
+def test_orientation_makes_count_exact_once(spark):
+    # K5: C(5,3) = 10 triangles, each counted exactly once despite every
+    # vertex pair being connected (max overlap of neighbor lists).
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert triangle_count(_edges(spark, k5)).collect()[0].n_triangles == 10
+
+
+def test_degrees_match_handshake(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    deg = {r.node: r.d for r in degrees(_edges(spark, pairs)).collect()}
+    assert deg == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
+    assert sum(deg.values()) == 2 * len(pairs)
+
+
+def test_empty_graph(spark):
+    row = _census(spark, [])
+    assert row.n_triangles == 0
+    assert row.n_edges == 0
