@@ -1,0 +1,97 @@
+"""Record-linkage fuzzy join: near-identical part names by edit
+distance, with lossless length-bucket blocking.
+
+The scale story is candidate generation: a naive fuzzy join is
+all-pairs × levenshtein. Because one edit changes string length by at
+most 1, an edit-distance bound of 2 implies a length difference of at
+most 2 — so bucketing names by `length div 3` and probing each name's
+bucket ±1 is a COMPLETE blocking scheme (no candidate pair is missed),
+and each surviving pair meets in exactly one (bucket, probe)
+combination (|Δlen| ≤ 2 ⟹ |Δbucket| ≤ 1), so no dedup pass is needed.
+Candidates then shuffle by bucket key instead of cross-joining; the
+expensive levenshtein runs only inside blocks. The same shape extends
+to web-scale linkage by swapping the block key (phonetic key, n-gram
+prefix, sorted-neighborhood window).
+
+The oracle verifies against the UNBLOCKED pairwise formulation —
+proving the blocking lossless, not just self-consistent.
+
+Reference parity: the reference's closest analogue is the dict-lookup
+name join (src/transform.py:52,60); fuzzy matching extends it to
+unreliable keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import register
+from economic_data_etl_spark.sources.tables import load_table
+
+_MAX_DIST = 2
+_BUCKET_W = 3
+
+
+@register(
+    "join_fuzzy_part_names",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1
+    )
+    SELECT a.name AS name1, b.name AS name2,
+           CAST(levenshtein(a.name, b.name) AS INT) AS lev_dist,
+           a.n AS n_parts1, b.n AS n_parts2
+    FROM names a
+    JOIN names b
+      ON a.name < b.name
+     AND levenshtein(a.name, b.name) <= {_MAX_DIST}
+    ORDER BY 1, 2
+    """,
+    doc="Fuzzy self-join of distinct part names at edit distance <= 2: "
+    "length-div-3 bucket blocking with +/-1 probe (lossless for the "
+    "distance bound since one edit moves length by <= 1), levenshtein "
+    "verified only within blocks, each pair met exactly once. Oracle "
+    "is the unblocked all-pairs formulation, proving the blocking "
+    "drops nothing.",
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    left = names.select(
+        F.col("name").alias("name1"),
+        F.col("n").alias("n_parts1"),
+        (F.length("name") / _BUCKET_W).cast("int").alias("bucket"),
+    )
+    right = names.select(
+        F.col("name").alias("name2"),
+        F.col("n").alias("n_parts2"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.length("name") / _BUCKET_W).cast("int") + d)
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            # thresholded levenshtein short-circuits long rows but
+            # returns -1 (not a big number) when the bound is exceeded,
+            # so the keep-condition is ">= 0", NOT "<= bound".
+            (F.col("name1") < F.col("name2"))
+            & (F.levenshtein("name1", "name2", _MAX_DIST) >= 0)
+        )
+        .select(
+            "name1",
+            "name2",
+            F.levenshtein("name1", "name2").cast("int").alias("lev_dist"),
+            "n_parts1",
+            "n_parts2",
+        )
+        .orderBy("name1", "name2")
+    )
