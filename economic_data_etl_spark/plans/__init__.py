@@ -17,6 +17,7 @@ from economic_data_etl_spark.plans import relational6  # noqa: E402,F401
 from economic_data_etl_spark.plans import profiling  # noqa: E402,F401
 from economic_data_etl_spark.plans import scd2  # noqa: E402,F401
 from economic_data_etl_spark.plans import sketches  # noqa: E402,F401
+from economic_data_etl_spark.plans import skewq  # noqa: E402,F401
 from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
