@@ -30,7 +30,6 @@ from economic_data_etl_spark.plans.catalog import register
 from economic_data_etl_spark.sources.tables import load_table
 
 _MAX_DIST = 2
-_BUCKET_W = 3
 
 
 @register(
@@ -56,42 +55,34 @@ _BUCKET_W = 3
     "drops nothing.",
 )
 def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.linkage import fuzzy_pairs
+
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    left = names.select(
-        F.col("name").alias("name1"),
-        F.col("n").alias("n_parts1"),
-        (F.length("name") / _BUCKET_W).cast("int").alias("bucket"),
-    )
-    right = names.select(
-        F.col("name").alias("name2"),
-        F.col("n").alias("n_parts2"),
-        F.explode(
-            F.array(
-                *[
-                    ((F.length("name") / _BUCKET_W).cast("int") + d)
-                    for d in (-1, 0, 1)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    pairs = fuzzy_pairs(names, "name", _MAX_DIST)
+    # attach per-name part counts; `names` is small post-aggregation, so
+    # both lookups broadcast
     return (
-        left.join(right, "bucket")
-        .filter(
-            # thresholded levenshtein short-circuits long rows but
-            # returns -1 (not a big number) when the bound is exceeded,
-            # so the keep-condition is ">= 0", NOT "<= bound".
-            (F.col("name1") < F.col("name2"))
-            & (F.levenshtein("name1", "name2", _MAX_DIST) >= 0)
-        )
-        .select(
+        pairs.join(
+            F.broadcast(
+                names.select(
+                    F.col("name").alias("name1"),
+                    F.col("n").alias("n_parts1"),
+                )
+            ),
             "name1",
-            "name2",
-            F.levenshtein("name1", "name2").cast("int").alias("lev_dist"),
-            "n_parts1",
-            "n_parts2",
         )
+        .join(
+            F.broadcast(
+                names.select(
+                    F.col("name").alias("name2"),
+                    F.col("n").alias("n_parts2"),
+                )
+            ),
+            "name2",
+        )
+        .select("name1", "name2", "lev_dist", "n_parts1", "n_parts2")
         .orderBy("name1", "name2")
     )
