@@ -1,0 +1,264 @@
+"""Second statistics/analytics tranche: market-basket pair mining,
+row-based EWMA smoothing, correlated LATERAL top-n, and an ordered
+multi-step funnel.
+
+All four are shuffle-minimal DataFrame compositions:
+
+- market basket: lineitem self-joins on l_orderkey (both sides hash to
+  the same key → one shuffle each, co-partitioned merge), pair counts
+  aggregate map-side first. Per-order pair generation is bounded by
+  basket size (TPC-H max 7 lines/order), so the join output is O(rows),
+  not quadratic, and the shape survives 100 TB.
+- EWMA: one window per series (shuffle on event_type only after a daily
+  pre-aggregation collapses the fact table ~events/day-fold), then a
+  fixed fan of `lag` taps — pure JVM expressions, numerically stable
+  because weights are renormalized per row instead of carrying a
+  running power term.
+- LATERAL top-n: Spark 4 correlated LATERAL subquery with ORDER BY +
+  LIMIT; Catalyst decorrelates it to a ranked join, so the SQL surface
+  costs nothing over the window formulation.
+- 3-step funnel: min-timestamp chaining (signup → view → purchase with
+  strictly increasing event times) — three keyed aggregations joined on
+  user_id, no event-sequence explosion.
+
+Reference parity: the reference (src/transform.py) has no statistical
+surface; these extend the engine's analytics the way its economic time
+series would be consumed downstream (smoothing, co-movement, funnels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+def _r(col):
+    return biased_round(col)
+
+
+@register(
+    "join_market_basket_pairs",
+    oracle="""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders_together
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders_together DESC, part_a, part_b
+        LIMIT 25
+    """,
+    doc="Market-basket co-occurrence: top part pairs bought in the same "
+    "order. Self-join on l_orderkey with an anti-symmetric partkey "
+    "predicate (each unordered pair counted once); both sides shuffle "
+    "on the same key so the join is co-partitioned, and pair counts "
+    "combine map-side before the final top-k. Output bounded by "
+    "basket-size choose 2 per order — linear in the table, not "
+    "quadratic, at any scale.",
+)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# EWMA taps: weight (1-alpha)^k for the k-th most recent observed day,
+# renormalized over the taps that exist at the head of each series.
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 12
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE({(1 - _EWMA_ALPHA) ** k!r} * lag(day_value, {k}) OVER w, 0)"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(day_value, {k}) OVER w IS NOT NULL"
+        f" THEN {(1 - _EWMA_ALPHA) ** k!r} ELSE 0 END"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   AVG(value) AS day_value
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               ROUND(5e-10 + ({num}) / ({den}), 4) AS ewma_value
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ORDER BY event_type, day
+    """
+
+
+@register(
+    "ts_ewma_smoothed",
+    oracle=_ewma_sql(),
+    doc="Row-based EWMA (alpha=0.3, 12 taps) of the daily mean value per "
+    "event type. Daily pre-aggregation first (collapses the fact table "
+    "before any window), then a fixed fan of lag() taps with per-row "
+    "weight renormalization — numerically stable (no running power "
+    "term to overflow) and exactly reproducible in ANSI SQL, unlike "
+    "the recursive y[i] = a*x[i] + (1-a)*y[i-1] form.",
+)
+def ts_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.avg("value").alias("day_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = sum(
+        (
+            F.coalesce(
+                F.lit((1 - _EWMA_ALPHA) ** k) * F.lag("day_value", k).over(w),
+                F.lit(0.0),
+            )
+            for k in range(_EWMA_TAPS)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("day_value", k).over(w).isNotNull(),
+                F.lit((1 - _EWMA_ALPHA) ** k),
+            ).otherwise(F.lit(0.0))
+            for k in range(_EWMA_TAPS)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            _r(num / den).alias("ewma_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "sql_lateral_topn_per_nation",
+    oracle="""
+        SELECT n.n_name, t.c_name,
+               ROUND(5e-10 + t.c_acctbal, 4) AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, acctbal DESC, t.c_name
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 "
+    "customers by balance per nation, written as the SQL-standard "
+    "lateral join. Catalyst decorrelates it into a ranked join "
+    "(WindowGroupLimit under AQE), so the declarative form carries no "
+    "penalty over a hand-written row_number filter.",
+)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name,
+               ROUND(t.c_acctbal + 5e-10, 4) AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, acctbal DESC, t.c_name
+        """
+    )
+
+
+@register(
+    "events_funnel_three_step",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_signup,
+               CAST(COUNT(t2) AS BIGINT) AS n_viewed_after,
+               CAST(COUNT(t3) AS BIGINT) AS n_purchased_after
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Ordered 3-step funnel (signup -> view -> purchase, strictly "
+    "increasing event times) by min-timestamp chaining: each step is a "
+    "keyed MIN over the events of users who reached the previous step. "
+    "Three aggregations + user_id-keyed joins — no per-user event "
+    "sequence materialization, so state is one row per user per step "
+    "at any scale.",
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t2").alias("n_viewed_after"),
+            F.count("t3").alias("n_purchased_after"),
+        )
+    )
