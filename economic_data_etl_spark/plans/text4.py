@@ -1,0 +1,141 @@
+"""Statistical language-model quality scoring (CCNet/Gopher-style) and
+per-source duplication-rate profiling.
+
+`text_lm_quality_score` is the two-pass pattern every corpus-level
+quality filter at 100 TB reduces to:
+
+  pass 1 — aggregate character-trigram counts over the whole corpus
+           (map-side combinable groupBy; the vocabulary is bounded by
+           charset³, a few MB, regardless of corpus size);
+  pass 2 — broadcast the frequency table back onto the document scan
+           and score each document as its mean trigram log-probability.
+
+The corpus shuffles once (the count aggregation); the scoring pass is a
+broadcast hash join + per-doc aggregation, so no second corpus shuffle.
+A real deployment swaps the corpus-trained trigram model for a KenLM
+scored the same way — the Spark plumbing (build-broadcast-score) is
+identical.
+
+Reference parity: the reference has no corpus analytics; this extends
+the curation stack (plans/text2.py, plans/curation.py) the way CCNet
+(Wenzek et al., LREC 2020) orders documents by LM perplexity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+def _r(col):
+    return biased_round(col)
+
+
+@register(
+    "text_lm_quality_score",
+    oracle="""
+        WITH tg AS (
+            SELECT d.doc_id, d.source,
+                   substring(lower(d.text), CAST(i AS INTEGER), 3) AS g
+            FROM documents d, UNNEST(range(1, length(d.text) - 1)) AS t(i)
+            WHERE length(d.text) >= 3
+        ), freq AS (
+            SELECT g, COUNT(*) AS c FROM tg GROUP BY 1
+        ), tot AS (
+            SELECT SUM(c) AS s FROM freq
+        ), doc_score AS (
+            SELECT tg.doc_id, tg.source,
+                   AVG(LN(freq.c / tot.s)) AS lp
+            FROM tg JOIN freq USING (g) CROSS JOIN tot
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               COUNT(*) AS n_docs_scored,
+               ROUND(5e-10 + AVG(lp), 4) AS avg_logprob,
+               ROUND(5e-10 + MIN(lp), 4) AS min_logprob,
+               ROUND(5e-10 + MAX(lp), 4) AS max_logprob
+        FROM doc_score
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Corpus-trained character-trigram LM quality score per source: "
+    "pass 1 aggregates global trigram counts (bounded vocabulary -> "
+    "map-side combine, one corpus shuffle), pass 2 broadcasts the "
+    "frequency table onto the document scan and scores each doc as its "
+    "mean trigram log-probability — the CCNet build-score pattern with "
+    "the KenLM swapped for a self-trained model. No second corpus "
+    "shuffle; the per-doc aggregation is keyed on doc_id which the "
+    "explode preserves.",
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(text) - 2),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    freq = docs.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("s"))
+    logprob = F.log(F.col("c") / F.col("s"))
+    doc_score = (
+        docs.join(F.broadcast(freq), "g")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(logprob).alias("lp"))
+    )
+    return (
+        doc_score.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            _r(F.avg("lp")).alias("avg_logprob"),
+            _r(F.min("lp")).alias("min_logprob"),
+            _r(F.max("lp")).alias("max_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dataset_dedup_rate_by_source",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+               ROUND(5e-10 + 1.0 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 4)
+                   AS dup_rate
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Exact duplication rate per source: docs vs distinct texts. "
+    "COUNT(DISTINCT text) is one partial-then-final aggregation keyed "
+    "on (source, text) — at real scale the text column would be "
+    "replaced by its sha2 digest first so the shuffle moves 32-byte "
+    "keys, which `dedup_exact_documents` already demonstrates; here the "
+    "raw column keeps the oracle byte-identical.",
+)
+def dataset_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            _r(
+                F.lit(1.0)
+                - F.countDistinct("text") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
