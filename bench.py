@@ -70,6 +70,11 @@ HEADLINE = [
     "ts_outlier_mad",
     "text_bigram_collocations",
     "embedding_random_projection",
+    "join_market_basket_pairs",
+    "ts_ewma_smoothed",
+    "events_funnel_three_step",
+    "text_lm_quality_score",
+    "dataset_dedup_rate_by_source",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
@@ -89,6 +94,8 @@ ISOLATED = {
     "dedup_semantic_embedding",
     "dedup_duplicated_ngram_fraction",
     "graph_triangle_census",
+    "join_market_basket_pairs",
+    "text_lm_quality_score",
 }
 
 

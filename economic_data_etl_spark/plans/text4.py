@@ -71,7 +71,11 @@ def _r(col):
     "explode preserves.",
 )
 def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
+    # One explode pass: per-doc trigram COUNTS (the sufficient statistic
+    # for both the global model and the per-doc score). Persisted so the
+    # frequency aggregation and the scoring join read it once — at real
+    # scale this is the checkpoint between the two passes.
+    doc_tg = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
         .select(
@@ -84,15 +88,24 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .persist()
     )
-    freq = docs.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    freq = doc_tg.groupBy("g").agg(F.sum("c_doc").alias("c"))
     total = freq.agg(F.sum("c").alias("s"))
     logprob = F.log(F.col("c") / F.col("s"))
+    # Count-weighted mean == instance-level mean, with the join shrunk
+    # from trigram instances to distinct (doc, trigram) pairs.
     doc_score = (
-        docs.join(F.broadcast(freq), "g")
+        doc_tg.join(F.broadcast(freq), "g")
         .join(F.broadcast(total))
         .groupBy("doc_id", "source")
-        .agg(F.avg(logprob).alias("lp"))
+        .agg(
+            (
+                F.sum(F.col("c_doc") * logprob) / F.sum("c_doc")
+            ).alias("lp")
+        )
     )
     return (
         doc_score.groupBy("source")
