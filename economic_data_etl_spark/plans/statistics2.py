@@ -44,7 +44,8 @@ def _r(col):
     "join_market_basket_pairs",
     oracle="""
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               COUNT(*) AS n_orders_together
+               CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT)
+                   AS n_orders_together
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -52,9 +53,10 @@ def _r(col):
         ORDER BY n_orders_together DESC, part_a, part_b
         LIMIT 25
     """,
-    doc="Market-basket co-occurrence: top part pairs bought in the same "
-    "order. Self-join on l_orderkey with an anti-symmetric partkey "
-    "predicate (each unordered pair counted once); both sides shuffle "
+    doc="Market-basket co-occurrence: top part pairs by the number of "
+    "DISTINCT orders containing both. Self-join on l_orderkey with an "
+    "anti-symmetric partkey predicate (each unordered pair once per "
+    "order, however many lines repeat a part); both sides shuffle "
     "on the same key so the join is co-partitioned, and pair counts "
     "combine map-side before the final top-k. Output bounded by "
     "basket-size choose 2 per order — linear in the table, not "
@@ -71,10 +73,11 @@ def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("part_a"),
         F.col("b.l_partkey").alias("part_b"),
+        F.col("a.l_orderkey").alias("l_orderkey"),
     )
     return (
         pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders_together"))
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
         .limit(25)
     )
