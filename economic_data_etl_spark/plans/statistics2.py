@@ -101,7 +101,8 @@ def _ewma_sql() -> str:
     )
     return f"""
         WITH daily AS (
-            SELECT event_type, CAST(ts AS DATE) AS day,
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
                    AVG(value) AS day_value
             FROM events
             WHERE value IS NOT NULL
@@ -130,7 +131,7 @@ def ts_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .groupBy(
-            "event_type", F.col("ts").cast("date").alias("day")
+            "event_type", F.date_trunc("day", "ts").alias("day")
         )
         .agg(F.avg("value").alias("day_value"))
     )

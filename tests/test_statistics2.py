@@ -45,7 +45,7 @@ def test_ewma_within_series_envelope(spark, sf_dir):
     daily = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.avg("value").alias("day_value"))
         .groupBy("event_type")
         .agg(F.min("day_value").alias("lo"), F.max("day_value").alias("hi"))
