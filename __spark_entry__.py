@@ -53,15 +53,17 @@ def _driver_status() -> dict[str, bool]:
 
 
 def _rotation_order() -> list[str]:
-    """All registered queries: never-driver-sampled first, then queries
-    whose LATEST driver row failed (err / hash-mismatch — a fix needs a
-    fresh row to prove itself), then the green tail.
+    """All registered queries: queries whose LATEST driver row failed
+    first (err / hash-mismatch — a fix needs a fresh row to prove
+    itself), then never-driver-sampled queries, then the green tail.
 
     The driver checks a ~50-query prefix of `queries()` per round, so a
-    fixed order would leave the same tail unverified forever. Fresh
-    queries are interleaved round-robin by family (name prefix) so even
-    a small sample touches every operator family; already-green queries
-    go last (they keep their local oracle tests either way).
+    fixed order would leave the same tail unverified forever. Failed
+    queries lead because re-proving a fix beats first-proving a query
+    that already passes the local sf0.01 replica sweep; fresh queries
+    are interleaved round-robin by family (name prefix) so even a small
+    sample touches every operator family; already-green queries go last
+    (they keep their local oracle tests either way).
     """
     names = list(REGISTRY)
     status = _driver_status()
@@ -69,13 +71,12 @@ def _rotation_order() -> list[str]:
     groups: dict[str, list[str]] = {}
     for n in fresh:
         groups.setdefault(n.split("_", 1)[0], []).append(n)
-    order: list[str] = []
+    order: list[str] = [n for n in names if status.get(n) is False]
     buckets = list(groups.values())
     while any(buckets):
         for b in buckets:
             if b:
                 order.append(b.pop(0))
-    order.extend(n for n in names if status.get(n) is False)
     order.extend(n for n in names if status.get(n) is True)
     return order
 
