@@ -165,6 +165,38 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner")
 
 
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event is
+    emitted — paired with matching right events of the same key in
+    [left_ts - max_delay, left_ts], or null-padded if none arrive.
+
+    The null-padded row for an unmatched left event can only be emitted
+    once Spark has PROOF no match can still arrive: the watermark must
+    pass the end of the event's match interval. That makes output
+    latency = watermark delay by construction, and it means a terminal
+    micro-batch can hold back tail rows until a later batch advances
+    the watermark (tests append a flush event to force this). State for
+    both sides is expired by the same watermark, so memory is bounded
+    by the interval width × arrival rate, never by stream length.
+    """
+    l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "leftOuter")
+
+
 def foreach_batch_upsert(target_path: str, keys: list[str], compare_cols: list[str]):
     """Sink factory: MERGE each micro-batch into a parquet target via the
     engine's upsert operator — late/revised rows update in place, exactly
