@@ -75,6 +75,7 @@ HEADLINE = [
     "events_funnel_three_step",
     "text_lm_quality_score",
     "dataset_dedup_rate_by_source",
+    "ts_rolling_correlation",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

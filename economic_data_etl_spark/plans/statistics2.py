@@ -266,3 +266,78 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t3").alias("n_purchased_after"),
         )
     )
+
+
+_ROLL_W = 7
+
+
+@register(
+    "ts_rolling_correlation",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value END)
+                       AS x,
+                   SUM(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1
+            HAVING x IS NOT NULL AND y IS NOT NULL
+        )
+        SELECT day,
+               ROUND(5e-10 + x, 4) AS x_total,
+               ROUND(5e-10 + y, 4) AS y_total,
+               CASE WHEN COUNT(*) OVER w = {_ROLL_W}
+                    THEN ROUND(5e-10 +
+                        (AVG(x * y) OVER w - AVG(x) OVER w * AVG(y) OVER w)
+                        / NULLIF(STDDEV_POP(x) OVER w
+                                 * STDDEV_POP(y) OVER w, 0), 4)
+               END AS roll_corr
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    doc=f"Rolling {_ROLL_W}-day correlation between daily purchase and "
+    "view value totals: conditional-aggregation pivot to two aligned "
+    "series, then corr from windowed moments "
+    "(E[xy] - E[x]E[y]) / (sigma_x * sigma_y) — Spark exposes corr() "
+    "only as a group aggregate, so the moment composition IS the "
+    "rolling form, identical in both engines. Emitted only for full "
+    "windows; zero-variance windows yield null via NULLIF. One daily "
+    "pre-aggregation shuffle; the single ordered window over days is "
+    "one tiny partition per series at any corpus scale.",
+)
+def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value"))
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    w = Window.orderBy("day").rowsBetween(-(_ROLL_W - 1), 0)
+    corr = (
+        F.avg(F.col("x") * F.col("y")).over(w)
+        - F.avg("x").over(w) * F.avg("y").over(w)
+    ) / F.nullif(
+        F.stddev_pop("x").over(w) * F.stddev_pop("y").over(w), F.lit(0.0)
+    )
+    return (
+        daily.select(
+            "day",
+            _r(F.col("x")).alias("x_total"),
+            _r(F.col("y")).alias("y_total"),
+            F.when(
+                F.count(F.lit(1)).over(w) == _ROLL_W, _r(corr)
+            ).alias("roll_corr"),
+        )
+        .orderBy("day")
+    )
