@@ -86,3 +86,45 @@ def events_transition_matrix(
             )
         ).alias("p_transition"),
     ).orderBy("prev_type", "curr_type")
+
+
+@register(
+    "events_asof_next_view",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS next_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id AND p.ts <= v.ts
+        ORDER BY p.event_id
+    """,
+    doc="FORWARD as-of join: for each purchase, the first view at or "
+    "after it by the same user — the 'what did they do next' twin of "
+    "events_asof_purchase_view. Same union+window plan (one shuffle on "
+    "user_id, linear scan per partition) with the frame mirrored to "
+    "following rows; oracle = DuckDB ASOF JOIN with the inequality "
+    "flipped.",
+)
+def events_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("next_view_ts")
+    )
+    return (
+        asof_join(
+            purchases,
+            views,
+            on="user_id",
+            left_ts="ts",
+            right_ts="next_view_ts",
+            right_payload=["next_view_ts"],
+            suffix="",
+            direction="forward",
+        )
+        .select("event_id", "user_id", "ts", "next_view_ts")
+        .orderBy("event_id")
+    )
