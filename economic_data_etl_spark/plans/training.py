@@ -243,3 +243,78 @@ def dataset_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "training_chunk_windows",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_tok
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, source, n_tok,
+                   CASE WHEN n_tok = 0 THEN 0
+                        WHEN n_tok <= {_CHUNK_SIZE} THEN 1
+                        ELSE CAST(CEIL((n_tok - {_CHUNK_SIZE})
+                                       * 1.0 / {_CHUNK_STRIDE}) AS BIGINT) + 1
+                   END AS n_chunks
+            FROM toks
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+               ROUND(5e-10 + SUM(n_chunks * 1.0 * {_CHUNK_SIZE})
+                     / NULLIF(SUM(n_tok), 0), 4) AS duplication_factor
+        FROM chunks
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc=f"Sliding-window chunking plan (size {_CHUNK_SIZE}, stride "
+    f"{_CHUNK_STRIDE}): how many training sequences each source yields "
+    "and the token-duplication factor the overlap costs — the "
+    "accounting every context-window pipeline needs before "
+    "materializing chunks. Chunk counts are closed-form per doc "
+    "(ceil((n-size)/stride)+1), so the query is one scan + one "
+    "aggregation: no chunk rows are materialized until a downstream "
+    "writer needs them, at which point the same formula drives a "
+    "sequence()+explode that scales linearly with output tokens.",
+)
+def training_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tok = F.size(
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    n_chunks = (
+        F.when(F.col("n_tok") == 0, F.lit(0).cast("long"))
+        .when(F.col("n_tok") <= _CHUNK_SIZE, F.lit(1).cast("long"))
+        .otherwise(
+            F.ceil(
+                (F.col("n_tok") - _CHUNK_SIZE) / F.lit(float(_CHUNK_STRIDE))
+            ).cast("long")
+            + 1
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn("n_chunks", n_chunks)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+            biased_round(
+                F.sum(F.col("n_chunks") * F.lit(float(_CHUNK_SIZE)))
+                / F.nullif(F.sum("n_tok"), F.lit(0))
+            ).alias("duplication_factor"),
+        )
+        .orderBy("source")
+    )
