@@ -77,3 +77,44 @@ def embedding_random_projection(
             ).alias(f"p{k}")
         )
     return emb.select(*cols).orderBy("vec_id")
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+        SELECT CAST(i - 1 AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(5e-10 + AVG(embedding[i]::DOUBLE), 4) AS mean_val,
+               ROUND(5e-10 + STDDEV_SAMP(embedding[i]::DOUBLE), 4)
+                   AS std_val,
+               ROUND(5e-10 + MIN(embedding[i]::DOUBLE), 4) AS min_val,
+               ROUND(5e-10 + MAX(embedding[i]::DOUBLE), 4) AS max_val
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY i
+        ORDER BY dim
+    """,
+    doc="Per-dimension profile of the embedding column (mean/std/min/"
+    "max) — the fit step of a feature standardizer and the first "
+    "diagnostic for a degenerate encoder (dead or exploding dims). "
+    "posexplode keys the aggregation on the dimension index: partial "
+    "(map-side) aggregation collapses every task to at most `dim` "
+    "rows before the shuffle, so the exchange moves dim x n_tasks "
+    "rows regardless of corpus size.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            biased_round(F.avg("x")).alias("mean_val"),
+            biased_round(F.stddev_samp("x")).alias("std_val"),
+            biased_round(F.min("x")).alias("min_val"),
+            biased_round(F.max("x")).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
