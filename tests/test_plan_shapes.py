@@ -120,3 +120,36 @@ class TestPlanShapes:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound3PlanShapes:
+    def test_lateral_topn_decorrelates_to_window_group_limit(
+        self, spark, sf_dir
+    ):
+        """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate
+        to a ranked join with WindowGroupLimit — per-partition top-k
+        trimming before any shuffle — not re-execute per outer row."""
+        plan = _plan(spark, sf_dir, "sql_lateral_topn_per_nation")
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_market_basket_self_join_is_keyed(self, spark, sf_dir):
+        """Pair generation must join on l_orderkey (hash/broadcast at this
+        scale, sort-merge co-partitioned at cluster scale) — never a
+        cartesian with the partkey inequality as a post-filter."""
+        plan = _plan(spark, sf_dir, "join_market_basket_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_forward_asof_is_union_window_not_range_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "events_asof_next_view")
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_lm_score_frequency_model_is_broadcast(self, spark, sf_dir):
+        """The trigram frequency table (bounded by charset³) must reach
+        the scoring join as a broadcast — the corpus-side doc-trigram
+        table shuffles once for its own aggregation and is never
+        re-partitioned to meet the model. (The single-row total joins
+        via a one-row broadcast nested loop, which is constant work.)"""
+        plan = _plan(spark, sf_dir, "text_lm_quality_score")
+        assert "BroadcastHashJoin" in plan
