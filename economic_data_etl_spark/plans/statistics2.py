@@ -341,3 +341,91 @@ def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_interarrival_gaps",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   EPOCH(ts - LAG(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   )) AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               ROUND(5e-10 + AVG(gap_s), 4) AS mean_gap_s,
+               ROUND(5e-10 + quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+               ROUND(5e-10 + quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+               ROUND(5e-10 + MAX(gap_s), 4) AS max_gap_s
+        FROM gaps
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Point-process view of the event stream: inter-arrival gap "
+    "statistics (mean / exact median / p90 / max seconds) per event "
+    "type. One lag window per type (ordered by ts with event_id as the "
+    "deterministic tiebreak) feeding one grouped aggregation — the "
+    "arrival-rate profile that sizes streaming watermarks and session "
+    "gap thresholds. Gap arithmetic goes through the NTZ-safe "
+    "timestampdiff helper (Spark 4.1 forbids timestamp->double casts).",
+)
+def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.functions.casts import ts_diff_seconds
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            ts_diff_seconds(F.lag("ts").over(w), F.col("ts")).alias(
+                "gap_s"
+            ),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            _r(F.avg("gap_s")).alias("mean_gap_s"),
+            _r(F.expr("percentile(gap_s, 0.5)")).alias("median_gap_s"),
+            _r(F.expr("percentile(gap_s, 0.9)")).alias("p90_gap_s"),
+            _r(F.max("gap_s")).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "profile_table_counts",
+    oracle="""
+        SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+        ORDER BY table_name
+    """,
+    doc="Warehouse census: one row count per catalog table via a UNION "
+    "ALL of count-star aggregates. Each leg is a metadata-cheap "
+    "column-less scan (parquet row-group counts; no column IO), so the "
+    "audit costs footer reads, not data reads, at any scale.",
+)
+def profile_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from economic_data_etl_spark.sources.tables import TABLES
+
+    legs = [
+        load_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), legs).orderBy("table_name")
