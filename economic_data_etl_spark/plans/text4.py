@@ -63,49 +63,72 @@ def _r(col):
     """,
     doc="Corpus-trained character-trigram LM quality score per source: "
     "pass 1 aggregates global trigram counts (bounded vocabulary -> "
-    "map-side combine, one corpus shuffle), pass 2 broadcasts the "
-    "frequency table onto the document scan and scores each doc as its "
-    "mean trigram log-probability — the CCNet build-score pattern with "
-    "the KenLM swapped for a self-trained model. No second corpus "
-    "shuffle; the per-doc aggregation is keyed on doc_id which the "
-    "explode preserves.",
+    "map-side combine collapses the exchange to |vocab| rows per task), "
+    "pass 2 broadcasts the log-prob model and scores each doc as its "
+    "mean trigram log-probability inside an Arrow-batched mapInPandas "
+    "— the CCNet build-score pattern with the KenLM swapped for a "
+    "self-trained model. Scoring is row-local, so the corpus is never "
+    "shuffled: only the vocab-sized model and the per-source summary "
+    "move.",
 )
 def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One explode pass: per-doc trigram COUNTS (the sufficient statistic
-    # for both the global model and the per-doc score). Persisted so the
-    # frequency aggregation and the scoring join read it once — at real
-    # scale this is the checkpoint between the two passes.
-    doc_tg = (
+    # Pass 1 (model build): explode trigram instances and count per
+    # trigram. Partial (map-side) aggregation collapses every task to at
+    # most |vocab| rows before the exchange, and the vocabulary is
+    # bounded by charset³ regardless of corpus size — so this shuffle
+    # and the driver collect below are both constant-bounded, the same
+    # argument the ANN operators use for their centroid tables.
+    import math
+
+    import pandas as pd
+
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
-        .select(
-            "doc_id",
-            "source",
+        .select("doc_id", "source", "text")
+    )
+    freq_rows = (
+        docs.select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, char_length(text) - 2),"
                     " i -> substring(lower(text), i, 3))"
                 )
-            ).alias("g"),
+            ).alias("g")
         )
-        .groupBy("doc_id", "source", "g")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-        .persist()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    freq = doc_tg.groupBy("g").agg(F.sum("c_doc").alias("c"))
-    total = freq.agg(F.sum("c").alias("s"))
-    logprob = F.log(F.col("c") / F.col("s"))
-    # Count-weighted mean == instance-level mean, with the join shrunk
-    # from trigram instances to distinct (doc, trigram) pairs.
-    doc_score = (
-        doc_tg.join(F.broadcast(freq), "g")
-        .join(F.broadcast(total))
-        .groupBy("doc_id", "source")
-        .agg(
-            (
-                F.sum(F.col("c_doc") * logprob) / F.sum("c_doc")
-            ).alias("lp")
-        )
+    total = float(sum(r["c"] for r in freq_rows))
+    lp_model = spark.sparkContext.broadcast(
+        {r["g"]: math.log(r["c"] / total) for r in freq_rows}
+    )
+
+    # Pass 2 (scoring): the per-doc mean log-probability is row-local
+    # once the model is broadcast, so score inside an Arrow-batched
+    # mapInPandas — ZERO corpus shuffles (the earlier join formulation
+    # re-shuffled all trigram instances on doc_id just to average them).
+    def _score(batches):
+        model = lp_model.value
+        for pdf in batches:
+            lps = []
+            for t in pdf["text"]:
+                s = t.lower()
+                n = len(s) - 2
+                lps.append(
+                    sum(model[s[i : i + 3]] for i in range(n)) / n
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "lp": lps,
+                }
+            )
+
+    doc_score = docs.mapInPandas(
+        _score, "doc_id long, source string, lp double"
     )
     return (
         doc_score.groupBy("source")
