@@ -429,3 +429,79 @@ def profile_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), legs).orderBy("table_name")
+
+
+@register(
+    "agg_chisq_priority_returnflag",
+    oracle="""
+        WITH joint AS (
+            SELECT o.o_orderpriority AS p, l.l_returnflag AS m,
+                   COUNT(*) * 1.0 AS obs
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT SUM(obs) AS n FROM joint
+        ), marg AS (
+            SELECT j.p, j.m, j.obs,
+                   SUM(j.obs) OVER (PARTITION BY j.p) AS row_tot,
+                   SUM(j.obs) OVER (PARTITION BY j.m) AS col_tot
+            FROM joint j
+        )
+        SELECT ROUND(5e-10 + SUM(
+                   POW(obs - row_tot * col_tot / tot.n, 2)
+                   / (row_tot * col_tot / tot.n)), 4) AS chi2,
+               CAST((COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT m) - 1)
+                    AS BIGINT) AS dof,
+               CAST(tot.n AS BIGINT) AS n_obs
+        FROM marg CROSS JOIN tot
+        GROUP BY tot.n
+    """,
+    doc="Chi-square test of independence between order priority and return "
+    "flag: contingency counts from one fact join, marginals recovered "
+    "with two window sums OVER THE TINY CONTINGENCY TABLE (5x3 cells) "
+    "— the fact tables aggregate once and never move again, so the "
+    "statistic costs one co-keyed join + one groupBy at any scale. "
+    "Expected counts are row_tot*col_tot/n per Pearson's formula.",
+)
+def agg_chisq_priority_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("p")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_returnflag").alias("m"),
+    )
+    joint = (
+        orders.join(li, "o_orderkey")
+        .groupBy("p", "m")
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    wp = Window.partitionBy("p")
+    wm = Window.partitionBy("m")
+    marg = joint.select(
+        "p",
+        "m",
+        "obs",
+        F.sum("obs").over(wp).alias("row_tot"),
+        F.sum("obs").over(wm).alias("col_tot"),
+    )
+    tot = joint.agg(F.sum("obs").alias("n"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return (
+        marg.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            _r(F.sum(F.pow(F.col("obs") - exp, 2) / exp)).alias("chi2"),
+            (
+                (F.countDistinct("p") - 1) * (F.countDistinct("m") - 1)
+            ).alias("dof"),
+            F.count(F.lit(1)).alias("__cells"),
+        )
+        .select(
+            "chi2",
+            "dof",
+            F.col("n").cast("long").alias("n_obs"),
+        )
+    )
