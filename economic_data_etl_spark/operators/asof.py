@@ -13,16 +13,22 @@ Implementation is the union-then-window pattern, NOT a range join:
 
     union(left tagged 1, right tagged 0)
       → window partitionBy(key) orderBy(ts, tag) rowsBetween(unbounded, 0)
-      → last(right payload, ignoreNulls=True)        [backward]
-        / first(...) over the mirrored following frame [forward]
+      → last(right ROW STRUCT, ignoreNulls=True)        [backward]
+        / first(...) over the mirrored following frame   [forward]
       → filter tag = 1
+
+The matched right row travels as ONE struct column (null only on
+left-tagged rows), so a right row whose payload value is genuinely NULL
+is still the row that wins — filling payload columns independently
+would skip it and resurrect a stale earlier match, diverging from
+merge_asof/ASOF JOIN semantics.
 
 One shuffle on the key, linear scan per partition — O(n log n) for the
 sort vs. the O(n·m) worst case of the naive range-join + row_number plan.
 `nearest` runs both window passes over the SAME sorted partition (no
-extra shuffle) and arbitrates per row. This survives 100 TB: both
-inputs partition on the key; skewed keys are split by AQE since the
-window sort spills.
+extra shuffle) and arbitrates per row on the struct's matched
+timestamp. This survives 100 TB: both inputs partition on the key;
+skewed keys are split by AQE since the window sort spills.
 """
 
 from __future__ import annotations
@@ -49,34 +55,29 @@ def asof_join(
         raise ValueError(f"unknown asof direction {direction!r}")
     tag = "__asof_is_left"
     ts = "__asof_ts"
-    rts = f"__asof_right_ts{suffix}"
+    rrow = "__asof_right"
+    rts = "__rts"
 
     l_cols = [c for c in left.columns]
-    lifted = [F.col(c).alias(f"{c}{suffix}") for c in right_payload]
-    fill_cols = [f"{c}{suffix}" for c in right_payload] + [rts]
 
-    l_side = left.select(
-        F.col(on).alias(on),
-        F.col(left_ts).alias(ts),
-        F.lit(1).alias(tag),
-        F.struct(*l_cols).alias("__asof_left"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(rts),
-    )
     r_side = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias(ts),
         F.lit(0).alias(tag),
-        F.lit(None)
-        .cast(l_side.schema["__asof_left"].dataType)
-        .alias("__asof_left"),
-        *lifted,
-        F.col(right_ts).alias(rts),
+        F.struct(
+            F.col(right_ts).alias(rts),
+            *[F.col(c).alias(c) for c in right_payload],
+        ).alias(rrow),
     )
-    unioned = l_side.unionByName(r_side)
+    l_side = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(tag),
+        F.lit(None).cast(r_side.schema[rrow].dataType).alias(rrow),
+        F.struct(*[F.col(c) for c in l_cols]).alias("__asof_left"),
+    )
+    # unionByName(allowMissingColumns) nulls __asof_left on right rows.
+    unioned = l_side.unionByName(r_side, allowMissingColumns=True)
 
     # Backward: right (0) sorts before left (1) at equal timestamps so an
     # equal-ts right row falls inside the preceding frame → inclusive.
@@ -91,45 +92,37 @@ def asof_join(
         .orderBy(F.col(ts), F.col(tag).desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    fill_back = F.last(F.col(rrow), ignorenulls=True).over(w_back)
+    fill_fwd = F.first(F.col(rrow), ignorenulls=True).over(w_fwd)
 
-    def filled(col: str, which: str) -> F.Column:
-        if which == "backward":
-            return F.last(F.col(col), ignorenulls=True).over(w_back)
-        return F.first(F.col(col), ignorenulls=True).over(w_fwd)
-
-    if direction in ("backward", "forward"):
+    if direction == "backward":
+        chosen = fill_back
+        out = unioned.select("*", chosen.alias("__chosen"))
+    elif direction == "forward":
+        chosen = fill_fwd
+        out = unioned.select("*", chosen.alias("__chosen"))
+    else:
+        # nearest: both passes over the same sorted data, per-row
+        # arbitration on the matched timestamps inside the structs.
         out = unioned.select(
-            "*",
-            *[
-                filled(c, direction).alias(f"__filled_{c}")
-                for c in fill_cols
-            ],
+            "*", fill_back.alias("__b"), fill_fwd.alias("__f")
         )
-        return out.filter(F.col(tag) == 1).select(
-            "__asof_left.*",
-            *[
-                F.col(f"__filled_{c}{suffix}").alias(f"{c}{suffix}")
-                for c in right_payload
-            ],
+        d_back = F.col(ts) - F.col(f"__b.{rts}")
+        d_fwd = F.col(f"__f.{rts}") - F.col(ts)
+        use_back = F.col(f"__f.{rts}").isNull() | (
+            F.col(f"__b.{rts}").isNotNull() & (d_back <= d_fwd)
+        )
+        out = out.select(
+            "*",
+            F.when(use_back, F.col("__b"))
+            .otherwise(F.col("__f"))
+            .alias("__chosen"),
         )
 
-    # nearest: both passes over the same sorted data, per-row arbitration.
-    both = unioned.select(
-        "*",
-        *[filled(c, "backward").alias(f"__b_{c}") for c in fill_cols],
-        *[filled(c, "forward").alias(f"__f_{c}") for c in fill_cols],
-    )
-    d_back = F.col(ts) - F.col(f"__b_{rts}")
-    d_fwd = F.col(f"__f_{rts}") - F.col(ts)
-    use_back = F.col(f"__f_{rts}").isNull() | (
-        F.col(f"__b_{rts}").isNotNull() & (d_back <= d_fwd)
-    )
-    return both.filter(F.col(tag) == 1).select(
+    return out.filter(F.col(tag) == 1).select(
         "__asof_left.*",
         *[
-            F.when(use_back, F.col(f"__b_{c}{suffix}"))
-            .otherwise(F.col(f"__f_{c}{suffix}"))
-            .alias(f"{c}{suffix}")
+            F.col(f"__chosen.{c}").alias(f"{c}{suffix}")
             for c in right_payload
         ],
     )

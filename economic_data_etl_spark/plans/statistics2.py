@@ -497,7 +497,6 @@ def agg_chisq_priority_returnflag(
             (
                 (F.countDistinct("p") - 1) * (F.countDistinct("m") - 1)
             ).alias("dof"),
-            F.count(F.lit(1)).alias("__cells"),
         )
         .select(
             "chi2",

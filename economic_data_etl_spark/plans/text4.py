@@ -114,11 +114,19 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             lps = []
             for t in pdf["text"]:
+                # Mirror pass 1 exactly: positions from the ORIGINAL
+                # length, trigrams sliced from the lowered text (JVM
+                # lower can change string length on exotic code
+                # points). Trigrams absent from the model are skipped —
+                # the same inner-join semantics the oracle's
+                # `JOIN freq USING (g)` applies.
                 s = t.lower()
-                n = len(s) - 2
-                lps.append(
-                    sum(model[s[i : i + 3]] for i in range(n)) / n
-                )
+                known = [
+                    model[g]
+                    for g in (s[i : i + 3] for i in range(len(t) - 2))
+                    if g in model
+                ]
+                lps.append(sum(known) / len(known) if known else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -129,7 +137,7 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc_score = docs.mapInPandas(
         _score, "doc_id long, source string, lp double"
-    )
+    ).filter(F.col("lp").isNotNull())
     return (
         doc_score.groupBy("source")
         .agg(

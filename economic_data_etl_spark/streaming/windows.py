@@ -155,14 +155,9 @@ def stream_stream_interval_join(
     interval bound, stream-stream join state grows forever. The canonical
     funnel shape: purchases joined to the views that preceded them.
     """
-    l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
-    r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
-    cond = (
-        (l[key] == r[key])
-        & (r[right_ts] <= l[left_ts])
-        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+    return _interval_join(
+        left, right, key, left_ts, right_ts, max_delay, watermark, "inner"
     )
-    return l.join(r, cond, "inner")
 
 
 def stream_stream_left_outer_join(
@@ -187,6 +182,24 @@ def stream_stream_left_outer_join(
     both sides is expired by the same watermark, so memory is bounded
     by the interval width × arrival rate, never by stream length.
     """
+    return _interval_join(
+        left, right, key, left_ts, right_ts, max_delay, watermark, "leftOuter"
+    )
+
+
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared watermarked interval-join core: same key, right timestamp
+    in [left_ts - max_delay, left_ts], both sides watermarked so state
+    is expirable. Join type is the only degree of freedom."""
     l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
     r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
@@ -194,7 +207,7 @@ def stream_stream_left_outer_join(
         & (r[right_ts] <= l[left_ts])
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "leftOuter")
+    return l.join(r, cond, how)
 
 
 def foreach_batch_upsert(target_path: str, keys: list[str], compare_cols: list[str]):

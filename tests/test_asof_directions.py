@@ -87,3 +87,17 @@ def test_forward_inclusive_at_equal_ts(spark):
     right_pd = pd.DataFrame({"k": [1, 1], "rts": [10, 11], "v": [100, 110]})
     got = _spark_asof(spark, left_pd, right_pd, "forward")
     assert got["v_m"].tolist() == [100]
+
+
+def test_null_payload_row_still_wins(spark):
+    """A matched right row whose payload is genuinely NULL must be the
+    match (merge_asof semantics) — not skipped in favor of a stale
+    earlier row (the failure mode of filling payload columns
+    independently with ignorenulls)."""
+    left_pd = pd.DataFrame({"k": [1], "ts": [10]})
+    right_pd = pd.DataFrame(
+        {"k": [1, 1], "rts": [2, 8], "v": [20.0, None]}
+    )
+    for direction in ("backward", "nearest"):
+        got = _spark_asof(spark, left_pd, right_pd, direction)
+        assert got["v_m"].isna().all(), direction

@@ -65,7 +65,7 @@ class TestStreamStreamLeftOuterJoin:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "streaming query timed out"
         got = {
             (r["p_id"], r["v_id"])
             for r in spark.table("t_ssoj").collect()
