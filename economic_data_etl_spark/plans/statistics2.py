@@ -504,3 +504,63 @@ def agg_chisq_priority_returnflag(
             F.col("n").cast("long").alias("n_obs"),
         )
     )
+
+
+@register(
+    "ts_trend_regression",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS day_total
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), indexed AS (
+            SELECT event_type, day_total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) * 1.0 AS x
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(5e-10 + regr_slope(day_total, x), 4) AS slope,
+               ROUND(5e-10 + regr_intercept(day_total, x), 4)
+                   AS intercept,
+               ROUND(5e-10 + regr_r2(day_total, x), 4) AS r2
+        FROM indexed
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Per-series linear trend: OLS slope/intercept/R² of the daily "
+    "value total against the day index, via the SQL-standard regr_* "
+    "aggregates (closed-form moments — single-pass, map-side "
+    "combinable, no iteration). Day indices come from one row_number "
+    "window over the tiny daily aggregate, so the fact table shuffles "
+    "once for the pre-aggregation and the regression itself moves "
+    "only per-series moment tuples.",
+)
+def ts_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("day_total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    indexed = daily.select(
+        "event_type",
+        "day_total",
+        F.row_number().over(w).cast("double").alias("x"),
+    )
+    return (
+        indexed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            _r(F.regr_slope("day_total", "x")).alias("slope"),
+            _r(F.regr_intercept("day_total", "x")).alias("intercept"),
+            _r(F.regr_r2("day_total", "x")).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
