@@ -183,3 +183,82 @@ def dataset_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_VOCAB_KS = (100, 500, 1000)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ), cnt AS (
+            SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+        ), ranked AS (
+            SELECT c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+                   SUM(c) OVER () AS total,
+                   SUM(c) OVER (ORDER BY c DESC, term
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM cnt
+        )
+        SELECT CAST(k.k AS BIGINT) AS vocab_size,
+               ROUND(5e-10 + MAX(CASE WHEN rnk <= k.k
+                                      THEN cum END) / ANY_VALUE(total), 4)
+                   AS coverage
+        FROM ranked CROSS JOIN (VALUES {", ".join(f"({k})" for k in _VOCAB_KS)}) AS k(k)
+        GROUP BY k.k
+        ORDER BY vocab_size
+    """,
+    doc="Tokenizer-design diagnostic: what fraction of all token "
+    "instances a top-k vocabulary covers, for several k. One token "
+    "count aggregation (map-side combinable; the only corpus-scale "
+    "shuffle), then ranking/cumulative-share windows over the TERM "
+    "TABLE, whose size is the vocabulary, not the corpus. Ties rank "
+    "deterministically by (count desc, term) in both engines.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.desc("c"), "term")
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            biased_round(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")))
+                / F.any_value("total")
+            ).alias("coverage")
+        )
+        .select(F.col("k").cast("long").alias("vocab_size"), "coverage")
+        .orderBy("vocab_size")
+    )
