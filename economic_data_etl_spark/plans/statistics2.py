@@ -564,3 +564,97 @@ def ts_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dedup_keep_latest_per_user",
+    oracle="""
+        SELECT user_id, event_id AS latest_event_id,
+               ts AS latest_ts, event_type AS latest_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    doc="CDC-style log compaction: keep only the latest event per user "
+    "(ts desc, event_id desc as the total tiebreak). row_number-desc + "
+    "rn=1 compiles to WindowGroupLimit, so each map task pre-trims to "
+    "one row per key it holds BEFORE the shuffle — the pattern that "
+    "compacts a 100 TB changelog while moving only the surviving "
+    "rows' keys twice, never the full log.",
+)
+def dedup_keep_latest_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "features_decile_bins",
+    oracle="""
+        WITH binned AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(5e-10 + MIN(o_totalprice), 4) AS lo,
+               ROUND(5e-10 + MAX(o_totalprice), 4) AS hi,
+               ROUND(5e-10 + AVG(o_totalprice), 4) AS mean_price
+        FROM binned
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    doc="Equal-frequency discretization: decile bins of order value with "
+    "per-bin edges and means — the fit step of a quantile binner "
+    "(feature engineering) and a monotone binning for score "
+    "calibration. ntile needs a total order; o_orderkey breaks "
+    "o_totalprice ties so bin membership is deterministic in both "
+    "engines. At real scale the single-partition sort is replaced by "
+    "approx-percentile cut points; the exact form here is what gives "
+    "the oracle value-equality.",
+)
+def features_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.min("o_totalprice")).alias("lo"),
+            _r(F.max("o_totalprice")).alias("hi"),
+            _r(F.avg("o_totalprice")).alias("mean_price"),
+        )
+        .select(F.col("decile").cast("long").alias("decile"), "n_orders", "lo", "hi", "mean_price")
+        .orderBy("decile")
+    )
