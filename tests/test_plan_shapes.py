@@ -156,3 +156,13 @@ class TestRound3PlanShapes:
         assert "Join" not in plan
         # tree nodes render as "Exchange (n)": summary agg + output sort.
         assert plan.count("Exchange (") <= 2
+
+    def test_keep_latest_compaction_uses_window_group_limit(
+        self, spark, sf_dir
+    ):
+        """rn=1 over (ts desc) must compile to WindowGroupLimit so each
+        map task pre-trims to one row per key before the shuffle —
+        the property that makes changelog compaction move survivors,
+        not the log."""
+        plan = _plan(spark, sf_dir, "dedup_keep_latest_per_user")
+        assert "WindowGroupLimit" in plan
