@@ -318,3 +318,57 @@ def training_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_WSAMPLE_K = 50
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   LN(({_BUCKET_SQL.format(salt="wsample-v1", key="doc_id")}
+                       + 0.5) / 65536.0) / n_chars AS rank_key
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               ROUND(5e-10 + rank_key, 4) AS rank_key
+        FROM keyed
+        ORDER BY keyed.rank_key DESC, doc_id
+        LIMIT {_WSAMPLE_K}
+    """,
+    doc=f"Deterministic weighted sampling WITHOUT replacement "
+    f"(Efraimidis-Spirakis A-Res, top-{_WSAMPLE_K}): each doc gets "
+    "rank key ln(u)/w with u a uniform md5 bucket of (salt || doc_id) "
+    "and w = n_chars, and the k largest keys are the sample — "
+    "inclusion probability proportional to weight, no replacement, "
+    "reproducible across engines because u comes from the same "
+    "portable md5 formula the split/mix operators use. One map "
+    "expression + a top-k (TakeOrderedAndProject — per-partition "
+    "heads merge on the driver, no global sort) at any scale.",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        training.hash_bucket(F.col("doc_id"), "wsample-v1") + F.lit(0.5)
+    ) / F.lit(65536.0)
+    rank_key = F.log(u) / F.col("n_chars")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            rank_key.alias("__rk"),
+        )
+        .orderBy(F.desc("__rk"), "doc_id")
+        .limit(_WSAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            biased_round(F.col("__rk")).alias("rank_key"),
+        )
+    )

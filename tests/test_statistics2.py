@@ -94,3 +94,31 @@ def test_dup_rate_bounds(spark, sf_dir):
     for r in REGISTRY["dataset_dedup_rate_by_source"].spark(spark, sf_dir).collect():
         assert 0.0 <= r.dup_rate <= 1.0
         assert r.n_unique_texts <= r.n_docs
+
+
+def test_weighted_sample_matches_exact_replay(spark, sf_dir):
+    """The A-Res sample is a pure function of (salt, doc_id, n_chars) —
+    replay it in plain Python and require the identical doc set."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE n_chars > 0"
+    ).fetchall()
+    def key(doc_id, w):
+        h = hashlib.md5(f"wsample-v1{doc_id}".encode()).hexdigest()
+        u = (int(h[:4], 16) + 0.5) / 65536.0
+        return math.log(u) / w
+    want = [
+        d for d, _ in sorted(
+            ((d, key(d, w)) for d, w in rows), key=lambda t: (-t[1], t[0])
+        )[:50]
+    ]
+    got = [
+        r.doc_id
+        for r in REGISTRY["curation_weighted_sample"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
