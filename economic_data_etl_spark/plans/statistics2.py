@@ -658,3 +658,57 @@ def features_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("decile").cast("long").alias("decile"), "n_orders", "lo", "hi", "mean_price")
         .orderBy("decile")
     )
+
+
+@register(
+    "agg_ship_latency_percentiles",
+    oracle="""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   CAST(DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                        AS DOUBLE) AS lag_days
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(5e-10 + quantile_cont(lag_days, 0.5), 4) AS p50_days,
+               ROUND(5e-10 + quantile_cont(lag_days, 0.9), 4) AS p90_days,
+               ROUND(5e-10 + quantile_cont(lag_days, 0.99), 4) AS p99_days,
+               ROUND(5e-10 + MAX(lag_days), 4) AS max_days
+        FROM lat
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship latency percentiles (exact p50/p90/p99) per "
+    "priority class — the SLA question every fulfillment pipeline "
+    "asks. One co-keyed fact join + one grouped exact-percentile "
+    "aggregation; the day lag uses timestampdiff (NTZ-safe under "
+    "Spark 4.1 — never a timestamp cast), mirrored by DuckDB "
+    "date_diff, both counting whole-day boundaries.",
+)
+def agg_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    lat = orders.join(li, "o_orderkey").select(
+        "o_orderpriority",
+        F.expr(
+            "timestampdiff(DAY, o_orderdate, l_shipdate)"
+        ).cast("double").alias("lag_days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r(F.expr("percentile(lag_days, 0.5)")).alias("p50_days"),
+            _r(F.expr("percentile(lag_days, 0.9)")).alias("p90_days"),
+            _r(F.expr("percentile(lag_days, 0.99)")).alias("p99_days"),
+            _r(F.max("lag_days")).alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
