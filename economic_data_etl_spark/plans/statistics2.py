@@ -712,3 +712,68 @@ def agg_ship_latency_percentiles(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_mutual_information_lang_source",
+    oracle="""
+        WITH joint AS (
+            SELECT lang, source, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT SUM(c) AS n FROM joint
+        ), marg AS (
+            SELECT j.lang, j.source, j.c,
+                   SUM(j.c) OVER (PARTITION BY j.lang) AS c_lang,
+                   SUM(j.c) OVER (PARTITION BY j.source) AS c_source
+            FROM joint j
+        )
+        SELECT ROUND(5e-10 + SUM(
+                   (c * 1.0 / tot.n)
+                   * LN((c * 1.0 / tot.n)
+                        / ((c_lang * 1.0 / tot.n)
+                           * (c_source * 1.0 / tot.n)))), 4) AS mi_nats,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(tot.n AS BIGINT) AS n_docs
+        FROM marg CROSS JOIN tot
+        GROUP BY tot.n
+    """,
+    doc="Mutual information (nats) between document language and source "
+    "— the information-theoretic twin of the chi-square test: how much "
+    "knowing the source tells you about the language (0 = independent; "
+    "a high value means per-source language skew a mixture sampler "
+    "must correct for). One grouped count over the corpus; marginals "
+    "via window sums over the TINY joint table (|langs| x |sources| "
+    "cells), which never re-touches the fact scan.",
+)
+def agg_mutual_information_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    joint = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    marg = joint.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("lang")).alias("c_lang"),
+        F.sum("c").over(Window.partitionBy("source")).alias("c_source"),
+    )
+    tot = joint.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    mi_term = p * F.log(
+        p / ((F.col("c_lang") / F.col("n")) * (F.col("c_source") / F.col("n")))
+    )
+    return (
+        marg.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            _r(F.sum(mi_term)).alias("mi_nats"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select(
+            "mi_nats",
+            "n_cells",
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    )
