@@ -1,29 +1,28 @@
-"""Second statistics/analytics tranche: market-basket pair mining,
-row-based EWMA smoothing, correlated LATERAL top-n, and an ordered
-multi-step funnel.
+"""Second statistics/analytics tranche — shuffle-minimal DataFrame
+compositions, all value-checked against DuckDB:
 
-All four are shuffle-minimal DataFrame compositions:
-
-- market basket: lineitem self-joins on l_orderkey (both sides hash to
-  the same key → one shuffle each, co-partitioned merge), pair counts
-  aggregate map-side first. Per-order pair generation is bounded by
-  basket size (TPC-H max 7 lines/order), so the join output is O(rows),
-  not quadratic, and the shape survives 100 TB.
-- EWMA: one window per series (shuffle on event_type only after a daily
-  pre-aggregation collapses the fact table ~events/day-fold), then a
-  fixed fan of `lag` taps — pure JVM expressions, numerically stable
-  because weights are renormalized per row instead of carrying a
-  running power term.
-- LATERAL top-n: Spark 4 correlated LATERAL subquery with ORDER BY +
-  LIMIT; Catalyst decorrelates it to a ranked join, so the SQL surface
-  costs nothing over the window formulation.
-- 3-step funnel: min-timestamp chaining (signup → view → purchase with
-  strictly increasing event times) — three keyed aggregations joined on
-  user_id, no event-sequence explosion.
+- market-basket pair mining (co-partitioned orderkey self-join; pair
+  output bounded by basket size, linear in the table, never quadratic);
+- row-based EWMA smoothing (daily pre-agg, fixed lag-tap fan with
+  per-row weight renormalization — no running power term to overflow);
+- correlated LATERAL top-n (Catalyst decorrelates to WindowGroupLimit);
+- ordered 3-step funnel (min-timestamp chaining, one row per user per
+  step — no event-sequence explosion);
+- rolling 7-day correlation (corr from windowed moments; Spark only
+  exposes corr() as a group aggregate);
+- inter-arrival gap statistics (sizes streaming watermarks and session
+  gap thresholds);
+- warehouse table census (column-less count-star scans — footer reads);
+- Pearson chi-square and lang-source mutual information (joint counts
+  once, window marginals over the tiny cell table);
+- CDC keep-latest compaction (WindowGroupLimit map-side trim);
+- equal-frequency decile binning (deterministic ntile);
+- order-to-ship latency SLA percentiles (NTZ-safe timestampdiff).
 
 Reference parity: the reference (src/transform.py) has no statistical
 surface; these extend the engine's analytics the way its economic time
-series would be consumed downstream (smoothing, co-movement, funnels).
+series would be consumed downstream (smoothing, co-movement, funnels,
+SLA reporting).
 """
 
 from __future__ import annotations

@@ -10,11 +10,16 @@ quality filter at 100 TB reduces to:
   pass 2 — broadcast the frequency table back onto the document scan
            and score each document as its mean trigram log-probability.
 
-The corpus shuffles once (the count aggregation); the scoring pass is a
-broadcast hash join + per-doc aggregation, so no second corpus shuffle.
-A real deployment swaps the corpus-trained trigram model for a KenLM
-scored the same way — the Spark plumbing (build-broadcast-score) is
-identical.
+The model-build shuffle is vocab-bounded (map-side combine collapses
+each task to at most |vocab| rows) and the scoring pass is a
+shuffle-free Arrow mapInPandas over the broadcast model — the corpus
+itself never shuffles. A real deployment swaps the corpus-trained
+trigram model for a KenLM scored the same way — the Spark plumbing
+(build-broadcast-score) is identical.
+
+Also here: per-source exact duplication rate and the top-k vocabulary
+coverage curve (tokenizer-design diagnostic — rank/cumulative windows
+run over the vocab-sized term table, not the corpus).
 
 Reference parity: the reference has no corpus analytics; this extends
 the curation stack (plans/text2.py, plans/curation.py) the way CCNet
