@@ -776,3 +776,95 @@ def agg_mutual_information_lang_source(
             F.col("n").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+        FROM (
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                   NULL AS o_orderstatus
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 3 = 1
+        )
+        ORDER BY o_orderkey
+    """,
+    doc="Schema-evolution union: two projections of the same table with "
+    "different column sets combine by NAME (missing columns null-fill) "
+    "— Spark unionByName(allowMissingColumns=True) vs DuckDB UNION ALL "
+    "BY NAME. The shape every multi-epoch data lake hits when an old "
+    "partition predates a new column; position-based UNION would "
+    "silently misalign. Pure map-side concatenation, no shuffle "
+    "beyond the output sort.",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_epoch = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_epoch = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return (
+        old_epoch.unionByName(new_epoch, allowMissingColumns=True)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_gini_revenue_concentration",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey, SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT rev,
+                   ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(rev) OVER () AS total
+            FROM cust
+        )
+        SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+               ROUND(5e-10 + 2.0 * SUM(i * rev)
+                     / (ANY_VALUE(n) * ANY_VALUE(total))
+                     - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 4) AS gini
+        FROM ranked
+    """,
+    doc="Gini coefficient of revenue concentration across customers "
+    "(0 = equal, 1 = winner-take-all) via the sorted-rank identity "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — the same inequality "
+    "measure data-curation pipelines apply to tokens-per-source. The "
+    "fact table collapses to one row per customer first; the rank "
+    "window runs over that customer-sized table only. Ties in revenue "
+    "rank deterministically by o_custkey (the identity is "
+    "tie-order-invariant, the determinism is for the hash compare).",
+)
+def agg_gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n").alias("n_customers"),
+        _r(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + F.lit(1.0)) / F.any_value("n")
+        ).alias("gini"),
+    )
