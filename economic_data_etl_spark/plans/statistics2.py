@@ -17,7 +17,10 @@ compositions, all value-checked against DuckDB:
   once, window marginals over the tiny cell table);
 - CDC keep-latest compaction (WindowGroupLimit map-side trim);
 - equal-frequency decile binning (deterministic ntile);
-- order-to-ship latency SLA percentiles (NTZ-safe timestampdiff).
+- order-to-ship latency SLA percentiles (NTZ-safe timestampdiff);
+- schema-evolution union (unionByName vs UNION ALL BY NAME);
+- Gini revenue concentration (sorted-rank identity, customer-sized
+  window only).
 
 Reference parity: the reference (src/transform.py) has no statistical
 surface; these extend the engine's analytics the way its economic time
