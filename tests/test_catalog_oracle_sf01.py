@@ -28,6 +28,8 @@ SCALE_SENSITIVE = [
     "sql_recursive_bfs",
     "dedup_cluster_components",
     "dedup_ngram_jaccard",
+    "join_market_basket_pairs",
+    "graph_triangle_census",
 ]
 
 
