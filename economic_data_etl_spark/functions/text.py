@@ -109,7 +109,7 @@ def quality_score(text: Column) -> Column:
     )
     # +5e-10 bias before round: keeps tie rounding identical to the SQL
     # oracle (see plans/catalog.ROUND_BIAS).
-    return F.round(score + F.lit(5e-10), 4)
+    return F.round(score + F.lit(5e-10), 4) + F.lit(0.0)
 
 
 def top_token_frac(text: Column) -> Column:

@@ -146,8 +146,11 @@ def ivf_topk(
     scored = joined.select(
         query_id,
         corpus_id,
-        F.round(
-            cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(5e-10), 4
+        (
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qvec")) + F.lit(5e-10), 4
+            )
+            + F.lit(0.0)  # collapse -0.0 (see catalog.biased_round)
         ).alias("score"),
     )
     return grouped_top_k(

@@ -196,8 +196,11 @@ def pq_topk(
         .select(
             query_id,
             corpus_id,
-            F.round(
-                F.when(denom != 0.0, approx_dot / denom) + F.lit(5e-10), 4
+            (
+                F.round(
+                    F.when(denom != 0.0, approx_dot / denom) + F.lit(5e-10), 4
+                )
+                + F.lit(0.0)  # collapse -0.0 (see catalog.biased_round)
             ).alias("score"),
         )
     )
@@ -240,10 +243,13 @@ def pq_topk_rerank(
         .select(
             query_id,
             corpus_id,
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col("__qvec"))
-                + F.lit(5e-10),
-                4,
+            (
+                F.round(
+                    cosine_similarity(F.col(vec_col), F.col("__qvec"))
+                    + F.lit(5e-10),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("score"),
         )
     )

@@ -103,12 +103,21 @@ def semantic_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 3,
+    _caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b for pairs sharing at least one of
     their top-`probes` clusters and cosine >= threshold. Distinct —
     a pair colliding in two probed clusters appears once. Pairs whose
     probe sets are disjoint are never generated — the approximation
     being traded for the O(n²) savings (recall pinned in tests).
+
+    Cache ownership: two projections are persist()ed (see below). When
+    `_caches` is passed, they are appended there and the CALLER must
+    unpersist after its consuming action (semantic_dedup_summary /
+    semantic_dedup_keep do). When it is None, direct callers own the
+    cleanup: unpersist via spark.catalog.clearCache() or accept LRU
+    eviction (acceptable in one-query-per-session runs like bench.py's
+    subprocess isolation, not in long-lived sessions).
 
     Execution shape (measured 67 s → 12 s at sf0.1):
     - The candidate join carries IDS ONLY — two 8-byte longs per row
@@ -131,6 +140,8 @@ def semantic_near_dup_pairs(
         .select("cluster", F.col(id_col).alias("__id"))
         .persist()
     )
+    if _caches is not None:
+        _caches.append(assigned)
     a = assigned.select("cluster", F.col("__id").alias("id_a"))
     b = assigned.select("cluster", F.col("__id").alias("id_b"))
     cand = (
@@ -143,6 +154,8 @@ def semantic_near_dup_pairs(
     normed = corpus.select(
         F.col(id_col).alias("__nid"), nv.alias("__nv")
     ).persist()
+    if _caches is not None:
+        _caches.append(normed)
     va = normed.select(
         F.col("__nid").alias("id_a"), F.col("__nv").alias("__va")
     )
@@ -237,6 +250,11 @@ def semantic_dedup_summary(
     Sizes count PRIMARY (top-1) assignments, so Σ n_vectors = |corpus|
     regardless of probes; a dropped vector (the higher id of ≥1 pair)
     is attributed to its primary cluster.
+
+    The k-row result is materialized eagerly (localCheckpoint) so every
+    intermediate cache can be unpersisted before returning — repeated
+    invocations in a long-lived session no longer accumulate executor
+    storage (round-3 advice).
     """
     centroids = _centroids(corpus, k, iters, id_col, vec_col)
     if not centroids:
@@ -248,13 +266,16 @@ def semantic_dedup_summary(
     # Persisted: the primary assignment is another k-cosine-fold pass
     # over the corpus, and both the size count and the drop attribution
     # read it — cache the (id, cluster) projection, not the vectors.
+    caches: list[DataFrame] = []
     primary = (
         assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
         .select(id_col, "cluster")
         .persist()
     )
+    caches.append(primary)
     pairs = semantic_near_dup_pairs(
-        corpus, centroids, threshold, id_col, vec_col, probes
+        corpus, centroids, threshold, id_col, vec_col, probes,
+        _caches=caches,
     )
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
@@ -267,7 +288,7 @@ def semantic_dedup_summary(
     drops = dropped.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_dropped")
     )
-    return (
+    result = (
         sizes.join(drops, "cluster", "left")
         .select(
             "cluster",
@@ -277,7 +298,13 @@ def semantic_dedup_summary(
             ),
         )
         .orderBy("cluster")
+        # k rows: eager materialization is O(k), and it detaches the
+        # result from the caches so they can be released NOW.
+        .localCheckpoint(eager=True)
     )
+    for c in caches:
+        c.unpersist()
+    return result
 
 
 def semantic_dedup_keep(
@@ -289,12 +316,25 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     probes: int = 3,
 ) -> DataFrame:
-    """The surviving corpus: input rows minus dropped near-dup twins."""
+    """The surviving corpus: input rows minus dropped near-dup twins.
+
+    The dropped-id set (ids only, ≤|corpus| longs) is materialized
+    eagerly so the pair-generation caches can be unpersisted before
+    returning; the surviving corpus itself stays lazy.
+    """
     centroids = _centroids(corpus, k, iters, id_col, vec_col)
     if not centroids:
         return corpus  # empty corpus: nothing to drop
+    caches: list[DataFrame] = []
     pairs = semantic_near_dup_pairs(
-        corpus, centroids, threshold, id_col, vec_col, probes
+        corpus, centroids, threshold, id_col, vec_col, probes,
+        _caches=caches,
     )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
     return corpus.join(dropped, id_col, "left_anti")

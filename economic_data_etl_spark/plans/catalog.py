@@ -10,6 +10,7 @@ both sides (different summation orders make the low bits diverge).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -31,7 +32,65 @@ ROUND_BIAS = 5e-10
 def biased_round(col, dp: int = FLOAT_DP):
     from pyspark.sql import functions as F
 
-    return F.round(col + F.lit(ROUND_BIAS), dp)
+    # Trailing +0.0 collapses IEEE -0.0 to +0.0: tiny negatives round to
+    # -0.0 in DuckDB but +0.0 via Spark's BigDecimal round, and the
+    # driver's value hash is bitwise, so the sign of zero must be
+    # normalized on BOTH sides (the oracle twin is applied centrally by
+    # _zero_sign_safe below).
+    return F.round(col + F.lit(ROUND_BIAS), dp) + F.lit(0.0)
+
+
+_ROUND_TOKEN_RE = re.compile(r"ROUND\s*\(", re.IGNORECASE)
+
+
+def _zero_sign_safe(sql: str | None) -> str | None:
+    """Wrap every biased ``ROUND(... 5e-10 ...)`` in an oracle string with
+    ``(+ 0.0)`` so DuckDB's -0.0 results collapse to +0.0, matching the
+    Spark side (see biased_round). Applied once at register() time so the
+    141 hand-written oracle ROUNDs share one fix instead of 141 edits.
+    Quote-aware; only ROUND calls whose balanced argument mentions the
+    5e-10 bias are touched (unbiased ROUND may be DECIMAL-typed, where
+    +0.0 would change the result type)."""
+    if sql is None or "5e-10" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # skip string literals verbatim
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _ROUND_TOKEN_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        # find the matching close paren of this ROUND(
+        k, depth = m.end(), 1
+        while k < n and depth:
+            c = sql[k]
+            if c == "'":
+                k += 1
+                while k < n and sql[k] != "'":
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        span = sql[i:k]
+        inner = _zero_sign_safe(span[m.end() - i : -1])
+        span = span[: m.end() - i] + inner + ")"
+        if "5e-10" in span:
+            out.append("(" + span + " + 0.0)")
+        else:
+            out.append(span)
+        i = k
+    return "".join(out)
 
 
 @dataclass(frozen=True)
@@ -53,7 +112,12 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name,
+            spark=fn,
+            oracle=_zero_sign_safe(oracle),
+            doc=doc or fn.__doc__ or "",
+        )
         return fn
 
     return deco

@@ -194,8 +194,9 @@ def pandas_cogroup_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "o_orderkey": odf["o_orderkey"].iloc[:1],
-                "o_totalprice": (odf["o_totalprice"].iloc[:1] + ROUND_BIAS).round(4),
-                "line_total": [round(total + ROUND_BIAS, 4)],
+                "o_totalprice": (odf["o_totalprice"].iloc[:1] + ROUND_BIAS).round(4)
+                + 0.0,
+                "line_total": [round(total + ROUND_BIAS, 4) + 0.0],
                 "n_lines": [len(ldf)],
             }
         )

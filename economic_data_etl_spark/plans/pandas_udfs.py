@@ -48,10 +48,13 @@ def pandas_udf_scalar_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                _discounted_price("l_extendedprice", "l_discount", "l_tax")
-                + F.lit(ROUND_BIAS),
-                4,
+            (
+                F.round(
+                    _discounted_price("l_extendedprice", "l_discount", "l_tax")
+                    + F.lit(ROUND_BIAS),
+                    4,
+                )
+                + F.lit(0.0)  # collapse -0.0 (see catalog.biased_round)
             ).alias("charged"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -93,7 +96,7 @@ def pandas_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_custkey": pdf["o_custkey"],
-                "zscore": (z + ROUND_BIAS).round(4),
+                "zscore": (z + ROUND_BIAS).round(4) + 0.0,
             }
         )
 
@@ -141,9 +144,10 @@ def pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(_trimmed_mean("l_extendedprice") + F.lit(ROUND_BIAS), 4).alias(
-                "trimmed_mean_price"
-            )
+            (
+                F.round(_trimmed_mean("l_extendedprice") + F.lit(ROUND_BIAS), 4)
+                + F.lit(0.0)
+            ).alias("trimmed_mean_price")
         )
         .orderBy("l_returnflag")
     )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from economic_data_etl_spark.plans.catalog import biased_round, register
-from economic_data_etl_spark.sources.tables import load_table
+from economic_data_etl_spark.sources.tables import TABLES, load_table
 
 
 def _r(col):
@@ -401,19 +401,15 @@ def ts_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_table_counts",
-    oracle="""
-        SELECT 'region' AS table_name, COUNT(*) AS n_rows FROM region
-        UNION ALL SELECT 'nation', COUNT(*) FROM nation
-        UNION ALL SELECT 'customer', COUNT(*) FROM customer
-        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
-        UNION ALL SELECT 'part', COUNT(*) FROM part
-        UNION ALL SELECT 'orders', COUNT(*) FROM orders
-        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
-        UNION ALL SELECT 'events', COUNT(*) FROM events
-        UNION ALL SELECT 'documents', COUNT(*) FROM documents
-        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
-        ORDER BY table_name
-    """,
+    # Oracle legs generated from the SAME TABLES tuple the Spark side
+    # iterates — adding a table to the catalog cannot desynchronize the
+    # two sides (round-3 advice).
+    oracle=f"SELECT '{TABLES[0]}' AS table_name, COUNT(*) AS n_rows"
+    f" FROM {TABLES[0]} "
+    + " ".join(
+        f"UNION ALL SELECT '{t}', COUNT(*) FROM {t}" for t in TABLES[1:]
+    )
+    + " ORDER BY table_name",
     doc="Warehouse census: one row count per catalog table via a UNION "
     "ALL of count-star aggregates. Each leg is a metadata-cheap "
     "column-less scan (parquet row-group counts; no column IO), so the "

@@ -5,6 +5,7 @@ count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 
@@ -20,7 +21,7 @@ def run_oracle(sql: str, sf_dir: str):
     return con.execute(sql)
 
 
-def _norm(v):
+def _norm_lenient(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -29,7 +30,20 @@ def _norm(v):
     return v
 
 
-def compare_query(spark, query_fn, oracle: str, sf_dir: str) -> None:
+def _norm_strict(v):
+    """Bitwise float identity, matching the driver's exact value hash:
+    preserves the sign of zero and every ulp (a -0.0 vs +0.0 divergence
+    slipped past the old round-to-6 normalization — CORRECTNESS_r03's
+    curation_weighted_sample red)."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return struct.pack("<d", v)
+    return v
+
+
+def compare_query(spark, query_fn, oracle: str, sf_dir: str, *, strict: bool = True) -> None:
+    _norm = _norm_strict if strict else _norm_lenient
     sdf = query_fn(spark, sf_dir)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]

@@ -30,6 +30,11 @@ SCALE_SENSITIVE = [
     "dedup_ngram_jaccard",
     "join_market_basket_pairs",
     "graph_triangle_census",
+    # round-3 pair-generators (doc-frequency joins / n-gram self-joins):
+    # linear output but quadratic-capable intermediates at 10× data.
+    "dedup_duplicated_ngram_fraction",
+    "dedup_longest_duplicated_span",
+    "text_bigram_collocations",
 ]
 
 
