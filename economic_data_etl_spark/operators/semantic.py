@@ -35,6 +35,8 @@ Execution shape (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,16 +69,76 @@ def _ranked_clusters(
     )["cid"]
 
 
+# Above this k, the expression path's O(k) interpreted cosine folds per
+# row dominate; the broadcast-centroid + numpy-matmul path takes over
+# (one b×dim @ dim×k GEMM per Arrow batch). Below it, the expression
+# path stays the default because it is bit-identical to the SQL oracle.
+VECTORIZED_K_THRESHOLD = 64
+
+
+def _assign_ranked_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    probes: int,
+):
+    """Top-`probes` cluster ids per row via a broadcast centroid matrix
+    and one float64 GEMM per Arrow batch — O(k·dim) FLOPs per row on
+    BLAS instead of O(k) interpreted folds. Only k×dim floats are
+    broadcast; no shuffle. Tie/edge semantics mirror the expression
+    path: ties on cosine break to the LOWEST cluster id (stable argsort
+    on -cos), and undefined cosines (zero-norm vector or centroid) sort
+    last (−inf), degenerating to ascending cluster ids — the same order
+    array_sort gives NULL struct fields."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((C, cnorm))
+    p = int(probes)
+
+    @pandas_udf("array<int>")
+    def _topp(vecs: pd.Series) -> pd.Series:
+        Cm, cn = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = np.linalg.norm(M, axis=1)
+        denom = np.outer(mn, cn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0.0, (M @ Cm.T) / denom, -np.inf)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return _topp(F.col(vec_col))
+
+
 def assign_clusters_cosine(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     probes: int = 1,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """probes=1: add `cluster` = argmax cosine (one row per input row).
     probes>1: explode the top-p clusters (p rows per input row).
-    Pure expressions — no shuffle, no Python."""
-    ranked = _ranked_clusters(F.col(vec_col), centroids)
+
+    Two physical strategies behind one semantic:
+    - k <= VECTORIZED_K_THRESHOLD (default): pure expressions against
+      centroid literals — no shuffle, no Python, bit-identical to the
+      SQL oracle (the correctness default).
+    - k > threshold (or vectorized=True): broadcast centroid matrix +
+      Arrow-batched numpy GEMM — the SemDeDup paper's k ~ √n regime,
+      where O(k) interpreted folds per row would dominate.
+    Both paths produce identical assignments (pinned at k=256 in
+    tests/test_semantic_dedup.py)."""
+    if vectorized is None:
+        vectorized = len(centroids) > VECTORIZED_K_THRESHOLD
+    if vectorized:
+        ranked = _assign_ranked_vectorized(df, centroids, vec_col, probes)
+    else:
+        ranked = _ranked_clusters(F.col(vec_col), centroids)
     if probes == 1:
         return df.withColumn("cluster", ranked[0])
     return df.withColumn(

@@ -92,12 +92,21 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 3)
         .select("doc_id", "source", "text")
     )
+    # `lower(text)` is projected ONCE per row before the lambda: an
+    # expression referenced inside a higher-order-function lambda
+    # re-evaluates per element, so slicing substring(lower(text), i, 3)
+    # inline would lower the whole document for every position —
+    # O(len²) per doc (measured ~2× on this pass at sf0.1).
     freq_rows = (
         docs.select(
+            F.lower("text").alias("__lt"),
+            (F.char_length("text") - 2).alias("__n"),
+        )
+        .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, char_length(text) - 2),"
-                    " i -> substring(lower(text), i, 3))"
+                    "transform(sequence(1, __n),"
+                    " i -> substring(__lt, i, 3))"
                 )
             ).alias("g")
         )
@@ -115,23 +124,61 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas — ZERO corpus shuffles (the earlier join formulation
     # re-shuffled all trigram instances on doc_id just to average them).
     def _score(batches):
+        # Vectorized scorer: trigrams are packed into int64 keys
+        # (3 × 21-bit code points — Unicode tops out below 2^21) and
+        # looked up with one searchsorted per document against the
+        # sorted model-key array, replacing the per-trigram Python
+        # dict probes (round-3 verdict: the per-character loop was the
+        # scoring bottleneck). Semantics mirror pass 1 exactly:
+        # positions from the ORIGINAL length, trigrams sliced from the
+        # lowered text, model misses skipped (the oracle's inner-join
+        # semantics). Rows where lower() changes the string length
+        # (exotic code points) fall back to the exact slicing loop;
+        # model keys shorter than 3 chars can only arise on such rows
+        # and stay reachable through the same fallback dict.
+        import numpy as np
+
         model = lp_model.value
+        keys, vals = [], []
+        for g, lp in model.items():
+            if len(g) == 3:
+                a, b, c = (ord(ch) for ch in g)
+                keys.append((a << 42) | (b << 21) | c)
+                vals.append(lp)
+        order = np.argsort(np.asarray(keys, dtype=np.int64))
+        mk = np.asarray(keys, dtype=np.int64)[order]
+        mv = np.asarray(vals, dtype=np.float64)[order]
+
+        def _slow(t: str):
+            s = t.lower()
+            known = [
+                model[g]
+                for g in (s[i : i + 3] for i in range(len(t) - 2))
+                if g in model
+            ]
+            return sum(known) / len(known) if known else None
+
         for pdf in batches:
             lps = []
             for t in pdf["text"]:
-                # Mirror pass 1 exactly: positions from the ORIGINAL
-                # length, trigrams sliced from the lowered text (JVM
-                # lower can change string length on exotic code
-                # points). Trigrams absent from the model are skipped —
-                # the same inner-join semantics the oracle's
-                # `JOIN freq USING (g)` applies.
+                n = len(t) - 2
                 s = t.lower()
-                known = [
-                    model[g]
-                    for g in (s[i : i + 3] for i in range(len(t) - 2))
-                    if g in model
-                ]
-                lps.append(sum(known) / len(known) if known else None)
+                if n <= 0 or len(s) != len(t) or mk.size == 0:
+                    lps.append(_slow(t))
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                packed = (
+                    (codes[:-2] << 42) | (codes[1:-1] << 21) | codes[2:]
+                )
+                idx = np.minimum(
+                    np.searchsorted(mk, packed), mk.size - 1
+                )
+                hits = mv[idx[mk[idx] == packed]]
+                lps.append(
+                    float(hits.sum() / hits.size) if hits.size else None
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

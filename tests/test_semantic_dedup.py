@@ -89,6 +89,58 @@ class TestSemanticDedup:
             (F.col("cluster") < 0) | (F.col("cluster") >= 8)
         ).count() == 0
 
+    def test_vectorized_assignment_matches_expression_k256(
+        self, spark, sf_dir
+    ):
+        """The broadcast-centroid numpy path (auto-selected above
+        VECTORIZED_K_THRESHOLD) must produce the SAME top-p assignment
+        as the expression path — same argmax, same tie-break to lowest
+        cluster id — so near-dup pair sets are identical at k ~ sqrt(n)
+        scale."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = min(256, emb.count())
+        cents = seed_centroids(emb, k)
+        assert len(cents) > 64  # must actually cross the threshold
+        for probes in (1, 3):
+            expr = assign_clusters_cosine(
+                emb, cents, probes=probes, vectorized=False
+            ).select("vec_id", "cluster")
+            vec = assign_clusters_cosine(
+                emb, cents, probes=probes, vectorized=True
+            ).select("vec_id", "cluster")
+            e = {(r[0], r[1]) for r in expr.collect()}
+            v = {(r[0], r[1]) for r in vec.collect()}
+            assert e == v, (
+                f"probes={probes}: {len(e ^ v)} assignment diffs"
+            )
+
+    def test_vectorized_pairs_match_expression_k256(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = min(256, emb.count())
+        cents = seed_centroids(emb, k)
+        # auto-selection: k=256 > threshold → vectorized under the hood
+        auto = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        # force the expression path for the same centroids
+        from economic_data_etl_spark.operators import semantic as sem
+
+        orig = sem.VECTORIZED_K_THRESHOLD
+        sem.VECTORIZED_K_THRESHOLD = 10**9
+        try:
+            expr = {
+                (r["id_a"], r["id_b"])
+                for r in semantic_near_dup_pairs(
+                    emb, cents, TAU, probes=3
+                ).collect()
+            }
+        finally:
+            sem.VECTORIZED_K_THRESHOLD = orig
+        assert auto == expr
+
     def test_incremental_equals_full_minus_index_only(self, spark, sf_dir):
         from economic_data_etl_spark.operators.semantic import (
             semantic_incremental_pairs,
