@@ -27,8 +27,13 @@ One shuffle on the key, linear scan per partition — O(n log n) for the
 sort vs. the O(n·m) worst case of the naive range-join + row_number plan.
 `nearest` runs both window passes over the SAME sorted partition (no
 extra shuffle) and arbitrates per row on the struct's matched
-timestamp. This survives 100 TB: both inputs partition on the key;
-skewed keys are split by AQE since the window sort spills.
+timestamp. This survives 100 TB: both inputs partition on the key, and
+a hot key costs one LINEAR sorted scan on its single task — the frames
+are running frames (streaming accumulator in WindowExec, no per-row
+frame re-scan) and the sort is UnsafeExternalSorter (disk spill, no
+OOM). AQE's skew split applies to sort-merge joins, not windows; the
+union-then-window shape IS the skew mitigation versus a range join's
+O(hot²) explosion (hot-key behavior pinned in tests/test_skew_events.py).
 """
 
 from __future__ import annotations
