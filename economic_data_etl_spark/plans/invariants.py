@@ -279,6 +279,8 @@ def inv_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def approx(emb, q):
         cents = ivf.train_ivf(emb, k=8, iters=2)
+        if not cents:  # empty corpus: no candidates, vacuous recall
+            return spark.createDataFrame([], "q_id long, vec_id long")
         return ivf.ivf_topk(emb, q, cents, k=_K, n_probe=3)
 
     return _ann_invariant(spark, sf_dir, approx, floor=0.9)
@@ -296,6 +298,8 @@ def inv_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def approx(emb, q):
         books = pq.train_pq(emb, m=8, k=32, iters=5)
+        if not books:  # empty corpus: no candidates, vacuous recall
+            return spark.createDataFrame([], "q_id long, vec_id long")
         return pq.pq_topk_rerank(emb, q, books, k=_K, shortlist=100)
 
     return _ann_invariant(spark, sf_dir, approx, floor=0.9)
