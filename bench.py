@@ -76,6 +76,9 @@ HEADLINE = [
     "text_lm_quality_score",
     "dataset_dedup_rate_by_source",
     "ts_rolling_correlation",
+    "text_ngram_novelty_by_source",
+    "docs_char_trigram_entropy_by_source",
+    "events_pareto_concentration",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
