@@ -422,6 +422,46 @@ def inv_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inv_approx_quantile_error",
+    oracle="""
+    SELECT event_type,
+           ROUND(5e-10 + quantile_cont(value, 0.5), 4) AS exact_p50,
+           ROUND(5e-10 + quantile_cont(value, 0.9), 4) AS exact_p90,
+           true AS p50_within_2pct,
+           true AS p90_within_2pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Certifies approx_percentile (the mergeable quantile sketch "
+    "Spark uses where exact percentile would re-shuffle raw values at "
+    "every rollup level): the exact interpolated P50/P90 per event_type "
+    "are recomputed by both engines (value check), and the sketch "
+    "estimates at accuracy=1000 must land within 2% relative error of "
+    "them (deterministic for fixed input). The exact side is the "
+    "oracle; the approx side is the 100 TB path.",
+)
+def inv_approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("ex50"),
+        F.expr("percentile(value, 0.9)").alias("ex90"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("ap90"),
+    )
+    within = lambda ap, ex: (  # noqa: E731
+        F.abs(F.col(ap) - F.col(ex)) <= F.abs(F.col(ex)) * F.lit(0.02)
+    )
+    return agg.select(
+        "event_type",
+        biased_round(F.col("ex50")).alias("exact_p50"),
+        biased_round(F.col("ex90")).alias("exact_p90"),
+        within("ap50", "ex50").alias("p50_within_2pct"),
+        within("ap90", "ex90").alias("p90_within_2pct"),
+    ).orderBy("event_type")
+
+
+@register(
     "inv_hashed_tf_conservation",
     oracle=r"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

