@@ -72,7 +72,13 @@ def _ranked_clusters(
 # Above this k, the expression path's O(k) interpreted cosine folds per
 # row dominate; the broadcast-centroid + numpy-matmul path takes over
 # (one b×dim @ dim×k GEMM per Arrow batch). Below it, the expression
-# path stays the default because it is bit-identical to the SQL oracle.
+# path stays the default because it is bit-identical to the SQL oracle
+# BY CONSTRUCTION — the numpy path is measurably faster even at k=16
+# (3.7 s vs 2.0 s for a probes=3 corpus pass at sf0.1 on local[32], and
+# proven assignment-identical at every test SF), but its float-sum
+# order differs, so a near-tie on unseen data could flip an argmax;
+# oracle-gated callers keep the provable path, scale callers opt in via
+# `vectorized=True` or large k.
 VECTORIZED_K_THRESHOLD = 64
 
 

@@ -422,6 +422,67 @@ def inv_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inv_incremental_minhash",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE source = 'src10') AS BIGINT)
+               AS n_batch_docs,
+           CAST(COUNT(*) FILTER (WHERE source <> 'src10') AS BIGINT)
+               AS n_index_docs,
+           CAST(0 AS BIGINT) AS missing_pairs,
+           CAST(0 AS BIGINT) AS extra_pairs
+    FROM documents
+    """,
+    doc="Certifies dedup_incremental_minhash: the incremental pair set "
+    "(batch = src10 signed against the standing corpus's precomputed "
+    "signature index) must EQUAL the full-corpus MinHash-LSH pair set "
+    "restricted to pairs touching the batch — zero missing, zero extra "
+    "(incremental processing loses and invents nothing). The doc "
+    "split counts are recomputed by DuckDB as the cross-engine value "
+    "check. Same certification shape the streaming semantic-dedup twin "
+    "uses.",
+)
+def inv_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.col("source") != "src10")
+    incoming = docs.filter(F.col("source") == "src10")
+    index_sigs = dedup.minhash_signatures(
+        standing, "doc_id", "text", num_perm=32, shingle_n=3
+    )
+    inc = dedup.minhash_incremental_pairs(
+        index_sigs, incoming, "doc_id", "text",
+        num_perm=32, bands=8, threshold=0.5,
+    ).select("id_a", "id_b")
+    full = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b")
+    batch_ids = incoming.select(F.col("doc_id").alias("__bid"))
+    touching = (
+        full.join(
+            batch_ids,
+            (F.col("id_a") == F.col("__bid"))
+            | (F.col("id_b") == F.col("__bid")),
+            "left_semi",
+        )
+    )
+    missing = touching.join(inc, ["id_a", "id_b"], "left_anti")
+    extra = inc.join(touching, ["id_a", "id_b"], "left_anti")
+    return (
+        docs.agg(
+            F.coalesce(
+                F.sum((F.col("source") == "src10").cast("long")), F.lit(0)
+            ).alias("n_batch_docs"),
+            F.coalesce(
+                F.sum((F.col("source") != "src10").cast("long")), F.lit(0)
+            ).alias("n_index_docs"),
+        )
+        .crossJoin(missing.agg(F.count(F.lit(1)).alias("missing_pairs")))
+        .crossJoin(extra.agg(F.count(F.lit(1)).alias("extra_pairs")))
+    )
+
+
+@register(
     "inv_approx_quantile_error",
     oracle="""
     SELECT event_type,
