@@ -108,3 +108,80 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_bytes",
         biased_round(F.col("entropy")).alias("entropy"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_container_header_parse",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                               WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+               CAST(CASE WHEN doc_id % 4 < 3
+                         THEN 16 + doc_id % 64 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 4 < 3
+                         THEN 16 + (doc_id // 64) % 64 END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 3
+                         THEN 8000 + (doc_id % 8) * 1000 END AS INT)
+                   AS sample_rate,
+               CAST(CASE WHEN doc_id % 4 = 3
+                         THEN 1 + doc_id % 2 END AS INT) AS channels
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="REAL container-header parsing (operators/multimodal.py:"
+    "parse_container_header): PNG IHDR, GIF logical screen, BMP info "
+    "header, and WAV fmt chunks are struct-unpacked with no codec "
+    "library — the format-routing/corrupt-screening first stage of a "
+    "media ingest. End-to-end round-trip check: each doc gets a "
+    "header-valid synthetic container whose fields derive from doc_id "
+    "(build_sample_container), the parser reads them back from the "
+    "BYTES, and the oracle recomputes the expected fields "
+    "arithmetically — a builder/parser disagreement or an endianness "
+    "bug flips the value hash. Pixel decode remains the documented "
+    "decode_image_real seam (PIL absent).",
+)
+def multimodal_container_header_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.multimodal import (
+        CONTAINER_META_SCHEMA,
+        build_sample_container,
+        parse_container_header,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_and_parse(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                parse_container_header(build_sample_container(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [m["channels"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        synth_and_parse, CONTAINER_META_SCHEMA
+    ).orderBy("doc_id")

@@ -50,3 +50,84 @@ class TestFeatureExtraction:
         topk = similarity.brute_force_topk(corpus, queries, k=5).collect()
         assert len(topk) == 15  # 3 queries x top-5
         assert all(1 <= r["rank"] <= 5 for r in topk)
+
+
+class TestContainerHeaderParsing:
+    """parse_container_header is REAL format parsing (struct unpacks of
+    PNG/GIF/BMP/WAV headers), not a stub — pin it against hand-built
+    reference byte strings and adversarial inputs."""
+
+    def test_reference_png_bytes(self):
+        import struct
+
+        from economic_data_etl_spark.operators.multimodal import (
+            parse_container_header,
+        )
+
+        # 640x480 PNG header exactly as a real encoder writes it
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", 640, 480)
+            + bytes([8, 2, 0, 0, 0])
+            + b"\xd4\x92\xbcm"
+        )
+        m = parse_container_header(png)
+        assert (m["format"], m["width"], m["height"]) == ("png", 640, 480)
+
+    def test_reference_wav_bytes(self):
+        import struct
+
+        from economic_data_etl_spark.operators.multimodal import (
+            parse_container_header,
+        )
+
+        wav = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        )
+        m = parse_container_header(wav)
+        assert (m["format"], m["sample_rate"], m["channels"]) == (
+            "wav", 44100, 2,
+        )
+
+    def test_bmp_negative_height_topdown(self):
+        import struct
+
+        from economic_data_etl_spark.operators.multimodal import (
+            parse_container_header,
+        )
+
+        # top-down BMPs store negative height; parser reports magnitude
+        bmp = (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+        )
+        m = parse_container_header(bmp)
+        assert (m["format"], m["width"], m["height"]) == ("bmp", 800, 600)
+
+    def test_corrupt_and_truncated_are_data_not_exceptions(self):
+        from economic_data_etl_spark.operators.multimodal import (
+            parse_container_header,
+        )
+
+        for junk in (b"", b"\x89PNG\r\n", b"RIFFxxxx", b"GIF89a\x01",
+                     b"BM\x00", b"\x00" * 100):
+            assert parse_container_header(junk)["format"] == "unknown"
+
+    def test_builder_parser_roundtrip_all_formats(self):
+        from economic_data_etl_spark.operators.multimodal import (
+            build_sample_container,
+            parse_container_header,
+        )
+
+        for d in range(256):
+            m = parse_container_header(build_sample_container(d))
+            assert m["format"] == ["png", "gif", "bmp", "wav"][d % 4]
+            if m["format"] == "wav":
+                assert m["sample_rate"] == 8000 + (d % 8) * 1000
+                assert m["channels"] == 1 + d % 2
+            else:
+                assert m["width"] == 16 + d % 64
+                assert m["height"] == 16 + (d // 64) % 64
