@@ -120,6 +120,27 @@ def _assign_ranked_vectorized(
     return _topp(F.col(vec_col))
 
 
+def assign_topp_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    probes: int = 1,
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """Add `__clusters`: the top-`probes` cluster ids per row, WITHOUT
+    exploding. The O(k)-cosine ranking is the expensive part of every
+    assignment; computing the ranked array once lets callers derive
+    both the primary (element 0) and the multi-probe explode from ONE
+    corpus pass instead of two (semantic_dedup_summary does)."""
+    if vectorized is None:
+        vectorized = len(centroids) > VECTORIZED_K_THRESHOLD
+    if vectorized:
+        ranked = _assign_ranked_vectorized(df, centroids, vec_col, probes)
+        return df.withColumn("__clusters", ranked)
+    ranked = _ranked_clusters(F.col(vec_col), centroids)
+    return df.withColumn("__clusters", F.slice(ranked, 1, probes))
+
+
 def assign_clusters_cosine(
     df: DataFrame,
     centroids: list[list[float]],
@@ -139,17 +160,14 @@ def assign_clusters_cosine(
       where O(k) interpreted folds per row would dominate.
     Both paths produce identical assignments (pinned at k=256 in
     tests/test_semantic_dedup.py)."""
-    if vectorized is None:
-        vectorized = len(centroids) > VECTORIZED_K_THRESHOLD
-    if vectorized:
-        ranked = _assign_ranked_vectorized(df, centroids, vec_col, probes)
-    else:
-        ranked = _ranked_clusters(F.col(vec_col), centroids)
+    topp = assign_topp_clusters(df, centroids, vec_col, probes, vectorized)
     if probes == 1:
-        return df.withColumn("cluster", ranked[0])
-    return df.withColumn(
-        "cluster", F.explode(F.slice(ranked, 1, probes))
-    )
+        return topp.withColumn(
+            "cluster", F.col("__clusters")[0]
+        ).drop("__clusters")
+    return topp.withColumn(
+        "cluster", F.explode("__clusters")
+    ).drop("__clusters")
 
 
 def seed_centroids(
@@ -172,12 +190,18 @@ def semantic_near_dup_pairs(
     vec_col: str = "embedding",
     probes: int = 3,
     _caches: list[DataFrame] | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b for pairs sharing at least one of
     their top-`probes` clusters and cosine >= threshold. Distinct —
     a pair colliding in two probed clusters appears once. Pairs whose
     probe sets are disjoint are never generated — the approximation
     being traded for the O(n²) savings (recall pinned in tests).
+
+    `_assigned`, when provided, is a precomputed (cluster, __id)
+    multi-probe assignment (backed by a cache the caller owns) — used
+    by semantic_dedup_summary to share ONE ranking pass between the
+    candidate join and the primary-cluster attribution.
 
     Cache ownership: two projections are persist()ed (see below). When
     `_caches` is passed, they are appended there and the CALLER must
@@ -203,13 +227,16 @@ def semantic_near_dup_pairs(
       every fold twice (measured ~2x on the assignment stage). Both
       caches are ids+small payloads, never the raw corpus join state.
     """
-    assigned = (
-        assign_clusters_cosine(corpus, centroids, vec_col, probes)
-        .select("cluster", F.col(id_col).alias("__id"))
-        .persist()
-    )
-    if _caches is not None:
-        _caches.append(assigned)
+    if _assigned is not None:
+        assigned = _assigned
+    else:
+        assigned = (
+            assign_clusters_cosine(corpus, centroids, vec_col, probes)
+            .select("cluster", F.col(id_col).alias("__id"))
+            .persist()
+        )
+        if _caches is not None:
+            _caches.append(assigned)
     a = assigned.select("cluster", F.col("__id").alias("id_a"))
     b = assigned.select("cluster", F.col("__id").alias("id_b"))
     cand = (
@@ -331,19 +358,29 @@ def semantic_dedup_summary(
         return corpus.sparkSession.createDataFrame(
             [], "cluster int, n_vectors long, n_dropped long"
         )
-    # Persisted: the primary assignment is another k-cosine-fold pass
-    # over the corpus, and both the size count and the drop attribution
-    # read it — cache the (id, cluster) projection, not the vectors.
+    # ONE ranking pass serves everything: the persisted (id, top-p
+    # clusters) projection yields the primary assignment (element 0 ==
+    # the probes=1 argmax) AND the multi-probe candidate assignment
+    # (explode) — previously these were two full O(k)-cosine corpus
+    # passes (measured ~3.7 s each at sf0.1/k=16 on the expression
+    # path). The cache holds ids + p ints per row, never the vectors.
     caches: list[DataFrame] = []
-    primary = (
-        assign_clusters_cosine(corpus, centroids, vec_col, probes=1)
-        .select(id_col, "cluster")
+    topp = (
+        assign_topp_clusters(corpus, centroids, vec_col, probes)
+        .select(id_col, "__clusters")
         .persist()
     )
-    caches.append(primary)
+    caches.append(topp)
+    primary = topp.select(
+        id_col, F.col("__clusters")[0].alias("cluster")
+    )
+    assigned = topp.select(
+        F.explode("__clusters").alias("cluster"),
+        F.col(id_col).alias("__id"),
+    )
     pairs = semantic_near_dup_pairs(
         corpus, centroids, threshold, id_col, vec_col, probes,
-        _caches=caches,
+        _caches=caches, _assigned=assigned,
     )
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
