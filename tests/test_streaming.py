@@ -192,3 +192,35 @@ class TestForeachBatchUpsert:
             datetime.date(2023, 2, 1): 2.0,
             datetime.date(2023, 3, 1): 3.0,
         }
+
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is AT-LEAST-once: after a crash between sink
+        write and checkpoint commit, Spark re-runs the same batch. The
+        MERGE sink must absorb that replay — re-applying an already-
+        applied batch reports everything unchanged and leaves the
+        target byte-identical. This is the property that upgrades the
+        pipeline to effectively-exactly-once without a transactional
+        sink."""
+        from economic_data_etl_spark.operators.upsert import upsert_parquet
+
+        target = str(tmp_path / "target")
+        schema = "series_id string, date date, value double"
+        batch = spark.createDataFrame(
+            [
+                ("U", datetime.date(2023, 1, 1), 1.0),
+                ("U", datetime.date(2023, 2, 1), 2.0),
+            ],
+            schema,
+        )
+        stats1 = upsert_parquet(
+            spark, batch, target, ["series_id", "date"], ["value"]
+        )
+        assert stats1["inserted"] == 2
+        before = sorted(map(tuple, spark.read.parquet(target).collect()))
+        # simulated post-crash replay of the SAME batch
+        stats2 = upsert_parquet(
+            spark, batch, target, ["series_id", "date"], ["value"]
+        )
+        assert stats2 == {"inserted": 0, "updated": 0, "unchanged": 2}
+        after = sorted(map(tuple, spark.read.parquet(target).collect()))
+        assert before == after
