@@ -131,3 +131,29 @@ class TestContainerHeaderParsing:
             else:
                 assert m["width"] == 16 + d % 64
                 assert m["height"] == 16 + (d // 64) % 64
+
+    def test_parser_never_raises_on_fuzzed_bytes(self):
+        """Corrupt payloads are data, not exceptions: the parser must
+        classify arbitrary byte soup — including truncated magic
+        prefixes — without raising."""
+        import random
+
+        from economic_data_etl_spark.operators.multimodal import (
+            build_sample_container,
+            parse_container_header,
+        )
+
+        rng = random.Random(42)
+        magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"RIFF", b""]
+        for _ in range(500):
+            base = rng.choice(magics)
+            n = rng.randrange(0, 40)
+            payload = base + bytes(rng.randrange(256) for _ in range(n))
+            payload = payload[: rng.randrange(0, len(payload) + 1)]
+            m = parse_container_header(payload)
+            assert m["format"] in {"png", "gif", "bmp", "wav", "unknown"}
+        # truncating a VALID container at every prefix length never raises
+        for d in (0, 1, 2, 3):
+            full = build_sample_container(d)
+            for i in range(len(full)):
+                parse_container_header(full[:i])
