@@ -148,8 +148,21 @@ def merge_with_status(
         .when(all_equal, UNCHANGED)
         .otherwise(UPDATED)
     )
+    # Row selection is STATUS-driven, not per-column coalesce, to match
+    # the reference's UPDATE semantics (src/load.py:78-103) exactly:
+    # - updated rows take the incoming row WHOLESALE, including NULL
+    #   values — coalesce would resurrect the existing value and lose a
+    #   revision-to-NULL ("." marker) entirely;
+    # - unchanged rows keep the EXISTING row untouched — the reference
+    #   issues no UPDATE for them, so an incoming row with an equal
+    #   value but different non-compare columns (series_name) must not
+    #   silently rewrite them.
+    take_incoming = status.isin(INSERTED, UPDATED)
     merged_cols = [
-        F.coalesce(F.col(f"__in_{c}"), F.col(f"__ex_{c}")).alias(c) for c in all_cols
+        F.when(take_incoming, F.col(f"__in_{c}"))
+        .otherwise(F.col(f"__ex_{c}"))
+        .alias(c)
+        for c in all_cols
     ]
     return joined.select(*merged_cols, status.alias(STATUS_COL))
 

@@ -117,3 +117,85 @@ class TestParquetUpsert:
             datetime.date(2023, 1, 1): 9.9,
             datetime.date(2023, 2, 1): 1.0,
         }
+
+
+class TestReferenceUpdateSemantics:
+    """Two corners of the reference's UPDATE path (src/load.py:78-103)
+    that a per-column coalesce silently diverges on."""
+
+    def test_revision_to_null_is_stored(self, spark, tmp_path):
+        """An updated row takes the incoming row WHOLESALE: a value
+        revised to NULL (FRED '.' marker on re-release) must land as
+        NULL, not resurrect the old number via coalesce."""
+        import datetime
+
+        from economic_data_etl_spark.operators.upsert import upsert_parquet
+
+        target = str(tmp_path / "t")
+        schema = "series_id string, date date, value double, series_name string, source string"
+        d = datetime.date(2023, 1, 1)
+        first = spark.createDataFrame(
+            [("U", d, 5.0, "UNRATE", "FRED")], schema
+        )
+        upsert_parquet(spark, first, target, ["series_id", "date"], ["value"])
+        revised = spark.createDataFrame(
+            [("U", d, None, "UNRATE", "FRED")], schema
+        )
+        stats = upsert_parquet(
+            spark, revised, target, ["series_id", "date"], ["value"]
+        )
+        assert stats == {"inserted": 0, "updated": 1, "unchanged": 0}
+        (row,) = spark.read.parquet(target).collect()
+        assert row["value"] is None
+
+    def test_unchanged_row_keeps_existing_noncompare_columns(
+        self, spark, tmp_path
+    ):
+        """The reference issues NO UPDATE for unchanged rows, so an
+        incoming row with an equal value but a different series_name
+        must leave the stored row untouched."""
+        import datetime
+
+        from economic_data_etl_spark.operators.upsert import upsert_parquet
+
+        target = str(tmp_path / "t")
+        schema = "series_id string, date date, value double, series_name string, source string"
+        d = datetime.date(2023, 1, 1)
+        first = spark.createDataFrame(
+            [("U", d, 5.0, "OLD_NAME", "FRED")], schema
+        )
+        upsert_parquet(spark, first, target, ["series_id", "date"], ["value"])
+        same_value = spark.createDataFrame(
+            [("U", d, 5.0, "NEW_NAME", "FRED")], schema
+        )
+        stats = upsert_parquet(
+            spark, same_value, target, ["series_id", "date"], ["value"]
+        )
+        assert stats == {"inserted": 0, "updated": 0, "unchanged": 1}
+        (row,) = spark.read.parquet(target).collect()
+        assert row["series_name"] == "OLD_NAME"
+
+    def test_updated_row_refreshes_noncompare_columns(self, spark, tmp_path):
+        """When the value DID change, the reference's UPDATE also sets
+        series_name/source from the incoming row."""
+        import datetime
+
+        from economic_data_etl_spark.operators.upsert import upsert_parquet
+
+        target = str(tmp_path / "t")
+        schema = "series_id string, date date, value double, series_name string, source string"
+        d = datetime.date(2023, 1, 1)
+        first = spark.createDataFrame(
+            [("U", d, 5.0, "OLD_NAME", "FRED")], schema
+        )
+        upsert_parquet(spark, first, target, ["series_id", "date"], ["value"])
+        revised = spark.createDataFrame(
+            [("U", d, 6.0, "NEW_NAME", "FRED")], schema
+        )
+        stats = upsert_parquet(
+            spark, revised, target, ["series_id", "date"], ["value"]
+        )
+        assert stats == {"inserted": 0, "updated": 1, "unchanged": 0}
+        (row,) = spark.read.parquet(target).collect()
+        assert row["series_name"] == "NEW_NAME"
+        assert row["value"] == 6.0
