@@ -91,9 +91,9 @@ def main(argv: list[str] | None = None) -> int:
         register(spark)
         fact_df = spark.read.format("economic_snapshots").load(args.raw_dir)
         dim_df = build_dim_series(spark, config.FRED_SERIES, config.BLS_SERIES)
-        fact_stats = fact_store(
-            fact_df, ["series_id", "date"], ["value", "series_name", "source"]
-        )
+        # value-only change classification, matching the reference's
+        # upsert_observations (see pipeline.run_pipeline phase 3)
+        fact_stats = fact_store(fact_df, ["series_id", "date"], ["value"])
         dim_stats = dim_store(dim_df, ["series_id"], ["series_name", "source"])
         logging.info("fact upsert: %s", fact_stats)
         logging.info("dim upsert: %s", dim_stats)

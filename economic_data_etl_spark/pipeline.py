@@ -81,9 +81,14 @@ def run_pipeline(
 
     # --- Phase 3: load (two actions: fact upsert + dim upsert) ------------
     try:
-        fact_stats = fact_store(
-            fact_df, ["series_id", "date"], ["value", "series_name", "source"]
-        )
+        # Change classification compares VALUE ONLY — the reference's
+        # upsert_observations (src/load.py:69-77) calls _nan_equal on
+        # the value column alone, so a row whose series_name changed but
+        # whose value did not counts as unchanged and is not rewritten;
+        # when the value DID change, the UPDATE statement refreshes
+        # series_name/source too (merge_with_status takes the incoming
+        # row wholesale for updated rows).
+        fact_stats = fact_store(fact_df, ["series_id", "date"], ["value"])
         dim_stats = dim_store(dim_df, ["series_id"], ["series_name", "source"])
     except Exception:
         logger.exception("Pipeline failed during loading")

@@ -60,3 +60,30 @@ class TestPipeline:
         res = _run(spark, tmp_path, fetch_fred=lambda sid: None)
         assert res is not None
         assert res.fact_stats["inserted"] == 5  # BLS rows only
+
+    def test_renamed_series_with_same_values_counts_unchanged(
+        self, spark, tmp_path
+    ):
+        """Reference parity: upsert_observations classifies change on
+        VALUE only (src/load.py:69-77) — rerunning with a different
+        human-readable series name but identical values reports all
+        unchanged and does not rewrite the stored names."""
+        fact_store, dim_store = parquet_stores(spark, str(tmp_path / "wh"))
+        run_pipeline(
+            spark, _ok_fred, _ok_bls, fact_store, dim_store,
+            fred_series=FRED_SERIES, bls_series=BLS_SERIES,
+        )
+        renamed = {"unemployment_rate_v2": "UNRATE"}
+        res = run_pipeline(
+            spark, _ok_fred, _ok_bls, fact_store, dim_store,
+            fred_series=renamed, bls_series=BLS_SERIES,
+        )
+        assert res.fact_stats == {"inserted": 0, "updated": 0, "unchanged": 9}
+        # stored fact rows keep the ORIGINAL name (no UPDATE was issued)
+        names = {
+            r["series_name"]
+            for r in spark.read.parquet(
+                str(tmp_path / "wh/fact_economic_observations")
+            ).filter("series_id = 'UNRATE'").collect()
+        }
+        assert names == {"unemployment_rate"}
