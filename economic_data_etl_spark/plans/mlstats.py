@@ -1,0 +1,192 @@
+"""Distributed ML-statistics queries: multivariate OLS by normal
+equations and correlation-matrix profiling.
+
+`ml_ols_normal_equations` is the canonical "train a linear model on
+100 TB in ONE aggregation pass" shape: the normal-equation moments
+(Σx, Σx², Σxy, …) are a decomposable aggregate — map-side combine
+collapses every task to 10 numbers — and the 3×3 solve is closed-form
+scalar arithmetic on the single moment row (Cramer's rule), so the
+corpus is scanned once and nothing but ten doubles moves. The same
+pattern extends to any p via a p×p driver solve (p² numbers collected,
+independent of row count). The DuckDB oracle states the identical
+closed form, making a distributed regression value-checkable across
+engines.
+
+Reference parity: the reference has no analytics; this extends the
+statistics family (plans/statistics2.py OLS trend, chi-square, mutual
+information) to multivariate models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+def _r(col):
+    return biased_round(col)
+
+
+@register(
+    "ml_ols_normal_equations",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(l_quantity) AS sx1, SUM(l_discount) AS sx2,
+               SUM(l_quantity * l_quantity) AS sx11,
+               SUM(l_quantity * l_discount) AS sx12,
+               SUM(l_discount * l_discount) AS sx22,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_extendedprice) AS sx1y,
+               SUM(l_discount * l_extendedprice) AS sx2y,
+               SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+    ), solved AS (
+        SELECT *,
+               n * (sx11 * sx22 - sx12 * sx12)
+               - sx1 * (sx1 * sx22 - sx12 * sx2)
+               + sx2 * (sx1 * sx12 - sx11 * sx2) AS det
+        FROM m
+    ), beta AS (
+        SELECT *,
+               (sy  * (sx11 * sx22 - sx12 * sx12)
+              - sx1 * (sx1y * sx22 - sx12 * sx2y)
+              + sx2 * (sx1y * sx12 - sx11 * sx2y)) / det AS b0,
+               (n   * (sx1y * sx22 - sx12 * sx2y)
+              - sy  * (sx1 * sx22 - sx12 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2)) / det AS b1,
+               (n   * (sx11 * sx2y - sx1y * sx12)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy  * (sx1 * sx12 - sx11 * sx2)) / det AS b2
+        FROM solved
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(5e-10 + b0, 4) AS beta0,
+           ROUND(5e-10 + b1, 4) AS beta1,
+           ROUND(5e-10 + b2, 4) AS beta2,
+           ROUND(5e-10 + 1.0 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+                 / (syy - sy * sy / n), 4) AS r2
+    FROM beta
+    """,
+    doc="Multivariate OLS (l_extendedprice ~ l_quantity + l_discount + "
+    "intercept) solved by normal equations in ONE aggregation pass: "
+    "ten decomposable moments (map-side combined to 10 doubles per "
+    "task), then the closed-form 3x3 Cramer solve and R^2 = 1 - SSE/SST "
+    "computed from the SAME moments (SSE = Syy - beta . X'y) — zero "
+    "extra corpus scans, nothing but ten doubles shuffled at any scale. "
+    "The oracle states the identical closed form.",
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sy, sx1y, sx2y, syy = F.col("sy"), F.col("sx1y"), F.col("sx2y"), F.col("syy")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    solved = m.withColumn("det", det)
+    det = F.col("det")
+    b0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    ) / det
+    b1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    ) / det
+    b2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    ) / det
+    beta = solved.select(
+        "*", b0.alias("b0"), b1.alias("b1"), b2.alias("b2")
+    )
+    b0c, b1c, b2c = F.col("b0"), F.col("b1"), F.col("b2")
+    return beta.select(
+        n.cast("long").alias("n_rows"),
+        _r(b0c).alias("beta0"),
+        _r(b1c).alias("beta1"),
+        _r(b2c).alias("beta2"),
+        _r(
+            F.lit(1.0)
+            - (syy - b0c * sy - b1c * sx1y - b2c * sx2y)
+            / (syy - sy * sy / n)
+        ).alias("r2"),
+    )
+
+
+@register(
+    "profile_correlation_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(5e-10 + corr(l_quantity, l_extendedprice), 4) AS pearson_r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND(5e-10 + corr(l_quantity, l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_extendedprice',
+           ROUND(5e-10 + corr(l_discount, l_extendedprice), 4)
+    FROM lineitem
+    ORDER BY col_a, col_b
+    """,
+    doc="Pairwise Pearson correlation of the lineitem numeric measures "
+    "— the standard pre-modeling profile. All three correlations ride "
+    "ONE aggregation over one scan (each corr is a decomposable moment "
+    "set); output is the upper triangle as rows. The oracle's UNION ALL "
+    "legs re-scan per pair — correct but the naive plan; the Spark side "
+    "is the one-pass formulation.",
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qe"),
+        F.corr("l_quantity", "l_discount").alias("qd"),
+        F.corr("l_discount", "l_extendedprice").alias("de"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col_a"),
+                    F.lit("l_extendedprice").alias("col_b"),
+                    F.col("qe").alias("r"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_a"),
+                    F.lit("l_discount").alias("col_b"),
+                    F.col("qd").alias("r"),
+                ),
+                F.struct(
+                    F.lit("l_discount").alias("col_a"),
+                    F.lit("l_extendedprice").alias("col_b"),
+                    F.col("de").alias("r"),
+                ),
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        "p.col_a", "p.col_b", _r(F.col("p.r")).alias("pearson_r")
+    ).orderBy("col_a", "col_b")
