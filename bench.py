@@ -79,6 +79,8 @@ HEADLINE = [
     "text_ngram_novelty_by_source",
     "docs_char_trigram_entropy_by_source",
     "events_pareto_concentration",
+    "ml_ols_normal_equations",
+    "profile_correlation_matrix",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
