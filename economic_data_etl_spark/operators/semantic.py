@@ -182,6 +182,31 @@ def seed_centroids(
     return [list(r[0]) for r in rows]
 
 
+def _pair_dot_vectorized():
+    """Arrow-batched pandas_udf computing the dot product of two
+    normalized-vector columns with one numpy einsum per batch — the
+    scale lane for candidate-pair scoring (the expression path costs
+    O(dim) interpreted fold steps per pair; einsum is one BLAS-ish
+    pass per Arrow batch). Float-sum order differs from the
+    left-to-right expression fold, so a pair sitting within ulps of
+    the threshold could classify differently on unseen data —
+    oracle-gated callers keep the expression path (same policy as
+    VECTORIZED_K_THRESHOLD); pair-set equality on the test corpora is
+    pinned in tests/test_semantic_dedup.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot
+
+
 def semantic_near_dup_pairs(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -189,6 +214,7 @@ def semantic_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 3,
+    vectorized_scoring: bool = False,
     _caches: list[DataFrame] | None = None,
     _assigned: DataFrame | None = None,
 ) -> DataFrame:
@@ -257,12 +283,14 @@ def semantic_near_dup_pairs(
     vb = normed.select(
         F.col("__nid").alias("id_b"), F.col("__nv").alias("__vb")
     )
+    if vectorized_scoring:
+        dot = _pair_dot_vectorized()(F.col("__va"), F.col("__vb"))
+    else:
+        dot = dot_product(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(
-            dot_product(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
-        )
+        .filter(dot >= F.lit(threshold))
         .select("id_a", "id_b")
     )
 

@@ -168,3 +168,24 @@ class TestSemanticDedup:
         }
         assert inc == full - index_only
         assert inc, "fixture must produce at least one incremental pair"
+
+    def test_vectorized_scoring_matches_expression(self, spark, sf_dir):
+        """The einsum pair-scoring lane must produce the SAME pair set
+        as the expression dot-product fold (same candidates, same
+        threshold verdicts) on the test corpus."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 16)
+        expr = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        vec = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3, vectorized_scoring=True
+            ).collect()
+        }
+        assert expr == vec
+        assert expr, "fixture must produce pairs"
