@@ -6,13 +6,21 @@ Arrow-batched `mapInPandas` — the payload bytes never round-trip through
 Python row-by-row, and partition sizing is controlled by
 `spark.sql.files.maxPartitionBytes` exactly as for any other column.
 
-The actual codec calls are STUBBED: the image/audio libraries are not in
-this container. `decode_media_metadata` derives deterministic fake
-dimensions from the payload bytes (so plumbing is testable end-to-end and
-oracle-checkable); `decode_image_real` is the clearly-marked
-NotImplementedError seam where PIL/ffmpeg would slot in. Everything
-Spark-side — schema, batch iteration, UDF signatures, partitioning — is
-real.
+Two tiers of decode:
+
+- **Container-header parsing is REAL** (`parse_container_header`): PNG
+  IHDR, GIF logical screen, BMP info header, and WAV fmt chunks are
+  struct-unpacked with no codec library — the format-routing /
+  corrupt-screening / dimension-accounting first stage of a media
+  ingest, end-to-end oracle-checked via `build_sample_container`
+  round-trips and pinned against reference byte strings.
+- **Pixel/audio decode is STUBBED**: the image/audio libraries are not
+  in this container. `decode_media_metadata` derives deterministic fake
+  dimensions from the payload bytes (so plumbing is testable end-to-end
+  and oracle-checkable); `decode_image_real` is the clearly-marked
+  NotImplementedError seam where PIL/ffmpeg would slot in. Everything
+  Spark-side — schema, batch iteration, UDF signatures, partitioning —
+  is real.
 """
 
 from __future__ import annotations
