@@ -27,11 +27,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].spark(spark, SF0001_DIR)
 
 
-def _driver_status() -> dict[str, bool]:
-    """name -> latest driver verdict (True = green) across all prior
-    CORRECTNESS_r*.json rounds; absent = never sampled."""
-    status: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+def _driver_history() -> dict[str, tuple[bool, int]]:
+    """name -> (latest driver verdict, round index of that verdict)
+    across all prior CORRECTNESS_r*.json rounds; absent = never
+    sampled. The round index ages the green tail: a query last proven
+    in r01 should be re-proven before one proven in r04."""
+    status: dict[str, tuple[bool, int]] = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -48,8 +52,14 @@ def _driver_status() -> dict[str, bool]:
                 for k in ("schema_match", "hash_match"):
                     if row.get(k) is False:
                         ok = False
-            status[name] = ok
+            status[name] = (ok, rnd)
     return status
+
+
+def _driver_status() -> dict[str, bool]:
+    """name -> latest driver verdict (True = green); absent = never
+    sampled."""
+    return {n: ok for n, (ok, _) in _driver_history().items()}
 
 
 def _rotation_order() -> list[str]:
@@ -62,22 +72,30 @@ def _rotation_order() -> list[str]:
     queries lead because re-proving a fix beats first-proving a query
     that already passes the local sf0.01 replica sweep; fresh queries
     are interleaved round-robin by family (name prefix) so even a small
-    sample touches every operator family; already-green queries go last
-    (they keep their local oracle tests either way).
+    sample touches every operator family; already-green queries go last,
+    STALEST DRIVER ROW FIRST (a query last proven in r01 gets re-proven
+    before one proven in r04 — once everything is green, each round's
+    ~50-row sample refreshes the oldest proofs, keeping every green at
+    most ⌈catalog/50⌉ rounds old).
     """
     names = list(REGISTRY)
-    status = _driver_status()
-    fresh = [n for n in names if n not in status]
+    history = _driver_history()
+    fresh = [n for n in names if n not in history]
     groups: dict[str, list[str]] = {}
     for n in fresh:
         groups.setdefault(n.split("_", 1)[0], []).append(n)
-    order: list[str] = [n for n in names if status.get(n) is False]
+    order: list[str] = [
+        n for n in names if n in history and history[n][0] is False
+    ]
     buckets = list(groups.values())
     while any(buckets):
         for b in buckets:
             if b:
                 order.append(b.pop(0))
-    order.extend(n for n in names if status.get(n) is True)
+    green = [n for n in names if n in history and history[n][0] is True]
+    # stable: ties on round keep registry order
+    green.sort(key=lambda n: history[n][1])
+    order.extend(green)
     return order
 
 

@@ -87,21 +87,36 @@ def _assign_ranked_vectorized(
     centroids: list[list[float]],
     vec_col: str,
     probes: int,
+    _resources: list | None = None,
 ):
     """Top-`probes` cluster ids per row via a broadcast centroid matrix
     and one float64 GEMM per Arrow batch — O(k·dim) FLOPs per row on
     BLAS instead of O(k) interpreted folds. Only k×dim floats are
     broadcast; no shuffle. Tie/edge semantics mirror the expression
     path: ties on cosine break to the LOWEST cluster id (stable argsort
-    on -cos), and undefined cosines (zero-norm vector or centroid) sort
-    last (−inf), degenerating to ascending cluster ids — the same order
-    array_sort gives NULL struct fields."""
+    on -cos); undefined cosines (zero-norm vector or centroid) sort
+    last (−inf), degenerating to ascending cluster ids; NULL or
+    wrong-dimension vectors are mapped to the zero vector, which lands
+    in the same all-undefined → ascending-ids ordering the expression
+    path gives an all-NULL cosine struct array (pinned against the
+    expression path in tests/test_semantic_dedup.py). Element-level
+    NULLs become NaN, and NaN cosines sort last in BOTH lanes (struct
+    ordering and np.argsort agree NaN > any number).
+
+    The centroid broadcast is appended to `_resources` when given —
+    callers that own a cache list (semantic_dedup_summary/_keep) must
+    unpersist it after their consuming action, or repeated invocations
+    in a long-lived session accumulate broadcast blocks. When None
+    (direct catalog/bench calls, one query per session), the broadcast
+    dies with the session."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     cnorm = np.linalg.norm(C, axis=1)
     bc = df.sparkSession.sparkContext.broadcast((C, cnorm))
+    if _resources is not None:
+        _resources.append(bc)
     p = int(probes)
 
     @pandas_udf("array<int>")
@@ -109,7 +124,16 @@ def _assign_ranked_vectorized(
         Cm, cn = bc.value
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = Cm.shape[1]
+        zero = np.zeros(dim)
+        M = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == dim
+                else zero
+                for v in vecs
+            ]
+        )
         mn = np.linalg.norm(M, axis=1)
         denom = np.outer(mn, cn)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -126,16 +150,23 @@ def assign_topp_clusters(
     vec_col: str = "embedding",
     probes: int = 1,
     vectorized: bool | None = None,
+    _resources: list | None = None,
 ) -> DataFrame:
     """Add `__clusters`: the top-`probes` cluster ids per row, WITHOUT
     exploding. The O(k)-cosine ranking is the expensive part of every
     assignment; computing the ranked array once lets callers derive
     both the primary (element 0) and the multi-probe explode from ONE
-    corpus pass instead of two (semantic_dedup_summary does)."""
+    corpus pass instead of two (semantic_dedup_summary does).
+
+    `_resources`, when given, collects session-lifetime artifacts the
+    vectorized lane allocates (the centroid broadcast) so the caller
+    can unpersist them after its consuming action."""
     if vectorized is None:
         vectorized = len(centroids) > VECTORIZED_K_THRESHOLD
     if vectorized:
-        ranked = _assign_ranked_vectorized(df, centroids, vec_col, probes)
+        ranked = _assign_ranked_vectorized(
+            df, centroids, vec_col, probes, _resources
+        )
         return df.withColumn("__clusters", ranked)
     ranked = _ranked_clusters(F.col(vec_col), centroids)
     return df.withColumn("__clusters", F.slice(ranked, 1, probes))
@@ -147,6 +178,7 @@ def assign_clusters_cosine(
     vec_col: str = "embedding",
     probes: int = 1,
     vectorized: bool | None = None,
+    _resources: list | None = None,
 ) -> DataFrame:
     """probes=1: add `cluster` = argmax cosine (one row per input row).
     probes>1: explode the top-p clusters (p rows per input row).
@@ -160,7 +192,9 @@ def assign_clusters_cosine(
       where O(k) interpreted folds per row would dominate.
     Both paths produce identical assignments (pinned at k=256 in
     tests/test_semantic_dedup.py)."""
-    topp = assign_topp_clusters(df, centroids, vec_col, probes, vectorized)
+    topp = assign_topp_clusters(
+        df, centroids, vec_col, probes, vectorized, _resources
+    )
     if probes == 1:
         return topp.withColumn(
             "cluster", F.col("__clusters")[0]
@@ -192,7 +226,14 @@ def _pair_dot_vectorized():
     the threshold could classify differently on unseen data —
     oracle-gated callers keep the expression path (same policy as
     VECTORIZED_K_THRESHOLD); pair-set equality on the test corpora is
-    pinned in tests/test_semantic_dedup.py."""
+    pinned in tests/test_semantic_dedup.py.
+
+    NULL / mismatched-dimension pairs score NaN, which Arrow delivers
+    to Spark as NULL — exactly what the expression path's dot_product
+    returns for them, so the caller's `dot >= threshold` filter drops
+    the pair in both lanes (NaN itself would NOT be dropped: Spark
+    orders NaN above every number, so `NaN >= t` is true — the Arrow
+    NaN→NULL conversion is load-bearing and pinned in tests)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -200,9 +241,21 @@ def _pair_dot_vectorized():
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        av = [None if v is None else np.asarray(v, np.float64) for v in a]
+        bv = [None if v is None else np.asarray(v, np.float64) for v in b]
+        bad = [
+            x is None or y is None or x.shape != y.shape
+            for x, y in zip(av, bv)
+        ]
+        dims = {x.shape for x, m in zip(av, bad) if not m}
+        if len(dims) == 1 and not any(bad):  # fast path: one clean GEMM
+            A, B = np.stack(av), np.stack(bv)
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+        out = np.full(len(av), np.nan)
+        for i, (x, y, m) in enumerate(zip(av, bv, bad)):
+            if not m:
+                out[i] = float(np.dot(x, y))
+        return pd.Series(out)
 
     return _dot
 
@@ -257,7 +310,9 @@ def semantic_near_dup_pairs(
         assigned = _assigned
     else:
         assigned = (
-            assign_clusters_cosine(corpus, centroids, vec_col, probes)
+            assign_clusters_cosine(
+                corpus, centroids, vec_col, probes, _resources=_caches
+            )
             .select("cluster", F.col(id_col).alias("__id"))
             .persist()
         )
@@ -392,9 +447,11 @@ def semantic_dedup_summary(
     # (explode) — previously these were two full O(k)-cosine corpus
     # passes (measured ~3.7 s each at sf0.1/k=16 on the expression
     # path). The cache holds ids + p ints per row, never the vectors.
-    caches: list[DataFrame] = []
+    caches: list = []  # DataFrames and Broadcasts; both expose unpersist()
     topp = (
-        assign_topp_clusters(corpus, centroids, vec_col, probes)
+        assign_topp_clusters(
+            corpus, centroids, vec_col, probes, _resources=caches
+        )
         .select(id_col, "__clusters")
         .persist()
     )
@@ -458,7 +515,7 @@ def semantic_dedup_keep(
     centroids = _centroids(corpus, k, iters, id_col, vec_col)
     if not centroids:
         return corpus  # empty corpus: nothing to drop
-    caches: list[DataFrame] = []
+    caches: list = []  # DataFrames and Broadcasts; both expose unpersist()
     pairs = semantic_near_dup_pairs(
         corpus, centroids, threshold, id_col, vec_col, probes,
         _caches=caches,
@@ -471,3 +528,72 @@ def semantic_dedup_keep(
     for c in caches:
         c.unpersist()
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def write_assignment_bucketed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """Materialize the multi-probe cluster assignment as a table
+    BUCKETED BY `cluster` — the storage layout the module docstring
+    promises at warehouse scale ("the corpus would be written
+    partitioned by cluster, making the self-join co-located reads").
+
+    Each row is (cluster, __id, __nv): one row per (vector, probed
+    cluster), carrying the L2-normalized vector so the within-cluster
+    scoring join needs nothing else. Two scans of this table joined on
+    `cluster` are co-located by construction — no Exchange in the plan
+    (pinned in tests/test_plan_shapes.py) — so the ONE corpus shuffle
+    the in-memory operator pays (the cluster-key exchange inside
+    semantic_near_dup_pairs) is paid once at WRITE time and amortized
+    over every subsequent dedup pass against the layout.
+    """
+    from economic_data_etl_spark.functions.vectors import l2_normalize
+    from economic_data_etl_spark.operators.skew import write_bucketed
+
+    assigned = assign_clusters_cosine(
+        corpus, centroids, vec_col, probes
+    ).select(
+        "cluster",
+        F.col(id_col).alias("__id"),
+        l2_normalize(F.col(vec_col)).alias("__nv"),
+    )
+    write_bucketed(assigned, table_name, "cluster", num_buckets)
+
+
+def semantic_near_dup_pairs_from_bucketed(
+    spark,
+    table_name: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(id_a, id_b), id_a < id_b — same contract and same pair set as
+    semantic_near_dup_pairs (pinned in tests), but read from the
+    cluster-bucketed layout written by write_assignment_bucketed: the
+    self-join on `cluster` consumes the buckets' HashPartitioning
+    directly, so the plan has NO Exchange on the cluster key. Scoring
+    happens inside the join (the vectors are already co-located — at
+    warehouse scale this is a local merge, not a network move); only
+    the surviving (id_a, id_b) pairs reach the final distinct, which
+    dedupes pairs that collided in more than one probed cluster.
+    """
+    t = spark.table(table_name)
+    a = t.select(
+        "cluster", F.col("__id").alias("id_a"), F.col("__nv").alias("__va")
+    )
+    b = t.select(
+        "cluster", F.col("__id").alias("id_b"), F.col("__nv").alias("__vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_product(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -40,7 +40,10 @@ def biased_round(col, dp: int = FLOAT_DP):
     return F.round(col + F.lit(ROUND_BIAS), dp) + F.lit(0.0)
 
 
-_ROUND_TOKEN_RE = re.compile(r"ROUND\s*\(", re.IGNORECASE)
+# Leading lookbehind: only a bare ROUND call — an identifier merely
+# ENDING in "round(" (my_round(...)) must not be treated as a biased
+# ROUND and wrapped/mangled at register() time.
+_ROUND_TOKEN_RE = re.compile(r"(?<![A-Za-z0-9_])ROUND\s*\(", re.IGNORECASE)
 
 
 def _zero_sign_safe(sql: str | None) -> str | None:

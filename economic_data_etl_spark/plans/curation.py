@@ -262,6 +262,80 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_bucketed",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings
+            WHERE vec_id < GREATEST({_SEM_K},
+                (SELECT COUNT(*) // {_SEM_DOCS_PER_CLUSTER} FROM embeddings))
+        ), scored AS (
+            SELECT e.vec_id, s.cid,
+                   list_cosine_similarity(e.embedding::DOUBLE[], s.cv) AS d
+            FROM embeddings e CROSS JOIN seeds s
+        ), probed AS (
+            SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d DESC, cid ASC
+                       ) AS rn
+                FROM scored
+            ) r WHERE rn <= {_SEM_PROBES}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM probed a JOIN probed b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ), normed AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / sqrt(list_sum(list_transform(
+                           embedding::DOUBLE[], y -> y * y)))) AS nv
+            FROM embeddings
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN normed na ON na.vec_id = c.id_a
+        JOIN normed nb ON nb.vec_id = c.id_b
+        WHERE list_dot_product(na.nv, nb.nv) >= {_SEM_TAU}
+        ORDER BY id_a, id_b
+    """,
+    doc="The cluster-PARTITIONED semantic-dedup layout — the 100 TB "
+    "execution the module docstring promises, demonstrated end to end: "
+    "the multi-probe assignment (cluster, id, normalized vector) is "
+    "written as a table bucketed by `cluster` "
+    "(operators/skew.py:write_bucketed), then the within-cluster pair "
+    "self-join reads the buckets twice and joins WITHOUT any Exchange "
+    "on the cluster key (plan pinned in tests/test_plan_shapes.py) — "
+    "the one corpus shuffle the in-memory operator pays per pass is "
+    "paid once at write time and amortized over every dedup pass "
+    "against the layout. Pair set is identical to the in-memory "
+    "operator's (pinned in tests/test_semantic_dedup.py) and "
+    "oracle-checked against the same DuckDB pair CTE as "
+    "dedup_semantic_embedding.",
+)
+def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.semantic import (
+        seed_centroids,
+        semantic_near_dup_pairs_from_bucketed,
+        write_assignment_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(_SEM_K, emb.count() // _SEM_DOCS_PER_CLUSTER)
+    cents = seed_centroids(emb, k)
+    if not cents:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    table = "semantic_assignment_by_cluster"
+    write_assignment_bucketed(
+        emb, cents, table, probes=_SEM_PROBES, num_buckets=16
+    )
+    return semantic_near_dup_pairs_from_bucketed(
+        spark, table, threshold=_SEM_TAU
+    ).orderBy("id_a", "id_b")
+
+
 _DUP_NGRAM_N = 5
 _DUP_FRAC_MAX = 0.5
 _TEMP_TAU = 0.7

@@ -488,8 +488,8 @@ def inv_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            ROUND(5e-10 + quantile_cont(value, 0.5), 4) AS exact_p50,
            ROUND(5e-10 + quantile_cont(value, 0.9), 4) AS exact_p90,
-           true AS p50_within_2pct,
-           true AS p90_within_2pct
+           true AS p50_within_5pct,
+           true AS p90_within_5pct
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -498,8 +498,13 @@ def inv_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark uses where exact percentile would re-shuffle raw values at "
     "every rollup level): the exact interpolated P50/P90 per event_type "
     "are recomputed by both engines (value check), and the sketch "
-    "estimates at accuracy=1000 must land within 2% relative error of "
-    "them (deterministic for fixed input). The exact side is the "
+    "estimates at accuracy=1000 must land within 5% relative error of "
+    "them. The 5% bound carries ~3x headroom over the measured "
+    "worst-case error (1.65% at sf0.001, 0.65% at sf0.01, 0.53% at "
+    "sf0.1, 2026-08-14 run) — the sketch merge is partition-order "
+    "sensitive, so a layout or Spark-version change can shift the "
+    "estimate a little; a red here means a real accuracy regression, "
+    "not environmental drift (round-4 advice). The exact side is the "
     "oracle; the approx side is the 100 TB path.",
 )
 def inv_approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,14 +516,14 @@ def inv_approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.9, 1000)").alias("ap90"),
     )
     within = lambda ap, ex: (  # noqa: E731
-        F.abs(F.col(ap) - F.col(ex)) <= F.abs(F.col(ex)) * F.lit(0.02)
+        F.abs(F.col(ap) - F.col(ex)) <= F.abs(F.col(ex)) * F.lit(0.05)
     )
     return agg.select(
         "event_type",
         biased_round(F.col("ex50")).alias("exact_p50"),
         biased_round(F.col("ex90")).alias("exact_p90"),
-        within("ap50", "ex50").alias("p50_within_2pct"),
-        within("ap90", "ex90").alias("p90_within_2pct"),
+        within("ap50", "ex50").alias("p50_within_5pct"),
+        within("ap90", "ex90").alias("p90_within_5pct"),
     ).orderBy("event_type")
 
 
@@ -568,4 +573,69 @@ def inv_hashed_tf_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("long")
         ).alias("bucket_range_violations"),
+    )
+
+
+@register(
+    "inv_semantic_recall",
+    oracle="""
+    WITH cos AS (
+        SELECT list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           ROUND(5e-10 + SUM(ROUND(5e-10 + c, 4)), 4) AS sum_exact_cosine,
+           true AS semantic_recall_ok
+    FROM cos WHERE c >= 0.4
+    """,
+    doc="Certifies dedup_semantic_embedding's cluster-probe "
+    "approximation against the exact O(n²) cosine baseline: "
+    "n_exact_pairs and sum_exact_cosine are recomputed from the raw "
+    "embeddings by BOTH engines (cross-engine value check of the whole "
+    "cosine pipeline), and semantic_recall_ok asserts the SemDeDup "
+    "probe-join (same k/probes/τ configuration as "
+    "dedup_semantic_embedding) recovers >= 80% of the exact "
+    "within-threshold pairs (measured 0.924 at sf0.001 and 0.949 at "
+    "sf0.01; seeded centroids → deterministic). Brute-force side is "
+    "certification-only, like embedding_near_dup_pairs — never a "
+    "throughput path.",
+)
+def inv_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators import semantic, similarity
+    from economic_data_etl_spark.plans.curation import (
+        _SEM_DOCS_PER_CLUSTER,
+        _SEM_K,
+        _SEM_PROBES,
+        _SEM_TAU,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_near_dup_pairs(
+        emb, threshold=_SEM_TAU
+    ).select("id_a", "id_b", "cosine")
+    k = max(_SEM_K, emb.count() // _SEM_DOCS_PER_CLUSTER)
+    cents = semantic.seed_centroids(emb, k)
+    probed = semantic.semantic_near_dup_pairs(
+        emb, cents, threshold=_SEM_TAU, probes=_SEM_PROBES
+    ).select("id_a", "id_b")
+    stats = (
+        exact.join(probed, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact_pairs"),
+                # cosine is biased_round'ed per pair; the outer round
+                # only normalizes the float repr of the 4dp sum.
+                biased_round(F.sum("cosine")).alias("sum_exact_cosine"),
+            )
+        )
+    )
+    return stats.select(
+        "n_exact_pairs",
+        "sum_exact_cosine",
+        (
+            (F.col("n_exact_pairs") == 0)
+            | (F.col("n_found") >= F.col("n_exact_pairs") * F.lit(0.8))
+        ).alias("semantic_recall_ok"),
     )

@@ -21,6 +21,26 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _conf(spark, key: str, value: str):
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 class TestPlanShapes:
     def test_q1_filter_pushed_to_scan(self, spark, sf_dir):
         plan = _plan(spark, sf_dir, "q1_pricing_summary")
@@ -68,6 +88,56 @@ class TestPlanShapes:
         exists to avoid."""
         plan = _plan(spark, sf_dir, "dedup_semantic_embedding")
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_bucketed_semantic_self_join_has_no_exchange(
+        self, spark, sf_dir
+    ):
+        """The 100 TB claim behind dedup_semantic_bucketed, proven on
+        the plan: once the assignment is WRITTEN bucketed by `cluster`,
+        the within-cluster self-join consumes the buckets'
+        HashPartitioning directly — NO Exchange anywhere below the
+        join. (Broadcast is disabled so the small test table takes the
+        same SortMergeJoin path a 100 TB table would; the final
+        pair-distinct above the join is allowed its Exchange — it moves
+        only surviving id pairs.)"""
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.semantic import (
+            seed_centroids,
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+        from economic_data_etl_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)
+        write_assignment_bucketed(
+            emb, cents, "t_sem_bucketed_plan", probes=3, num_buckets=8
+        )
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            t = spark.table("t_sem_bucketed_plan")
+            a = t.select("cluster", F.col("__id").alias("id_a"))
+            b = t.select("cluster", F.col("__id").alias("id_b"))
+            joined = a.join(b, "cluster").filter(
+                F.col("id_a") < F.col("id_b")
+            )
+            plan = _explain(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # the full operator may only shuffle ABOVE the join (the
+            # pair distinct — surviving id pairs only); everything at
+            # and below the join stays exchange-free. The formatted
+            # tree prints root-first, so in this linear plan every tree
+            # line after the SortMergeJoin is its subtree.
+            full = _explain(
+                semantic_near_dup_pairs_from_bucketed(
+                    spark, "t_sem_bucketed_plan", threshold=0.4
+                )
+            )
+            tree = full.split("\n\n")[0]
+            join_pos = tree.find("SortMergeJoin")
+            assert join_pos != -1, tree
+            assert "Exchange" not in tree[join_pos:], tree
 
     def test_asof_join_is_not_a_range_join(self, spark, sf_dir):
         # union+window shape: no BroadcastNestedLoopJoin / CartesianProduct

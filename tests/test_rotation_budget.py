@@ -36,6 +36,20 @@ def test_unproven_queries_lead_the_rotation():
     )
 
 
+def test_green_tail_is_aged_oldest_proof_first():
+    """Once every query is driver-green, the ~50-row sample must refresh
+    the STALEST proofs: the green tail is ordered by the round of each
+    query's latest driver row, ascending (round-4 verdict item 6)."""
+    history = entry._driver_history()
+    order = list(entry._rotation_order())
+    green_rounds = [
+        history[n][1]
+        for n in order
+        if n in history and history[n][0] is True
+    ]
+    assert green_rounds == sorted(green_rounds)
+
+
 def test_registry_and_rotation_agree():
     from economic_data_etl_spark.plans import REGISTRY
 

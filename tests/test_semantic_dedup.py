@@ -141,6 +141,74 @@ class TestSemanticDedup:
             sem.VECTORIZED_K_THRESHOLD = orig
         assert auto == expr
 
+    def test_vectorized_lanes_tolerate_null_and_ragged_vectors(
+        self, spark
+    ):
+        """Round-4 advice: a single NULL or wrong-dimension embedding
+        must not crash the numpy lanes (np.stack ValueError) — the
+        vectorized path is AUTO-selected at k>64, so NULL tolerance is
+        a correctness property, not a nicety. NULL/ragged vectors get
+        the same verdicts the expression path gives them: ascending
+        cluster ids for the assignment (all cosines undefined), and
+        NULL dot → pair dropped for scoring."""
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, None),           # NULL vector
+            (2, [1.0]),          # wrong dimension
+            (3, [0.0, 0.0]),     # zero norm
+            (4, [1.0, 0.05]),    # near-dup of 0
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+        expr = assign_clusters_cosine(
+            emb, cents, probes=2, vectorized=False
+        ).select("vec_id", "cluster")
+        vec = assign_clusters_cosine(
+            emb, cents, probes=2, vectorized=True
+        ).select("vec_id", "cluster")
+        assert {tuple(r) for r in expr.collect()} == {
+            tuple(r) for r in vec.collect()
+        }
+        # pair scoring: NULL/ragged sides must be silently dropped in
+        # BOTH lanes (NaN→NULL through Arrow; NULL >= τ is false).
+        for vs in (False, True):
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in semantic_near_dup_pairs(
+                    emb, cents, TAU, probes=2, vectorized_scoring=vs
+                ).collect()
+            }
+            assert (0, 4) in pairs
+            assert not any(1 in p or 2 in p for p in pairs), pairs
+
+    def test_vectorized_assignment_broadcast_is_released(self, spark):
+        """The centroid broadcast created by the vectorized lane must be
+        handed to the caller-owned resource list so long-lived sessions
+        can release it (round-4 advice: broadcast-block leak)."""
+        from economic_data_etl_spark.operators.semantic import (
+            assign_topp_clusters,
+        )
+        from pyspark.broadcast import Broadcast
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        resources: list = []
+        out = assign_topp_clusters(
+            emb,
+            [[1.0, 0.0], [0.0, 1.0]],
+            probes=1,
+            vectorized=True,
+            _resources=resources,
+        )
+        assert out.count() == 2
+        bcs = [r for r in resources if isinstance(r, Broadcast)]
+        assert len(bcs) == 1
+        bcs[0].unpersist()  # the cleanup call every cache-owner makes
+
     def test_incremental_equals_full_minus_index_only(self, spark, sf_dir):
         from economic_data_etl_spark.operators.semantic import (
             semantic_incremental_pairs,
@@ -168,6 +236,38 @@ class TestSemanticDedup:
         }
         assert inc == full - index_only
         assert inc, "fixture must produce at least one incremental pair"
+
+    def test_bucketed_layout_pairs_identical_to_in_memory(
+        self, spark, sf_dir
+    ):
+        """The cluster-bucketed storage path (write once bucketed by
+        cluster, self-join the buckets) must produce EXACTLY the pair
+        set of the in-memory operator — the layout changes where the
+        shuffle happens (write time vs query time), never the answer."""
+        from economic_data_etl_spark.operators.semantic import (
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)
+        write_assignment_bucketed(
+            emb, cents, "t_sem_bucketed_pairs", probes=3, num_buckets=8
+        )
+        bucketed = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, "t_sem_bucketed_pairs", threshold=TAU
+            ).collect()
+        }
+        memory = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        assert bucketed == memory
+        assert bucketed, "fixture must produce pairs"
 
     def test_vectorized_scoring_matches_expression(self, spark, sf_dir):
         """The einsum pair-scoring lane must produce the SAME pair set

@@ -64,6 +64,15 @@ class TestZeroSignSafe:
             " + 0.0) FROM t"
         )
 
+    def test_identifier_ending_in_round_untouched(self):
+        # my_round( is an identifier, not a ROUND call — the leading
+        # (?<![A-Za-z0-9_]) lookbehind must leave it alone even though
+        # its argument mentions the 5e-10 bias (round-4 advice).
+        sql = "SELECT my_round(5e-10 + x) AS a, ROUND(5e-10 + y, 4) AS b"
+        out = _zero_sign_safe(sql)
+        assert "my_round(5e-10 + x) AS a" in out
+        assert "(ROUND(5e-10 + y, 4) + 0.0) AS b" in out
+
     def test_none_passthrough(self):
         assert _zero_sign_safe(None) is None
 
