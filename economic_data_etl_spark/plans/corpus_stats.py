@@ -210,34 +210,26 @@ def text_token_length_histogram(
     """,
     doc="Per-source Shannon entropy of the character-trigram "
     "distribution — low entropy flags repetitive/templated sources, a "
-    "CCNet-adjacent noise profile. Same charset^3-bounded trigram "
-    "pipeline as text_lm_quality_score's model build (lower(text) "
-    "projected ONCE before the position lambda); per-source sums run "
-    "over the vocab-sized count table.",
+    "CCNet-adjacent noise profile. The instance counts come from the "
+    "Arrow-vectorized trigram lane "
+    "(operators/textstats.char_trigram_counts: int64-packed trigrams, "
+    "np.unique per batch — the interpreted transform+explode built one "
+    "JVM string per corpus character; measured 2.9 s → ≤1 s at sf0.1). "
+    "Count identity with the string pipeline is exact (the packing is "
+    "injective), so the oracle is unchanged; per-source sums still run "
+    "over the vocab-sized count table, map-side combined.",
 )
 def docs_char_trigram_entropy_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from economic_data_etl_spark.operators.textstats import (
+        char_trigram_counts,
+    )
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
-    cnt = (
-        docs.select(
-            "source",
-            F.lower(F.col("text")).alias("__lt"),
-            (F.char_length("text") - 2).alias("__n"),
-        )
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, __n), i -> substring(__lt, i, 3))"
-                )
-            ).alias("g"),
-        )
-        .groupBy("source", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cnt = char_trigram_counts(docs, "source")
     tot = cnt.groupBy("source").agg(F.sum("c").alias("s"))
     p = F.col("c") / F.col("s")
     return (

@@ -61,27 +61,45 @@ _DUP_TOKEN_MAX = 0.55
     """,
     doc="Gopher-style repetition filters: most-frequent-token fraction, "
     "duplicate-token fraction, duplicate-bigram fraction, and the "
-    "keep/drop verdict at fixed thresholds. Pure per-row expressions "
-    "(functions/text.py top_token_frac/dup_token_frac/dup_ngram_frac) — "
-    "embarrassingly parallel, no shuffle, the verdict binds on RAW "
-    "ratios so rounding can't flip it.",
+    "keep/drop verdict at fixed thresholds. The integer token/gram "
+    "statistics come from ONE Arrow-batched pass "
+    "(operators/textstats.repetition_stats — the expression lane's "
+    "top-token count is O(tokens x distinct) interpreted lambda steps "
+    "per document; the Counter pass is O(tokens), measured 2.8 s → "
+    "≤1 s at sf0.1); every fraction, rounding step, and the verdict "
+    "stay Spark expressions over those exact integers, so the oracle "
+    "comparison is bit-identical (single correctly-rounded divisions). "
+    "Embarrassingly parallel, no shuffle; the verdict binds on RAW "
+    "ratios so rounding can't flip it. Expression twins remain in "
+    "functions/text.py (used by the quality-score family) and the two "
+    "lanes are pinned equal in tests/test_dedup_quality.py.",
 )
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.textstats import (
+        repetition_stats,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    top_frac = T.top_token_frac(text)
-    dup_frac = T.dup_token_frac(text)
+    st = repetition_stats(docs)
+    n = F.col("n_tok")
+    top_frac = F.when(
+        n > 0, F.col("max_tok_count") / n
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n > 0, F.lit(1.0) - F.col("n_distinct") / n
+    ).otherwise(F.lit(0.0))
+    dup2_frac = F.lit(1.0) - F.col("g_distinct") / F.col("g_total")
     keep = (
-        (T.token_count(text) > 0)
+        (n > 0)
         & (top_frac <= _TOP_TOKEN_MAX)
         & (dup_frac <= _DUP_TOKEN_MAX)
     )
     return (
-        docs.select(
+        st.select(
             "doc_id",
             biased_round(top_frac).alias("top_token_frac"),
             biased_round(dup_frac).alias("dup_token_frac"),
-            biased_round(T.dup_ngram_frac(text, 2)).alias("dup_2gram_frac"),
+            biased_round(dup2_frac).alias("dup_2gram_frac"),
             keep.cast("int").alias("keep"),
         )
         .orderBy("doc_id")

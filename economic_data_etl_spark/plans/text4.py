@@ -77,41 +77,34 @@ def _r(col):
     "move.",
 )
 def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pass 1 (model build): explode trigram instances and count per
-    # trigram. Partial (map-side) aggregation collapses every task to at
-    # most |vocab| rows before the exchange, and the vocabulary is
-    # bounded by charset³ regardless of corpus size — so this shuffle
-    # and the driver collect below are both constant-bounded, the same
-    # argument the ANN operators use for their centroid tables.
+    # Pass 1 (model build): count trigram instances via the
+    # Arrow-vectorized int64-packed lane (operators/textstats.py —
+    # count-identical to the old explode pipeline by the injectivity of
+    # the packing, pinned in tests/test_textstats.py). Partial
+    # aggregation collapses every task to at most |vocab| rows before
+    # the exchange, and the vocabulary is bounded by charset³
+    # regardless of corpus size — so this shuffle and the driver
+    # collect below are both constant-bounded, the same argument the
+    # ANN operators use for their centroid tables. The model is keyed
+    # by PACKED trigram, which is also exactly what the scoring pass
+    # probes — no string round-trip anywhere.
     import math
 
     import pandas as pd
+
+    from economic_data_etl_spark.operators.textstats import (
+        _pack_gram,
+        char_trigram_counts,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
         .select("doc_id", "source", "text")
     )
-    # `lower(text)` is projected ONCE per row before the lambda: an
-    # expression referenced inside a higher-order-function lambda
-    # re-evaluates per element, so slicing substring(lower(text), i, 3)
-    # inline would lower the whole document for every position —
-    # O(len²) per doc (measured ~2× on this pass at sf0.1).
     freq_rows = (
-        docs.select(
-            F.lower("text").alias("__lt"),
-            (F.char_length("text") - 2).alias("__n"),
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, __n),"
-                    " i -> substring(__lt, i, 3))"
-                )
-            ).alias("g")
-        )
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        char_trigram_counts(docs.withColumn("__all", F.lit("")), "__all")
+        .select("g", "c")
         .collect()
     )
     total = float(sum(r["c"] for r in freq_rows))
@@ -124,37 +117,37 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas — ZERO corpus shuffles (the earlier join formulation
     # re-shuffled all trigram instances on doc_id just to average them).
     def _score(batches):
-        # Vectorized scorer: trigrams are packed into int64 keys
-        # (3 × 21-bit code points — Unicode tops out below 2^21) and
-        # looked up with one searchsorted per document against the
-        # sorted model-key array, replacing the per-trigram Python
-        # dict probes (round-3 verdict: the per-character loop was the
-        # scoring bottleneck). Semantics mirror pass 1 exactly:
-        # positions from the ORIGINAL length, trigrams sliced from the
-        # lowered text, model misses skipped (the oracle's inner-join
-        # semantics). Rows where lower() changes the string length
-        # (exotic code points) fall back to the exact slicing loop;
-        # model keys shorter than 3 chars can only arise on such rows
-        # and stay reachable through the same fallback dict.
+        # Vectorized scorer: document trigrams are packed with the SAME
+        # +1-offset int64 encoding the model keys use
+        # (textstats._pack_gram) and looked up with one searchsorted
+        # per document against the sorted model-key array, replacing
+        # the per-trigram Python dict probes (round-3 verdict: the
+        # per-character loop was the scoring bottleneck). Semantics
+        # mirror pass 1 exactly: positions from the ORIGINAL length,
+        # trigrams sliced from the lowered text, model misses skipped
+        # (the oracle's inner-join semantics). Rows where lower()
+        # changes the string length (exotic code points) fall back to
+        # the exact slicing loop; short tail grams can only arise on
+        # such rows and their packed keys stay reachable through the
+        # same model dict (the packing is injective across lengths).
         import numpy as np
 
         model = lp_model.value
-        keys, vals = [], []
-        for g, lp in model.items():
-            if len(g) == 3:
-                a, b, c = (ord(ch) for ch in g)
-                keys.append((a << 42) | (b << 21) | c)
-                vals.append(lp)
-        order = np.argsort(np.asarray(keys, dtype=np.int64))
-        mk = np.asarray(keys, dtype=np.int64)[order]
-        mv = np.asarray(vals, dtype=np.float64)[order]
+        mk = np.fromiter(model.keys(), dtype=np.int64, count=len(model))
+        order = np.argsort(mk)
+        mk = mk[order]
+        mv = np.fromiter(
+            model.values(), dtype=np.float64, count=len(model)
+        )[order]
 
         def _slow(t: str):
             s = t.lower()
             known = [
-                model[g]
-                for g in (s[i : i + 3] for i in range(len(t) - 2))
-                if g in model
+                model[k]
+                for k in (
+                    _pack_gram(s[i : i + 3]) for i in range(len(t) - 2)
+                )
+                if k in model
             ]
             return sum(known) / len(known) if known else None
 
@@ -168,7 +161,7 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 codes = np.frombuffer(
                     s.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
+                ).astype(np.int64) + 1
                 packed = (
                     (codes[:-2] << 42) | (codes[1:-1] << 21) | codes[2:]
                 )

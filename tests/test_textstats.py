@@ -1,0 +1,146 @@
+"""The Arrow-vectorized text-stats lanes (operators/textstats.py) must
+be count-identical to the expression lanes they replaced — same
+tokenizer class (Java \\s, not Python's Unicode \\s), same trigram
+position arithmetic (original length over lowered text), same
+short-document gram degeneracies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.functions import text as T
+from economic_data_etl_spark.operators.textstats import (
+    char_trigram_counts,
+    repetition_stats,
+)
+from economic_data_etl_spark.sources.tables import load_table
+
+
+def _unpack(v: int) -> str:
+    cps = [(v >> 42) & 0x1FFFFF, (v >> 21) & 0x1FFFFF, v & 0x1FFFFF]
+    return "".join(chr(c - 1) for c in cps if c)
+
+
+def _expr_trigram_counts(docs):
+    return (
+        docs.select(
+            "source",
+            F.lower(F.col("text")).alias("__lt"),
+            (F.char_length("text") - 2).alias("__n"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, __n), i -> substring(__lt, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+class TestCharTrigramCounts:
+    def test_full_count_table_matches_expression_lane(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= 3
+        )
+        fast = {
+            (r["source"], _unpack(r["g"])): r["c"]
+            for r in char_trigram_counts(docs, "source").collect()
+        }
+        expr = {
+            (r["source"], r["g"]): r["c"]
+            for r in _expr_trigram_counts(docs).collect()
+        }
+        assert fast == expr
+
+    def test_lower_length_change_takes_slicing_fallback(self, spark):
+        # U+0130 lowers to a TWO-char sequence — lengths diverge, so the
+        # packed fast path must defer to per-position slicing, exactly
+        # what substring(lower(text), i, 3) computes (incl. short tail
+        # grams past the lowered end when lower() SHRINKS, and the
+        # shifted window when it GROWS).
+        docs = spark.createDataFrame(
+            [(1, "s", "abİcd"), (2, "s", "plain text here")],
+            "doc_id long, source string, text string",
+        ).filter(F.length("text") >= 3)
+        fast = {
+            (r["source"], _unpack(r["g"])): r["c"]
+            for r in char_trigram_counts(docs, "source").collect()
+        }
+        expr = {
+            (r["source"], r["g"]): r["c"]
+            for r in _expr_trigram_counts(docs).collect()
+        }
+        assert fast == expr
+
+
+class TestRepetitionStats:
+    def test_matches_expression_lane_on_corpus(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        text = F.col("text")
+        expr = docs.select(
+            "doc_id",
+            T.top_token_frac(text).alias("top"),
+            T.dup_token_frac(text).alias("dup"),
+            T.dup_ngram_frac(text, 2).alias("dup2"),
+        )
+        n = F.col("n_tok")
+        fast = repetition_stats(docs).select(
+            "doc_id",
+            F.when(n > 0, F.col("max_tok_count") / n)
+            .otherwise(F.lit(0.0))
+            .alias("top"),
+            F.when(n > 0, F.lit(1.0) - F.col("n_distinct") / n)
+            .otherwise(F.lit(0.0))
+            .alias("dup"),
+            (F.lit(1.0) - F.col("g_distinct") / F.col("g_total")).alias(
+                "dup2"
+            ),
+        )
+        e = {r["doc_id"]: (r["top"], r["dup"], r["dup2"]) for r in expr.collect()}
+        f = {r["doc_id"]: (r["top"], r["dup"], r["dup2"]) for r in fast.collect()}
+        # bit-identical, not approximately equal: both lanes divide the
+        # same exact integers.
+        assert e == f
+
+    def test_tokenizer_is_java_ws_class_not_unicode(self, spark):
+        # \xa0 (nbsp) is whitespace to Python's \s but NOT to Java's —
+        # both lanes must treat "a\xa0b" as ONE token; \x0b (vertical
+        # tab) splits in Java and must split here too. Degenerate docs
+        # (empty, whitespace-only, single-token) pin the gram floors.
+        docs = spark.createDataFrame(
+            [
+                (1, "a\xa0b c"),
+                (2, "x\x0by"),
+                (3, ""),
+                (4, "   "),
+                (5, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        text = F.col("text")
+        expr = docs.select(
+            "doc_id",
+            F.size(T.tokens(text)).alias("n"),
+            F.size(F.array_distinct(T.tokens(text))).alias("nd"),
+        )
+        fast = repetition_stats(docs).select(
+            "doc_id",
+            F.col("n_tok").alias("n"),
+            F.col("n_distinct").alias("nd"),
+        )
+        e = {r["doc_id"]: (r["n"], r["nd"]) for r in expr.collect()}
+        f = {r["doc_id"]: (r["n"], r["nd"]) for r in fast.collect()}
+        assert e == f
+        assert e[1] == (2, 2)  # nbsp glued "a\xa0b" into one token
+        assert e[2] == (2, 2)  # vertical tab DOES split (Java \s has it)
+        assert e[3] == (0, 0)
+        assert e[4] == (0, 0)
+        gram = {
+            r["doc_id"]: (r["g_total"], r["g_distinct"])
+            for r in repetition_stats(docs).collect()
+        }
+        assert gram[3] == (1, 1) and gram[5] == (1, 1)
