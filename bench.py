@@ -62,6 +62,7 @@ HEADLINE = [
     "sketch_hll_distinct_rollup",
     "histogram_order_totalprice",
     "dedup_semantic_embedding",
+    "dedup_semantic_bucketed",
     "dedup_duplicated_ngram_fraction",
     "text_importance_weights",
     "curation_source_quota",
@@ -98,6 +99,7 @@ ISOLATED = {
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
     "dedup_semantic_embedding",
+    "dedup_semantic_bucketed",
     "dedup_duplicated_ngram_fraction",
     "graph_triangle_census",
     "join_market_basket_pairs",

@@ -79,6 +79,17 @@ def _ranked_clusters(
 # order differs, so a near-tie on unseen data could flip an argmax;
 # oracle-gated callers keep the provable path, scale callers opt in via
 # `vectorized=True` or large k.
+#
+# 64 is a measured ceiling, not a guess (probes=3, dim=128, local[8],
+# 2026-08-14): k=64/n=2000 expr 15.5 s vs numpy 3.9 s (first-call
+# overhead included); k=256/n=2000 expr 42 s vs 0.44 s; k=1024 the
+# expression TREE itself (k structs × 3 O(dim) folds) takes ~131 s to
+# plan+codegen even on a 50-row corpus vs 2.9 s vectorized, assignments
+# identical throughout (tests/test_semantic_dedup.py, incl. the
+# slow-marked k=1024/dim=128 stress). So 64 is the last k where the
+# provable expression path remains usable; past it the lane switch is
+# mandatory for the k ~ √n regime, and the identity pins are the
+# license to switch.
 VECTORIZED_K_THRESHOLD = 64
 
 

@@ -19,7 +19,10 @@ funneling one reducer (skew) and re-shuffling a fact table for every join
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -86,7 +89,24 @@ def write_bucketed(
     Joins between two tables bucketed identically on the join key run
     WITHOUT a shuffle (no Exchange in the plan) — the scan is already
     partitioned the way the join needs.
+
+    Stale-location handling: with the session-scoped in-memory
+    metastore, a managed-table DIRECTORY can survive from a previous
+    session while the table entry does not — saveAsTable then refuses
+    with LOCATION_ALREADY_EXISTS even in overwrite mode (it sees a
+    CREATE, not a REPLACE). Drop any current-session table first, then
+    clear the orphaned location. A deployment with a persistent
+    metastore (Hive/Glue/Unity) never enters this state — overwrite
+    resolves through the catalog — so the filesystem fallback is
+    local-mode-only by construction.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = urlparse(wh).path or wh
+    loc = os.path.join(wh_path, table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -8,6 +8,8 @@ twin of another kept vector in-cluster)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from economic_data_etl_spark.operators.semantic import (
@@ -140,6 +142,43 @@ class TestSemanticDedup:
         finally:
             sem.VECTORIZED_K_THRESHOLD = orig
         assert auto == expr
+
+    @pytest.mark.slow
+    def test_vectorized_assignment_matches_expression_k1024_dim128(
+        self, spark
+    ):
+        """The regime VECTORIZED_K_THRESHOLD exists for: k=1024,
+        dim=128 (the SemDeDup k ~ √n shape for a ~1M-doc shard). The
+        expression lane needs ~131 s just to plan+codegen the
+        1024-struct ranking tree (row count irrelevant — a 50-row
+        corpus suffices to prove identity), the numpy lane ~3 s; the
+        assignments must still be IDENTICAL, which is the license for
+        the automatic lane switch. Slow-marked: the expression side's
+        planning cost IS the measurement."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n, dim, k = 50, 128, 1024
+        M = rng.normal(size=(n, dim))
+        C = rng.normal(size=(k, dim))
+        emb = spark.createDataFrame(
+            [(i, M[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [C[i].tolist() for i in range(k)]
+        vec = {
+            (r["vec_id"], r["cluster"])
+            for r in assign_clusters_cosine(
+                emb, cents, probes=3, vectorized=True
+            ).collect()
+        }
+        expr = {
+            (r["vec_id"], r["cluster"])
+            for r in assign_clusters_cosine(
+                emb, cents, probes=3, vectorized=False
+            ).collect()
+        }
+        assert vec == expr
 
     def test_vectorized_lanes_tolerate_null_and_ragged_vectors(
         self, spark
