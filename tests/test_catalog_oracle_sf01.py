@@ -35,6 +35,10 @@ SCALE_SENSITIVE = [
     "dedup_duplicated_ngram_fraction",
     "dedup_longest_duplicated_span",
     "text_bigram_collocations",
+    # round-5 pair-generators over the cluster-bucketed layout / the
+    # exact-baseline recall certificate (O(n²) certification side).
+    "dedup_semantic_bucketed",
+    "inv_semantic_recall",
 ]
 
 

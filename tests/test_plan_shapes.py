@@ -95,11 +95,10 @@ class TestPlanShapes:
         """The 100 TB claim behind dedup_semantic_bucketed, proven on
         the plan: once the assignment is WRITTEN bucketed by `cluster`,
         the within-cluster self-join consumes the buckets'
-        HashPartitioning directly — NO Exchange anywhere below the
-        join. (Broadcast is disabled so the small test table takes the
-        same SortMergeJoin path a 100 TB table would; the final
-        pair-distinct above the join is allowed its Exchange — it moves
-        only surviving id pairs.)"""
+        HashPartitioning directly and the canonical-cluster filter
+        dedupes pairs without a distinct — the ENTIRE pair pass has NO
+        Exchange. (Broadcast is disabled so the small test table takes
+        the same SortMergeJoin path a 100 TB table would.)"""
         from pyspark.sql import functions as F
 
         from economic_data_etl_spark.operators.semantic import (
@@ -124,20 +123,15 @@ class TestPlanShapes:
             plan = _explain(joined)
             assert "SortMergeJoin" in plan
             assert "Exchange" not in plan, plan
-            # the full operator may only shuffle ABOVE the join (the
-            # pair distinct — surviving id pairs only); everything at
-            # and below the join stays exchange-free. The formatted
-            # tree prints root-first, so in this linear plan every tree
-            # line after the SortMergeJoin is its subtree.
+            # the FULL operator — join, canonical-cluster pair dedup,
+            # scoring — is shuffle-free end to end.
             full = _explain(
                 semantic_near_dup_pairs_from_bucketed(
                     spark, "t_sem_bucketed_plan", threshold=0.4
                 )
             )
-            tree = full.split("\n\n")[0]
-            join_pos = tree.find("SortMergeJoin")
-            assert join_pos != -1, tree
-            assert "Exchange" not in tree[join_pos:], tree
+            assert "SortMergeJoin" in full
+            assert "Exchange" not in full, full
 
     def test_asof_join_is_not_a_range_join(self, spark, sf_dir):
         # union+window shape: no BroadcastNestedLoopJoin / CartesianProduct

@@ -308,6 +308,68 @@ class TestSemanticDedup:
         assert bucketed == memory
         assert bucketed, "fixture must produce pairs"
 
+    def test_bucketed_layout_incremental_append(self, spark, sf_dir):
+        """The maintenance path: append an ingest batch's assignment to
+        the EXISTING bucketed layout (same bucket spec, frozen
+        centroids) — pairs over the appended table must equal the
+        in-memory operator over the full corpus, and the self-join must
+        STAY Exchange-free (the appended files are bucketed too, so the
+        scan keeps its HashPartitioning guarantee)."""
+        import contextlib
+        import io
+
+        from economic_data_etl_spark.operators.semantic import (
+            append_assignment_bucketed,
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < 300)
+        batch = emb.filter(F.col("vec_id") >= 300)
+        cents = seed_centroids(emb, 8)  # frozen, shared by both writes
+        tbl = "t_sem_bucketed_append"
+        write_assignment_bucketed(
+            base, cents, tbl, probes=3, num_buckets=8
+        )
+        append_assignment_bucketed(
+            batch, cents, tbl, probes=3, num_buckets=8
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, tbl, threshold=TAU
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+        assert got == want
+        assert any(a < 300 <= b for a, b in got), (
+            "fixture must produce at least one cross-increment pair"
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t = spark.table(tbl)
+            j = t.select("cluster", F.col("__id").alias("id_a")).join(
+                t.select("cluster", F.col("__id").alias("id_b")),
+                "cluster",
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", saved
+            )
+
     def test_vectorized_scoring_matches_expression(self, spark, sf_dir):
         """The einsum pair-scoring lane must produce the SAME pair set
         as the expression dot-product fold (same candidates, same
