@@ -14,13 +14,15 @@ Two tiers of decode:
   corrupt-screening / dimension-accounting first stage of a media
   ingest, end-to-end oracle-checked via `build_sample_container`
   round-trips and pinned against reference byte strings.
-- **Pixel/audio decode is STUBBED**: the image/audio libraries are not
-  in this container. `decode_media_metadata` derives deterministic fake
-  dimensions from the payload bytes (so plumbing is testable end-to-end
-  and oracle-checkable); `decode_image_real` is the clearly-marked
-  NotImplementedError seam where PIL/ffmpeg would slot in. Everything
-  Spark-side — schema, batch iteration, UDF signatures, partitioning —
-  is real.
+- **Pixel/audio decode is REAL for PNG, BMP, and PCM WAV**
+  (operators/codecs.py — stdlib zlib + numpy, no codec library: full
+  PNG filter reconstruction, BMP padding/BGR/bottom-up handling, RIFF
+  chunk walking), certified end-to-end by the cross-engine
+  `multimodal_real_pixel_decode` query. `decode_image_real` dispatches
+  there; the NotImplementedError seam now covers only the formats that
+  genuinely need a codec library — JPEG/GIF (entropy coding) and
+  video. `decode_media_metadata` keeps the deterministic byte-length
+  stub for opaque-payload plumbing tests.
 """
 
 from __future__ import annotations
@@ -52,11 +54,13 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """The real-codec seam. Plug PIL/libav here when available."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_media_metadata (deterministic stub) instead"
-    )
+    """Real decode for the formats that need no codec library — PNG,
+    BMP, PCM WAV (operators/codecs.py). JPEG/GIF/video still raise
+    NotImplementedError (entropy coding needs a real codec — the
+    remaining environment seam, now much smaller)."""
+    from economic_data_etl_spark.operators.codecs import decode_media
+
+    return decode_media(payload)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:

@@ -616,9 +616,13 @@ def inv_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine")
     k = max(_SEM_K, emb.count() // _SEM_DOCS_PER_CLUSTER)
     cents = semantic.seed_centroids(emb, k)
-    probed = semantic.semantic_near_dup_pairs(
-        emb, cents, threshold=_SEM_TAU, probes=_SEM_PROBES
-    ).select("id_a", "id_b")
+    if cents:
+        probed = semantic.semantic_near_dup_pairs(
+            emb, cents, threshold=_SEM_TAU, probes=_SEM_PROBES
+        ).select("id_a", "id_b")
+    else:  # empty corpus: no centroids, no probed pairs (exact is
+        # empty too, so recall_ok degenerates to the vacuous branch)
+        probed = spark.createDataFrame([], "id_a long, id_b long")
     stats = (
         exact.join(probed, ["id_a", "id_b"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_found"))

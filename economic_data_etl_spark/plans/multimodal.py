@@ -185,3 +185,120 @@ def multimodal_container_header_parse(
     return docs.mapInPandas(
         synth_and_parse, CONTAINER_META_SCHEMA
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_real_pixel_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 3 AS fmt,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h,
+                   200 + doc_id % 100 AS ns,
+                   1 + doc_id % 7 AS step
+            FROM documents
+        ), img AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(v) AS BIGINT) AS val_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq
+            FROM (
+                SELECT b.doc_id,
+                       (x.x + 2 * y.y + 5 * c.c + b.doc_id) % 256 AS v
+                FROM base b,
+                     UNNEST(range(0, b.w)) AS x(x),
+                     UNNEST(range(0, b.h)) AS y(y),
+                     UNNEST(range(0, 3)) AS c(c)
+                WHERE b.fmt < 2
+            ) GROUP BY doc_id
+        ), aud AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(v) AS BIGINT) AS val_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq
+            FROM (
+                SELECT b.doc_id,
+                       (i.i * b.step) % 1024 - 512 AS v
+                FROM base b, UNNEST(range(0, b.ns)) AS i(i)
+                WHERE b.fmt = 2
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CASE b.fmt WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                          ELSE 'wav' END AS format,
+               COALESCE(i.n_values, a.n_values) AS n_values,
+               COALESCE(i.val_sum, a.val_sum) AS val_sum,
+               COALESCE(i.val_sumsq, a.val_sumsq) AS val_sumsq
+        FROM base b
+        LEFT JOIN img i USING (doc_id)
+        LEFT JOIN aud a USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+    doc="REAL pixel/sample decode, certified cross-engine with no codec "
+    "library (operators/codecs.py): each doc gets a COMPLETE valid "
+    "media file (PNG with zlib-compressed scanlines cycling ALL five "
+    "filter types / 24-bit padded BMP / PCM16 WAV) whose pixel and "
+    "sample values follow a closed-form pattern in doc_id. Spark "
+    "recovers the values by genuinely decoding the bytes — zlib "
+    "inflate, Sub/Up/Average/Paeth reconstruction, BGR/bottom-up/"
+    "padding handling, RIFF chunk walk — and emits exact integer "
+    "value sums; DuckDB computes the same sums arithmetically from "
+    "doc_id. A single filter bug, padding miscount, or endianness flip "
+    "fails the value hash. JPEG/GIF (entropy coding) and video remain "
+    "the documented NotImplementedError seam — everything "
+    "DEFLATE-based or uncompressed is decoded for real.",
+)
+def multimodal_real_pixel_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.codecs import (
+        build_full_media,
+        decode_media,
+    )
+
+    # The scan is one small parquet file → ONE input partition, which
+    # would serialize the whole decode stage onto a single core. Spread
+    # the ids round-robin first (the shuffle moves 8-byte longs only);
+    # with real stored payloads spark.sql.files.maxPartitionBytes does
+    # this sizing at scan time and the repartition disappears.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, format string, n_values long, "
+        "val_sum long, val_sumsq long"
+    )
+
+    def synth_decode_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                m = decode_media(build_full_media(int(d)))
+                arr = m["data"].astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        m["format"],
+                        int(arr.size),
+                        int(arr.sum()),
+                        int((arr * arr).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "n_values", "val_sum", "val_sumsq"
+                ],
+            )
+
+    return docs.mapInPandas(synth_decode_reduce, schema).orderBy("doc_id")

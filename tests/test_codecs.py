@@ -1,0 +1,136 @@
+"""Real-codec round-trips (operators/codecs.py): the encoder exists to
+certify the decoder — every byte pattern it can emit must decode back
+to the closed-form source arrays exactly. No Spark needed here; the
+Spark-side plumbing is certified by the cross-engine catalog query
+multimodal_real_pixel_decode."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from economic_data_etl_spark.operators.codecs import (
+    audio_pattern,
+    build_full_media,
+    decode_bmp,
+    decode_media,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    image_pattern,
+    try_decode_media,
+)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("doc_id", [0, 3, 63, 64 * 7 + 3, 4095])
+    def test_truecolor_all_filters(self, doc_id):
+        # every image is >= 16 rows tall, so rows cycle through ALL
+        # five filter types (y % 5) — None/Sub/Up/Average/Paeth each
+        # reconstruct exactly.
+        img = image_pattern(doc_id)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+    def test_grayscale(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == (23, 31)
+        assert (out == img).all()
+
+    def test_adversarial_values(self):
+        # wraparound-heavy content: constant 255s, zeros, and a
+        # checkerboard stress the mod-256 arithmetic in every filter.
+        for img in (
+            np.full((11, 7, 3), 255, np.uint8),
+            np.zeros((11, 7, 3), np.uint8),
+            (np.indices((11, 7)).sum(0) % 2 * 255)
+            .astype(np.uint8)[:, :, None]
+            .repeat(3, axis=2),
+        ):
+            assert (decode_png(encode_png(img)) == img).all()
+
+    def test_unsupported_profile_raises_not_implemented(self):
+        img = image_pattern(1)
+        payload = bytearray(encode_png(img))
+        payload[8 + 8 + 9] = 4  # color type 4 (gray+alpha)
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(payload))
+
+
+class TestBmpRoundTrip:
+    def test_padded_stride(self):
+        # w=17 → 51 data bytes per row, padded to 52: the padding and
+        # BGR order must both be undone.
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(9, 17, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        assert (out == img).all()
+
+    def test_top_down_rows(self):
+        # negative height = top-down storage; decoder must not flip.
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        payload = bytearray(encode_bmp(img[::-1]))  # rows pre-flipped
+        struct.pack_into("<i", payload, 22, -2)  # height := -2
+        out = decode_bmp(bytes(payload))
+        assert (out == img).all()
+
+
+class TestWavRoundTrip:
+    @pytest.mark.parametrize("doc_id", [2, 5, 101])
+    def test_pcm16(self, doc_id):
+        samples = audio_pattern(doc_id)
+        rate, out = decode_wav(encode_wav(samples, rate=16000))
+        assert rate == 16000
+        assert out.shape == (samples.size, 1)
+        assert (out[:, 0] == samples).all()
+
+    def test_extra_chunk_between_fmt_and_data(self):
+        samples = audio_pattern(8)
+        payload = encode_wav(samples, rate=8000)
+        # splice a LIST chunk after fmt (ends at byte 36)
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = payload[:36] + extra + payload[36:]
+        rate, out = decode_wav(spliced)
+        assert rate == 8000 and (out[:, 0] == samples).all()
+
+
+class TestDispatchAndCorruption:
+    def test_build_full_media_cycles_formats(self):
+        fmts = [decode_media(build_full_media(d))["format"] for d in range(6)]
+        assert fmts == ["png", "bmp", "wav", "png", "bmp", "wav"]
+
+    def test_decoded_content_matches_closed_form(self):
+        for d in (0, 1, 2, 300, 301, 302):
+            m = decode_media(build_full_media(d))
+            if m["format"] == "wav":
+                assert (m["data"][:, 0] == audio_pattern(d)).all()
+            else:
+                assert (m["data"] == image_pattern(d)).all()
+
+    def test_entropy_coded_formats_stay_a_seam(self):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"GIF89a" + b"\x00" * 16)
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+    def test_corrupt_bytes_are_data_not_exceptions(self):
+        good = build_full_media(0)
+        assert try_decode_media(good) is not None
+        assert try_decode_media(good[: len(good) // 2]) is None  # truncated
+        assert try_decode_media(b"\x00" * 40) is None
+        # deterministic single-byte corruptions across the payload:
+        # try_decode_media must never raise (wrong result is fine for a
+        # flipped pixel byte; an exception is not).
+        for d in (0, 1, 2):
+            payload = bytearray(build_full_media(d))
+            for pos in range(0, len(payload), 7):
+                mutated = bytearray(payload)
+                mutated[pos] ^= 0xFF
+                try_decode_media(bytes(mutated))  # must not raise
