@@ -16,10 +16,16 @@ production formats need no library at all:
 - **BMP** (24-bit BI_RGB): bottom-up row order, BGR byte order, 4-byte
   row padding — pure slicing.
 - **WAV** (PCM 8/16-bit): RIFF chunk walk + `np.frombuffer`.
+- **GIF** (87a/89a, non-interlaced): LZW is a dictionary coder, not an
+  entropy coder — variable-width codes, CLEAR/EOI, the KwKwK corner,
+  and 4096-entry dictionary resets are all implemented here
+  (`_lzw_compress`/`_lzw_decompress`), plus palette mapping and
+  extension-block skipping.
 
-Entropy-coded formats (JPEG, GIF's LZW) and video stay behind the
-documented NotImplementedError seam in operators/multimodal.py — those
-genuinely need a codec library.
+JPEG (Huffman + DCT — genuinely needs an entropy-coding codec, and its
+lossy reconstruction would break exact certification) and video stay
+behind the documented NotImplementedError seam in
+operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test
@@ -60,6 +66,16 @@ def image_pattern(doc_id: int) -> np.ndarray:
     y = np.arange(h).reshape(h, 1, 1)
     c = np.arange(3).reshape(1, 1, 3)
     return ((x + 2 * y + 5 * c + int(doc_id)) % 256).astype(np.uint8)
+
+
+def gray_pattern(doc_id: int) -> np.ndarray:
+    """(h, w) uint8 closed-form test image: (x + 2y + d) % 256 — the
+    palette-index pattern for GIF (palettes cap distinct colors at 256,
+    so GIF uses a 256-gray palette where index == gray level)."""
+    w, h = media_dims(doc_id)
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    return ((x + 2 * y + int(doc_id)) % 256).astype(np.uint8)
 
 
 def audio_pattern(doc_id: int) -> np.ndarray:
@@ -312,39 +328,232 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 # Dispatch
 # --------------------------------------------------------------------------
 def build_full_media(doc_id: int) -> bytes:
-    """A COMPLETE valid media file per doc (format cycles d % 3:
-    PNG / BMP / WAV), contents from the closed-form patterns above."""
+    """A COMPLETE valid media file per doc (format cycles d % 4:
+    PNG / BMP / GIF / WAV), contents from the closed-form patterns
+    above (GIF uses the 256-gray palette pattern)."""
     d = int(doc_id)
-    if d % 3 == 0:
+    if d % 4 == 0:
         return encode_png(image_pattern(d))
-    if d % 3 == 1:
+    if d % 4 == 1:
         return encode_bmp(image_pattern(d))
+    if d % 4 == 2:
+        return encode_gif_gray(gray_pattern(d))
     return encode_wav(audio_pattern(d), rate=8000 + (d % 8) * 1000)
 
 
 def decode_media(payload: bytes) -> dict:
     """Sniff + really decode: {'format', 'data'} where data is the
-    uint8 pixel array (images) or int16 sample array (audio). Raises
-    NotImplementedError for formats that need a codec library (JPEG,
-    GIF) — the remaining, and much smaller, environment seam."""
+    uint8 pixel array (images; GIF comes back palette-mapped (h, w, 3))
+    or int16 sample array (audio). Raises NotImplementedError only for
+    JPEG and video — the formats that genuinely need an entropy-coding
+    codec library."""
     if payload[:8] == _PNG_SIG:
         return {"format": "png", "data": decode_png(payload)}
     if payload[:2] == b"BM":
         return {"format": "bmp", "data": decode_bmp(payload)}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {"format": "gif", "data": decode_gif(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return {"format": "wav", "data": samples, "sample_rate": rate}
-    if payload[:3] == b"\xff\xd8\xff" or payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "JPEG/GIF decode needs an entropy-coding codec library"
+            "JPEG decode needs an entropy-coding codec library"
         )
     raise ValueError("unrecognized media payload")
 
 
 def try_decode_media(payload: bytes) -> dict | None:
     """decode_media, with corrupt bytes as data (None), not exceptions —
-    the per-row contract a corpus-scale decode pass needs."""
+    the per-row contract a corpus-scale decode pass needs. IndexError
+    covers truncated GIF block walks."""
     try:
         return decode_media(payload)
-    except (ValueError, NotImplementedError, zlib.error, struct.error):
+    except (
+        ValueError,
+        NotImplementedError,
+        IndexError,
+        zlib.error,
+        struct.error,
+    ):
         return None
+
+
+# --------------------------------------------------------------------------
+# GIF (LZW — a dictionary coder, fully implementable without a library)
+# --------------------------------------------------------------------------
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes starting at
+    min_code_size+1, CLEAR/EOI codes, dictionary reset at 4096."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prev = b""
+    for byte in indices:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_compress, including the KwKwK corner (a code one
+    past the table end refers to prev + prev[0])."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)]
+    table += [b""] * 2  # clear/eoi placeholders
+    prev: bytes | None = None
+
+    def read() -> int | None:
+        nonlocal acc, n_bits, pos
+        while n_bits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    while True:
+        code = read()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code_size)]
+            table += [b""] * 2
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif_gray(img: np.ndarray) -> bytes:
+    """Encode (h, w) uint8 as a GIF89a with a 256-entry grayscale
+    palette (palette[i] = (i,i,i)), non-interlaced, LZW-compressed."""
+    h, w = img.shape
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_compress(img.astype(np.uint8).tobytes(), 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced GIF (first image, global palette) to
+    uint8 (h, w, 3) via real LZW decompression. Skips extension blocks
+    (GCE, comments, application)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iflags & 0x80:  # local palette overrides
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if palette is None:
+                raise ValueError("GIF image without a palette")
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), min_code), np.uint8
+            )
+            if idx.size < w * h:
+                raise ValueError("truncated GIF pixel data")
+            return palette[idx[: w * h].reshape(h, w)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")

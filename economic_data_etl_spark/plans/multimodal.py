@@ -192,7 +192,7 @@ def multimodal_container_header_parse(
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   doc_id % 3 AS fmt,
+                   doc_id % 4 AS fmt,
                    16 + doc_id % 64 AS w,
                    16 + (doc_id // 64) % 64 AS h,
                    200 + doc_id % 100 AS ns,
@@ -212,6 +212,21 @@ def multimodal_container_header_parse(
                      UNNEST(range(0, 3)) AS c(c)
                 WHERE b.fmt < 2
             ) GROUP BY doc_id
+        ), gif AS (
+            -- 256-gray palette: each index maps to (i, i, i), so every
+            -- pixel contributes its gray value to all THREE channels.
+            SELECT doc_id,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_values,
+                   CAST(3 * SUM(v) AS BIGINT) AS val_sum,
+                   CAST(3 * SUM(v * v) AS BIGINT) AS val_sumsq
+            FROM (
+                SELECT b.doc_id,
+                       (x.x + 2 * y.y + b.doc_id) % 256 AS v
+                FROM base b,
+                     UNNEST(range(0, b.w)) AS x(x),
+                     UNNEST(range(0, b.h)) AS y(y)
+                WHERE b.fmt = 2
+            ) GROUP BY doc_id
         ), aud AS (
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_values,
@@ -221,33 +236,37 @@ def multimodal_container_header_parse(
                 SELECT b.doc_id,
                        (i.i * b.step) % 1024 - 512 AS v
                 FROM base b, UNNEST(range(0, b.ns)) AS i(i)
-                WHERE b.fmt = 2
+                WHERE b.fmt = 3
             ) GROUP BY doc_id
         )
         SELECT b.doc_id,
                CASE b.fmt WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                          ELSE 'wav' END AS format,
-               COALESCE(i.n_values, a.n_values) AS n_values,
-               COALESCE(i.val_sum, a.val_sum) AS val_sum,
-               COALESCE(i.val_sumsq, a.val_sumsq) AS val_sumsq
+                          WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               COALESCE(i.n_values, g.n_values, a.n_values) AS n_values,
+               COALESCE(i.val_sum, g.val_sum, a.val_sum) AS val_sum,
+               COALESCE(i.val_sumsq, g.val_sumsq, a.val_sumsq)
+                   AS val_sumsq
         FROM base b
         LEFT JOIN img i USING (doc_id)
+        LEFT JOIN gif g USING (doc_id)
         LEFT JOIN aud a USING (doc_id)
         ORDER BY b.doc_id
     """,
     doc="REAL pixel/sample decode, certified cross-engine with no codec "
     "library (operators/codecs.py): each doc gets a COMPLETE valid "
     "media file (PNG with zlib-compressed scanlines cycling ALL five "
-    "filter types / 24-bit padded BMP / PCM16 WAV) whose pixel and "
-    "sample values follow a closed-form pattern in doc_id. Spark "
-    "recovers the values by genuinely decoding the bytes — zlib "
-    "inflate, Sub/Up/Average/Paeth reconstruction, BGR/bottom-up/"
-    "padding handling, RIFF chunk walk — and emits exact integer "
-    "value sums; DuckDB computes the same sums arithmetically from "
-    "doc_id. A single filter bug, padding miscount, or endianness flip "
-    "fails the value hash. JPEG/GIF (entropy coding) and video remain "
+    "filter types / 24-bit padded BMP / LZW-compressed GIF with a "
+    "256-gray palette / PCM16 WAV) whose pixel and sample values "
+    "follow a closed-form pattern in doc_id. Spark recovers the "
+    "values by genuinely decoding the bytes — zlib inflate, "
+    "Sub/Up/Average/Paeth reconstruction, BGR/bottom-up/padding "
+    "handling, variable-width LZW with dictionary resets, RIFF chunk "
+    "walk — and emits exact integer value sums; DuckDB computes the "
+    "same sums arithmetically from doc_id. A single filter bug, "
+    "padding miscount, LZW width slip, or endianness flip fails the "
+    "value hash. Only JPEG (entropy coding + lossy) and video remain "
     "the documented NotImplementedError seam — everything "
-    "DEFLATE-based or uncompressed is decoded for real.",
+    "DEFLATE/LZW-based or uncompressed is decoded for real.",
 )
 def multimodal_real_pixel_decode(
     spark: SparkSession, sf_dir: str

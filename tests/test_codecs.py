@@ -101,22 +101,59 @@ class TestWavRoundTrip:
         assert rate == 8000 and (out[:, 0] == samples).all()
 
 
+class TestGifLzw:
+    def test_lzw_roundtrip_with_dictionary_resets(self):
+        from economic_data_etl_spark.operators.codecs import (
+            _lzw_compress,
+            _lzw_decompress,
+        )
+
+        rng = np.random.default_rng(3)
+        # long enough that the 4096-entry dictionary resets mid-stream
+        data = rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+        assert _lzw_decompress(_lzw_compress(data, 8), 8) == data
+
+    def test_lzw_kwkwk_corner(self):
+        from economic_data_etl_spark.operators.codecs import (
+            _lzw_compress,
+            _lzw_decompress,
+        )
+
+        # runs of one symbol hit the code-one-past-table-end case
+        data = b"\x01" * 500 + b"\x02\x01" * 200
+        assert _lzw_decompress(_lzw_compress(data, 8), 8) == data
+
+    def test_gif_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif,
+            encode_gif_gray,
+            gray_pattern,
+        )
+
+        img = gray_pattern(302)
+        out = decode_gif(encode_gif_gray(img))
+        assert out.shape == (*img.shape, 3)
+        assert (out == img[:, :, None]).all()  # gray palette: i -> (i,i,i)
+
+
 class TestDispatchAndCorruption:
     def test_build_full_media_cycles_formats(self):
-        fmts = [decode_media(build_full_media(d))["format"] for d in range(6)]
-        assert fmts == ["png", "bmp", "wav", "png", "bmp", "wav"]
+        fmts = [decode_media(build_full_media(d))["format"] for d in range(8)]
+        assert fmts == ["png", "bmp", "gif", "wav"] * 2
 
     def test_decoded_content_matches_closed_form(self):
-        for d in (0, 1, 2, 300, 301, 302):
+        from economic_data_etl_spark.operators.codecs import gray_pattern
+
+        for d in (0, 1, 2, 3, 300, 301, 302, 303):
             m = decode_media(build_full_media(d))
             if m["format"] == "wav":
                 assert (m["data"][:, 0] == audio_pattern(d)).all()
+            elif m["format"] == "gif":
+                assert (m["data"] == gray_pattern(d)[:, :, None]).all()
             else:
                 assert (m["data"] == image_pattern(d)).all()
 
-    def test_entropy_coded_formats_stay_a_seam(self):
-        with pytest.raises(NotImplementedError):
-            decode_media(b"GIF89a" + b"\x00" * 16)
+    def test_jpeg_stays_a_seam(self):
         with pytest.raises(NotImplementedError):
             decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
@@ -128,7 +165,7 @@ class TestDispatchAndCorruption:
         # deterministic single-byte corruptions across the payload:
         # try_decode_media must never raise (wrong result is fine for a
         # flipped pixel byte; an exception is not).
-        for d in (0, 1, 2):
+        for d in (0, 1, 2, 3):
             payload = bytearray(build_full_media(d))
             for pos in range(0, len(payload), 7):
                 mutated = bytearray(payload)
