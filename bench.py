@@ -64,6 +64,7 @@ HEADLINE = [
     "histogram_order_totalprice",
     "dedup_semantic_embedding",
     "dedup_semantic_bucketed",
+    "dedup_semantic_bucketed_pairs_only",
     "dedup_duplicated_ngram_fraction",
     "text_importance_weights",
     "curation_source_quota",
@@ -101,6 +102,7 @@ ISOLATED = {
     "ann_cosine_topk_lsh",
     "dedup_semantic_embedding",
     "dedup_semantic_bucketed",
+    "dedup_semantic_bucketed_pairs_only",
     "dedup_duplicated_ngram_fraction",
     "graph_triangle_census",
     "join_market_basket_pairs",
@@ -119,6 +121,28 @@ def run_batch(names: list[str], sf_dir: str) -> None:
     # Warm the JVM + parquet footers so the timer sees queries, not startup.
     REGISTRY["q1_pricing_summary"].spark(spark, sf_dir).collect()
     for name in names:
+        if name == "dedup_semantic_bucketed_pairs_only":
+            # Amortization probe: `dedup_semantic_bucketed` times layout
+            # build + pair pass together; this entry builds the layout
+            # UNTIMED, then times only the Exchange-free pair pass — the
+            # cost every dedup run after the first actually pays.
+            from economic_data_etl_spark.plans.curation import (
+                build_semantic_bucketed_layout,
+                semantic_bucketed_pairs_only,
+            )
+
+            table = build_semantic_bucketed_layout(spark, sf_dir)
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                semantic_bucketed_pairs_only(spark, table).collect()
+                best = min(best, time.perf_counter() - start)
+                spark.catalog.clearCache()
+            print(
+                json.dumps({"name": name, "sec": round(best, 3)}),
+                flush=True,
+            )
+            continue
         # Two timed executions, report the min: single-shot numbers swing
         # ±2× on sub-5 s queries from JIT/IO warmup noise, which would
         # read as phantom regressions round-over-round. Min-of-two is the

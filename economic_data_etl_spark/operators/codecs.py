@@ -4,27 +4,31 @@ Round-4 verdict item 1 ("real pixel/audio decode") was filed as
 environment-gated because the codec LIBRARIES are absent — but three
 production formats need no library at all:
 
-- **PNG** (8-bit grayscale/truecolor, non-interlaced): DEFLATE is
-  stdlib `zlib`; the five scanline filters (None/Sub/Up/Average/Paeth)
-  are pure arithmetic, reconstructed here exactly per the PNG spec
-  (RFC 2083 §6). Sub/Up reconstruction is vectorized (per-byte-lane
-  cumulative sums / row adds); Average/Paeth carry a left-recursion the
-  spec makes inherently sequential, decoded per-lane in Python — this
-  is a correctness-grade decoder (real codecs are C for a reason); its
-  Spark-side plumbing (Arrow batches, mapInPandas) is the same one a
-  C-backed decoder would use.
+- **PNG** (8-bit grayscale/truecolor/palette, non-interlaced): DEFLATE
+  is stdlib `zlib`; the five scanline filters (None/Sub/Up/Average/
+  Paeth) are pure arithmetic, reconstructed here exactly per the PNG
+  spec (RFC 2083 §6). Sub/Up reconstruction is vectorized
+  (per-byte-lane cumulative sums / row adds); Average/Paeth carry a
+  left-recursion the spec makes inherently sequential, decoded
+  per-lane in Python — this is a correctness-grade decoder (real
+  codecs are C for a reason); its Spark-side plumbing (Arrow batches,
+  mapInPandas) is the same one a C-backed decoder would use. Color
+  type 3 maps indices through the PLTE chunk (filters run on index
+  bytes, bpp=1).
 - **BMP** (24-bit BI_RGB): bottom-up row order, BGR byte order, 4-byte
   row padding — pure slicing.
 - **WAV** (PCM 8/16-bit): RIFF chunk walk + `np.frombuffer`.
-- **GIF** (87a/89a, non-interlaced): LZW is a dictionary coder, not an
-  entropy coder — variable-width codes, CLEAR/EOI, the KwKwK corner,
-  and 4096-entry dictionary resets are all implemented here
-  (`_lzw_compress`/`_lzw_decompress`), plus palette mapping and
-  extension-block skipping.
+- **GIF** (87a/89a, interlaced or not): LZW is a dictionary coder, not
+  an entropy coder — variable-width codes, CLEAR/EOI, the KwKwK
+  corner, and 4096-entry dictionary resets are all implemented here
+  (`_lzw_compress`/`_lzw_decompress`), plus palette mapping,
+  extension-block skipping, and 4-pass de-interlacing (a pure numpy
+  row permutation, certified order-sensitively via the
+  position-weighted checksum below).
 
 JPEG (Huffman + DCT — genuinely needs an entropy-coding codec, and its
-lossy reconstruction would break exact certification) and video stay
-behind the documented NotImplementedError seam in
+lossy reconstruction would break exact certification), 16-bit/alpha
+PNG, and video stay behind the documented NotImplementedError seam in
 operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
@@ -36,7 +40,10 @@ DuckDB oracle computes the same sums arithmetically from doc_id. Any
 encoder/decoder disagreement — a filter implemented wrong, a padding
 byte miscounted, an endianness flip — changes the sums and fails the
 value hash. Every image exercises ALL five PNG filters (row y uses
-filter y % 5).
+filter y % 5). The certification includes a POSITION-WEIGHTED checksum
+(Σ flat_index × value) because plain sums are order-invariant: a
+vertical flip, a skipped palette indirection, or a wrong de-interlace
+permutation leaves Σv unchanged but shifts Σi·v.
 """
 
 from __future__ import annotations
@@ -99,16 +106,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) truecolor uint8 as a
-    complete PNG. Row y is filtered with type y % 5, so a decoder must
+    complete PNG. With `palette` ((n, 3) uint8), `img` must be (h, w)
+    palette INDICES and the output is a color-type-3 indexed PNG with
+    a PLTE chunk. Row y is filtered with type y % 5, so a decoder must
     implement every filter correctly to round-trip any image taller
     than 4 rows — deliberate, this encoder exists to certify the
     decoder."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    color = 0 if ch == 1 else 2
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG takes (h, w) index input")
+        color = 3
+    else:
+        color = 0 if ch == 1 else 2
     rows = img.reshape(h, w * ch).astype(np.int32)
     bpp = ch  # bytes per pixel at bit depth 8
     out = []
@@ -140,22 +154,29 @@ def encode_png(img: np.ndarray) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit grayscale/truecolor PNG to uint8
-    (h, w) / (h, w, 3). Raises ValueError on malformed bytes and
-    NotImplementedError on PNG features outside that profile (palette,
-    16-bit, alpha, interlace)."""
+    """Decode a non-interlaced 8-bit grayscale/truecolor/palette PNG
+    to uint8 (h, w) / (h, w, 3) (palette images come back
+    palette-mapped (h, w, 3)). Raises ValueError on malformed bytes
+    and NotImplementedError on PNG features outside that profile
+    (16-bit, alpha, interlace)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, idat, header = 8, [], None
+    pos, idat, header, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
             pos + 4 : pos + 8
@@ -165,6 +186,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("truncated chunk")
         if typ == b"IHDR":
             header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -173,11 +198,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = header
-    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+    if depth != 8 or color not in (0, 2, 3) or comp or filt or interlace:
         raise NotImplementedError(
-            "PNG profile outside 8-bit gray/truecolor non-interlaced"
+            "PNG profile outside 8-bit gray/truecolor/palette "
+            "non-interlaced"
         )
-    ch = 1 if color == 0 else 3
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    ch = 1 if color in (0, 3) else 3
     stride = w * ch
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
@@ -232,6 +260,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ft}")
         out[y] = (rec % 256).astype(np.uint8)
     img = out.reshape(h, w, ch)
+    if color == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
     return img[:, :, 0] if ch == 1 else img
 
 
@@ -327,18 +360,37 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 # --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
+def png_palette() -> np.ndarray:
+    """The 256-entry test palette for color-type-3 PNGs:
+    palette[i] = (i, (2i) % 256, (3i) % 256). Channels genuinely
+    differ, so a decoder that skips the palette indirection (treating
+    indices as gray) changes the closed-form sums and fails the
+    cross-engine certification."""
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i, (2 * i) % 256, (3 * i) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
 def build_full_media(doc_id: int) -> bytes:
-    """A COMPLETE valid media file per doc (format cycles d % 4:
-    PNG / BMP / GIF / WAV), contents from the closed-form patterns
-    above (GIF uses the 256-gray palette pattern)."""
+    """A COMPLETE valid media file per doc (format cycles d % 6:
+    truecolor PNG / BMP / GIF / WAV / palette PNG / interlaced GIF),
+    contents from the closed-form patterns above (the GIF variants use
+    the 256-gray palette pattern; the palette PNG uses the gray
+    pattern as indices into png_palette())."""
     d = int(doc_id)
-    if d % 4 == 0:
+    m = d % 6
+    if m == 0:
         return encode_png(image_pattern(d))
-    if d % 4 == 1:
+    if m == 1:
         return encode_bmp(image_pattern(d))
-    if d % 4 == 2:
+    if m == 2:
         return encode_gif_gray(gray_pattern(d))
-    return encode_wav(audio_pattern(d), rate=8000 + (d % 8) * 1000)
+    if m == 3:
+        return encode_wav(audio_pattern(d), rate=8000 + (d % 8) * 1000)
+    if m == 4:
+        return encode_png(gray_pattern(d), palette=png_palette())
+    return encode_gif_gray(gray_pattern(d), interlace=True)
 
 
 def decode_media(payload: bytes) -> dict:
@@ -479,12 +531,34 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif_gray(img: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """GIF's 4-pass interlace row TRANSMISSION order (spec appendix E):
+    pass 1 rows 0,8,16,…; pass 2 rows 4,12,…; pass 3 rows 2,6,10,…;
+    pass 4 rows 1,3,5,…. order[i] = source row of the i-th transmitted
+    row; a decoder assigns out[order] = transmitted rows."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
+def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (h, w) uint8 as a GIF89a with a 256-entry grayscale
-    palette (palette[i] = (i,i,i)), non-interlaced, LZW-compressed."""
+    palette (palette[i] = (i,i,i)), LZW-compressed. With `interlace`,
+    rows are transmitted in the 4-pass order and the descriptor's
+    interlace flag is set."""
     h, w = img.shape
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    lzw = _lzw_compress(img.astype(np.uint8).tobytes(), 8)
+    rows = img.astype(np.uint8)
+    iflags = 0
+    if interlace:
+        rows = rows[_gif_interlace_order(h)]
+        iflags = 0x40
+    lzw = _lzw_compress(rows.tobytes(), 8)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
@@ -494,7 +568,7 @@ def encode_gif_gray(img: np.ndarray) -> bytes:
         + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256
         + palette
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + struct.pack("<HHHHB", 0, 0, w, h, iflags)
         + bytes([8])  # LZW min code size
         + bytes(blocks)
         + b"\x00\x3b"
@@ -502,9 +576,10 @@ def encode_gif_gray(img: np.ndarray) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced GIF (first image, global palette) to
-    uint8 (h, w, 3) via real LZW decompression. Skips extension blocks
-    (GCE, comments, application)."""
+    """Decode a GIF (first image, global or local palette, interlaced
+    or not) to uint8 (h, w, 3) via real LZW decompression. Interlaced
+    images are de-interlaced by inverting the 4-pass row permutation;
+    extension blocks (GCE, comments, application) are skipped."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -534,8 +609,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
                     payload, np.uint8, count=3 * n, offset=pos
                 ).reshape(n, 3)
                 pos += 3 * n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
             min_code = payload[pos]
             pos += 1
             lzw = bytearray()
@@ -551,7 +624,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
             )
             if idx.size < w * h:
                 raise ValueError("truncated GIF pixel data")
-            return palette[idx[: w * h].reshape(h, w)]
+            rows = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # de-interlace: undo the 4-pass order
+                out = np.empty_like(rows)
+                out[_gif_interlace_order(h)] = rows
+                rows = out
+            return palette[rows]
         elif block == 0x3B:  # trailer
             break
         else:

@@ -14,15 +14,15 @@ Two tiers of decode:
   corrupt-screening / dimension-accounting first stage of a media
   ingest, end-to-end oracle-checked via `build_sample_container`
   round-trips and pinned against reference byte strings.
-- **Pixel/audio decode is REAL for PNG, BMP, and PCM WAV**
+- **Pixel/audio decode is REAL for PNG, BMP, GIF, and PCM WAV**
   (operators/codecs.py — stdlib zlib + numpy, no codec library: full
-  PNG filter reconstruction, BMP padding/BGR/bottom-up handling, RIFF
-  chunk walking), certified end-to-end by the cross-engine
-  `multimodal_real_pixel_decode` query. `decode_image_real` dispatches
-  there; the NotImplementedError seam now covers only the formats that
-  genuinely need a codec library — JPEG/GIF (entropy coding) and
-  video. `decode_media_metadata` keeps the deterministic byte-length
-  stub for opaque-payload plumbing tests.
+  PNG filter reconstruction, BMP padding/BGR/bottom-up handling, GIF
+  LZW decompression, RIFF chunk walking), certified end-to-end by the
+  cross-engine `multimodal_real_pixel_decode` query.
+  `decode_image_real` dispatches there; the NotImplementedError seam
+  now covers only the formats that genuinely need a codec library —
+  JPEG (entropy coding) and video. `decode_media_metadata` keeps the
+  deterministic byte-length stub for opaque-payload plumbing tests.
 """
 
 from __future__ import annotations
@@ -55,9 +55,9 @@ MEDIA_META_SCHEMA = StructType(
 
 def decode_image_real(payload: bytes) -> dict:
     """Real decode for the formats that need no codec library — PNG,
-    BMP, PCM WAV (operators/codecs.py). JPEG/GIF/video still raise
-    NotImplementedError (entropy coding needs a real codec — the
-    remaining environment seam, now much smaller)."""
+    BMP, GIF (LZW), PCM WAV (operators/codecs.py). JPEG/video still
+    raise NotImplementedError (JPEG entropy coding needs a real codec —
+    the remaining environment seam, now much smaller)."""
     from economic_data_etl_spark.operators.codecs import decode_media
 
     return decode_media(payload)

@@ -691,3 +691,51 @@ def append_assignment_bucketed(
     assigned.write.mode("append").bucketBy(
         num_buckets, "cluster"
     ).saveAsTable(table_name)
+
+
+def compact_assignment_bucketed(
+    spark,
+    table_name: str,
+    num_buckets: int = 16,
+) -> None:
+    """Compact an appended-to cluster-bucketed layout back to ONE file
+    per non-empty bucket — the periodic maintenance step that bounds
+    the small-file growth append_assignment_bucketed accrues
+    (num_buckets files per append).
+
+    The rewrite stages the table's rows (already assigned + normalized
+    — no centroid work repeats) into `<table>_compacting` with the
+    SAME bucket spec, then rewrites `table_name` from the stage and
+    drops it. Rows only move within their bucket, so the pair pass
+    against the compacted table is bitwise the same join on the same
+    HashPartitioning (pinned in tests/test_semantic_dedup.py: append
+    ×3 → compact keeps the pair set identical and the plan
+    Exchange-free, with the file count restored).
+
+    Partitioning subtlety (measured, not hypothetical): an explicit
+    `repartition(num_buckets, cluster)` over the table scan is ELIDED
+    by the optimizer (the catalog says the scan already carries that
+    HashPartitioning) while auto-bucketed-scan simultaneously falls
+    back to raw file splits because no downstream operator "needs" the
+    distribution — net effect, the rewrite would pass every small
+    file through 1:1 and compact nothing. Forcing the bucketed scan
+    (`autoBucketedScan.enabled=false` for the duration) makes the read
+    genuinely one-partition-per-bucket, so each write task owns one
+    bucket and emits exactly one file — no shuffle at all, the
+    cheapest possible compaction."""
+    from economic_data_etl_spark.operators.skew import write_bucketed
+
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        stage = f"{table_name}_compacting"
+        write_bucketed(
+            spark.table(table_name), stage, "cluster", num_buckets
+        )
+        write_bucketed(
+            spark.table(stage), table_name, "cluster", num_buckets
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+    finally:
+        spark.conf.set(conf_key, saved)

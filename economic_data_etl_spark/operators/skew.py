@@ -101,12 +101,26 @@ def write_bucketed(
     local-mode-only by construction.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = urlparse(wh).path or wh
-    loc = os.path.join(wh_path, table_name.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    # Resolve the would-be managed location through the CATALOG, not by
+    # assuming <warehouse>/<table>: a non-default current database puts
+    # managed tables under <warehouse>/<db>.db/<table>, and a
+    # db-qualified name must split before lowercasing. DESCRIBE DATABASE
+    # reports the database's actual location in both layouts.
+    parts = [p.strip("`") for p in table_name.split(".")]
+    if len(parts) == 2:
+        db, tbl = parts
+    else:
+        db, tbl = spark.catalog.currentDatabase(), parts[-1]
+    spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+    db_loc = None
+    for r in spark.sql(f"DESCRIBE DATABASE `{db}`").collect():
+        if r[0].strip().lower().startswith("location"):
+            db_loc = r[1]
+            break
+    if db_loc:
+        loc = os.path.join(urlparse(db_loc).path or db_loc, tbl.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

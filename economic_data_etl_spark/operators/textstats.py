@@ -93,6 +93,11 @@ def char_trigram_counts(
         for pdf in batches:
             per_by: dict[str, Counter] = {}
             for by, t in zip(pdf[by_col], pdf[text_col]):
+                # NULL text contributes no trigrams (substring(NULL)
+                # yields NULL in the expression lane) — degrade per row
+                # instead of failing the job.
+                if t is None:
+                    continue
                 n = len(t) - 2
                 if n <= 0:
                     continue
@@ -159,7 +164,11 @@ def repetition_stats(
                 "g_distinct": [],
             }
             for t in pdf[text_col]:
-                toks = [w for w in ws.split(t) if w]
+                # NULL text → empty-document stats (n_tok=0, one
+                # degenerate whole-doc gram) rather than a job-killing
+                # TypeError: the lane degrades per row like the
+                # expression pipeline it replaces.
+                toks = [] if t is None else [w for w in ws.split(t) if w]
                 n = len(toks)
                 if n:
                     cnt = Counter(toks)

@@ -316,9 +316,28 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_embedding.",
 )
 def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_semantic_bucketed_layout(spark, sf_dir)
+    if table is None:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    return semantic_bucketed_pairs_only(spark, table)
+
+
+def build_semantic_bucketed_layout(
+    spark: SparkSession, sf_dir: str
+) -> str | None:
+    """Phase 1 of dedup_semantic_bucketed: write the cluster-bucketed
+    assignment layout for `sf_dir` and return its table name (None on
+    an empty corpus). Split out so bench.py can time the ONE-TIME
+    layout write separately from the per-pass join it amortizes.
+
+    The table name is derived from sf_dir so concurrent or interleaved
+    invocations against different corpora cannot clobber each other's
+    layout mid-read (deterministic per corpus, so re-runs still
+    reuse/replace their own table)."""
+    import hashlib
+
     from economic_data_etl_spark.operators.semantic import (
         seed_centroids,
-        semantic_near_dup_pairs_from_bucketed,
         write_assignment_bucketed,
     )
 
@@ -326,11 +345,32 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(_SEM_K, emb.count() // _SEM_DOCS_PER_CLUSTER)
     cents = seed_centroids(emb, k)
     if not cents:
-        return spark.createDataFrame([], "id_a long, id_b long")
-    table = "semantic_assignment_by_cluster"
+        return None
+    sig = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"semantic_assignment_by_cluster_{sig}"
+    # num_buckets should match the executor parallelism the pair pass
+    # runs at (1 bucket file = 1 scan task): 16 buckets on local[32]
+    # left half the cores idle — measured 32 buckets: write 7.4→4.1 s,
+    # pair pass 6.1→4.7 s at sf0.1. At 100 TB pick buckets ≈ cluster
+    # task slots, capped so one bucket fits a task's memory.
     write_assignment_bucketed(
-        emb, cents, table, probes=_SEM_PROBES, num_buckets=16
+        emb, cents, table, probes=_SEM_PROBES, num_buckets=32
     )
+    return table
+
+
+def semantic_bucketed_pairs_only(
+    spark: SparkSession, table: str
+) -> DataFrame:
+    """Phase 2 of dedup_semantic_bucketed: the Exchange-free pair pass
+    against a PREBUILT layout — the cost paid per dedup run once the
+    layout exists. bench.py times this phase alone
+    (`dedup_semantic_bucketed_pairs_only`) to quantify the
+    amortization claim."""
+    from economic_data_etl_spark.operators.semantic import (
+        semantic_near_dup_pairs_from_bucketed,
+    )
+
     return semantic_near_dup_pairs_from_bucketed(
         spark, table, threshold=_SEM_TAU
     ).orderBy("id_a", "id_b")

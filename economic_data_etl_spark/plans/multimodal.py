@@ -192,81 +192,125 @@ def multimodal_container_header_parse(
     oracle="""
         WITH base AS (
             SELECT doc_id,
-                   doc_id % 4 AS fmt,
+                   doc_id % 6 AS fmt,
                    16 + doc_id % 64 AS w,
                    16 + (doc_id // 64) % 64 AS h,
                    200 + doc_id % 100 AS ns,
                    1 + doc_id % 7 AS step
             FROM documents
         ), img AS (
+            -- flat index of (y, x, c) in the C-order (h, w, 3) array
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_values,
                    CAST(SUM(v) AS BIGINT) AS val_sum,
-                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq
+                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+                   CAST(SUM(((y * w + x) * 3 + c) * v) AS BIGINT)
+                       AS val_possum
             FROM (
-                SELECT b.doc_id,
+                SELECT b.doc_id, b.w, x.x, y.y, c.c,
                        (x.x + 2 * y.y + 5 * c.c + b.doc_id) % 256 AS v
                 FROM base b,
                      UNNEST(range(0, b.w)) AS x(x),
                      UNNEST(range(0, b.h)) AS y(y),
                      UNNEST(range(0, 3)) AS c(c)
                 WHERE b.fmt < 2
-            ) GROUP BY doc_id
+            ) t(doc_id, w, x, y, c, v) GROUP BY doc_id
         ), gif AS (
-            -- 256-gray palette: each index maps to (i, i, i), so every
-            -- pixel contributes its gray value to all THREE channels.
+            -- 256-gray palette: index maps to (i, i, i), so pixel p
+            -- contributes v to channels 3p, 3p+1, 3p+2 — possum term
+            -- v*(9p+3). fmt 5 is the INTERLACED variant: same pixels,
+            -- 4-pass row order on disk; the decoder must un-permute or
+            -- the position-weighted sum shifts.
             SELECT doc_id,
                    CAST(3 * COUNT(*) AS BIGINT) AS n_values,
                    CAST(3 * SUM(v) AS BIGINT) AS val_sum,
-                   CAST(3 * SUM(v * v) AS BIGINT) AS val_sumsq
+                   CAST(3 * SUM(v * v) AS BIGINT) AS val_sumsq,
+                   CAST(SUM((9 * (y * w + x) + 3) * v) AS BIGINT)
+                       AS val_possum
             FROM (
-                SELECT b.doc_id,
+                SELECT b.doc_id, b.w, x.x, y.y,
                        (x.x + 2 * y.y + b.doc_id) % 256 AS v
                 FROM base b,
                      UNNEST(range(0, b.w)) AS x(x),
                      UNNEST(range(0, b.h)) AS y(y)
-                WHERE b.fmt = 2
-            ) GROUP BY doc_id
+                WHERE b.fmt IN (2, 5)
+            ) t(doc_id, w, x, y, v) GROUP BY doc_id
+        ), pal AS (
+            -- color-type-3 PNG: index v maps through the test palette
+            -- (v, (2v)%256, (3v)%256) — channels differ, so skipping
+            -- the palette indirection changes every statistic.
+            SELECT doc_id,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_values,
+                   CAST(SUM(v + v2 + v3) AS BIGINT) AS val_sum,
+                   CAST(SUM(v * v + v2 * v2 + v3 * v3) AS BIGINT)
+                       AS val_sumsq,
+                   CAST(SUM(3 * p * v + (3 * p + 1) * v2
+                            + (3 * p + 2) * v3) AS BIGINT)
+                       AS val_possum
+            FROM (
+                SELECT b.doc_id,
+                       y.y * b.w + x.x AS p,
+                       (x.x + 2 * y.y + b.doc_id) % 256 AS v,
+                       (2 * ((x.x + 2 * y.y + b.doc_id) % 256)) % 256
+                           AS v2,
+                       (3 * ((x.x + 2 * y.y + b.doc_id) % 256)) % 256
+                           AS v3
+                FROM base b,
+                     UNNEST(range(0, b.w)) AS x(x),
+                     UNNEST(range(0, b.h)) AS y(y)
+                WHERE b.fmt = 4
+            ) t(doc_id, p, v, v2, v3) GROUP BY doc_id
         ), aud AS (
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_values,
                    CAST(SUM(v) AS BIGINT) AS val_sum,
-                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq
+                   CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+                   CAST(SUM(i * v) AS BIGINT) AS val_possum
             FROM (
-                SELECT b.doc_id,
+                SELECT b.doc_id, i.i,
                        (i.i * b.step) % 1024 - 512 AS v
                 FROM base b, UNNEST(range(0, b.ns)) AS i(i)
                 WHERE b.fmt = 3
-            ) GROUP BY doc_id
+            ) t(doc_id, i, v) GROUP BY doc_id
         )
         SELECT b.doc_id,
                CASE b.fmt WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                          WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
-               COALESCE(i.n_values, g.n_values, a.n_values) AS n_values,
-               COALESCE(i.val_sum, g.val_sum, a.val_sum) AS val_sum,
-               COALESCE(i.val_sumsq, g.val_sumsq, a.val_sumsq)
-                   AS val_sumsq
+                          WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                          WHEN 4 THEN 'png' ELSE 'gif' END AS format,
+               COALESCE(i.n_values, g.n_values, p.n_values, a.n_values)
+                   AS n_values,
+               COALESCE(i.val_sum, g.val_sum, p.val_sum, a.val_sum)
+                   AS val_sum,
+               COALESCE(i.val_sumsq, g.val_sumsq, p.val_sumsq,
+                        a.val_sumsq) AS val_sumsq,
+               COALESCE(i.val_possum, g.val_possum, p.val_possum,
+                        a.val_possum) AS val_possum
         FROM base b
         LEFT JOIN img i USING (doc_id)
         LEFT JOIN gif g USING (doc_id)
+        LEFT JOIN pal p USING (doc_id)
         LEFT JOIN aud a USING (doc_id)
         ORDER BY b.doc_id
     """,
     doc="REAL pixel/sample decode, certified cross-engine with no codec "
     "library (operators/codecs.py): each doc gets a COMPLETE valid "
-    "media file (PNG with zlib-compressed scanlines cycling ALL five "
-    "filter types / 24-bit padded BMP / LZW-compressed GIF with a "
-    "256-gray palette / PCM16 WAV) whose pixel and sample values "
-    "follow a closed-form pattern in doc_id. Spark recovers the "
-    "values by genuinely decoding the bytes — zlib inflate, "
-    "Sub/Up/Average/Paeth reconstruction, BGR/bottom-up/padding "
-    "handling, variable-width LZW with dictionary resets, RIFF chunk "
-    "walk — and emits exact integer value sums; DuckDB computes the "
-    "same sums arithmetically from doc_id. A single filter bug, "
-    "padding miscount, LZW width slip, or endianness flip fails the "
-    "value hash. Only JPEG (entropy coding + lossy) and video remain "
-    "the documented NotImplementedError seam — everything "
-    "DEFLATE/LZW-based or uncompressed is decoded for real.",
+    "media file cycling SIX profiles (truecolor PNG with scanlines "
+    "cycling ALL five filter types / 24-bit padded BMP / "
+    "LZW-compressed GIF / PCM16 WAV / color-type-3 palette PNG / "
+    "INTERLACED GIF) whose pixel and sample values follow a "
+    "closed-form pattern in doc_id. Spark recovers the values by "
+    "genuinely decoding the bytes — zlib inflate, "
+    "Sub/Up/Average/Paeth reconstruction, PLTE palette indirection, "
+    "BGR/bottom-up/padding handling, variable-width LZW with "
+    "dictionary resets, 4-pass de-interlacing, RIFF chunk walk — and "
+    "emits exact integer statistics including a POSITION-WEIGHTED "
+    "checksum (plain sums are order-invariant, so only Σ index·value "
+    "catches a row flip, a skipped palette lookup, or a wrong "
+    "de-interlace permutation); DuckDB computes the same statistics "
+    "arithmetically from doc_id. Only JPEG (entropy coding + lossy), "
+    "16-bit/alpha PNG, and video remain the documented "
+    "NotImplementedError seam — everything DEFLATE/LZW-based or "
+    "uncompressed is decoded for real.",
 )
 def multimodal_real_pixel_decode(
     spark: SparkSession, sf_dir: str
@@ -293,7 +337,7 @@ def multimodal_real_pixel_decode(
     )
     schema = (
         "doc_id long, format string, n_values long, "
-        "val_sum long, val_sumsq long"
+        "val_sum long, val_sumsq long, val_possum long"
     )
 
     def synth_decode_reduce(
@@ -304,19 +348,22 @@ def multimodal_real_pixel_decode(
             for d in pdf["doc_id"]:
                 m = decode_media(build_full_media(int(d)))
                 arr = m["data"].astype(np.int64)
+                flat = arr.ravel()  # C-order — the oracle's index space
                 rows.append(
                     (
                         int(d),
                         m["format"],
                         int(arr.size),
-                        int(arr.sum()),
-                        int((arr * arr).sum()),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "format", "n_values", "val_sum", "val_sumsq"
+                    "doc_id", "format", "n_values",
+                    "val_sum", "val_sumsq", "val_possum",
                 ],
             )
 

@@ -79,12 +79,19 @@ def foreach_batch_trending_topk(
             merged = keep.unionByName(fresh)
         else:
             merged = fresh
-        # stage the merged counts, then swap (read-then-overwrite of the
-        # same path within one job is not safe in plain parquet)
-        staged = merged.collect()
-        spark.createDataFrame(staged, fresh.schema).write.mode(
-            "overwrite"
-        ).parquet(counts_path)
+        # stage the merged counts to a sibling path, then swap the
+        # directories (read-then-overwrite of the same path within one
+        # job is not safe in plain parquet). The staged write is fully
+        # distributed — no driver materialization, so the sink never
+        # assumes the counts table fits on the driver.
+        import os
+        import shutil
+
+        staging = f"{counts_path}.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(counts_path):
+            shutil.rmtree(counts_path)
+        os.rename(staging, counts_path)
         counts = spark.read.parquet(counts_path)
         grouped_top_k(
             counts,

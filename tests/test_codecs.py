@@ -63,6 +63,35 @@ class TestPngRoundTrip:
         with pytest.raises(NotImplementedError):
             decode_png(bytes(payload))
 
+    @pytest.mark.parametrize("doc_id", [4, 10, 64 * 9 + 4])
+    def test_palette_roundtrip(self, doc_id):
+        from economic_data_etl_spark.operators.codecs import (
+            gray_pattern,
+            png_palette,
+        )
+
+        idx = gray_pattern(doc_id)
+        out = decode_png(encode_png(idx, palette=png_palette()))
+        want = png_palette()[idx]
+        assert out.shape == want.shape
+        assert (out == want).all()
+        # channels genuinely differ — the indirection is observable
+        assert (want[:, :, 0] != want[:, :, 1]).any()
+
+    def test_palette_png_without_plte_raises(self):
+        from economic_data_etl_spark.operators.codecs import (
+            gray_pattern,
+            png_palette,
+        )
+
+        payload = bytearray(encode_png(gray_pattern(4), palette=png_palette()))
+        # excise the PLTE chunk (starts right after IHDR's 25 bytes)
+        plte_start = 8 + 25
+        plte_len = 12 + 256 * 3
+        del payload[plte_start : plte_start + plte_len]
+        with pytest.raises(ValueError):
+            decode_png(bytes(payload))
+
 
 class TestBmpRoundTrip:
     def test_padded_stride(self):
@@ -135,21 +164,54 @@ class TestGifLzw:
         assert out.shape == (*img.shape, 3)
         assert (out == img[:, :, None]).all()  # gray palette: i -> (i,i,i)
 
+    @pytest.mark.parametrize("doc_id", [5, 11, 64 * 5 + 5])
+    def test_interlaced_gif_roundtrip(self, doc_id):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif,
+            encode_gif_gray,
+            gray_pattern,
+        )
+
+        img = gray_pattern(doc_id)
+        out = decode_gif(encode_gif_gray(img, interlace=True))
+        assert (out == img[:, :, None]).all()
+        # the interlaced FILE genuinely differs from the sequential one
+        # (rows are transmitted in 4-pass order), so the equality above
+        # proves the decoder un-permuted, not that interlace was a no-op
+        assert encode_gif_gray(img, interlace=True) != encode_gif_gray(img)
+
+    @pytest.mark.parametrize("h", [1, 2, 3, 7, 8, 9, 16, 79])
+    def test_interlace_order_is_a_permutation(self, h):
+        from economic_data_etl_spark.operators.codecs import (
+            _gif_interlace_order,
+        )
+
+        order = _gif_interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h))
+
 
 class TestDispatchAndCorruption:
     def test_build_full_media_cycles_formats(self):
-        fmts = [decode_media(build_full_media(d))["format"] for d in range(8)]
-        assert fmts == ["png", "bmp", "gif", "wav"] * 2
+        fmts = [
+            decode_media(build_full_media(d))["format"] for d in range(12)
+        ]
+        assert fmts == ["png", "bmp", "gif", "wav", "png", "gif"] * 2
 
     def test_decoded_content_matches_closed_form(self):
-        from economic_data_etl_spark.operators.codecs import gray_pattern
+        from economic_data_etl_spark.operators.codecs import (
+            gray_pattern,
+            png_palette,
+        )
 
-        for d in (0, 1, 2, 3, 300, 301, 302, 303):
+        for d in (0, 1, 2, 3, 4, 5, 300, 301, 302, 303, 304, 305):
             m = decode_media(build_full_media(d))
-            if m["format"] == "wav":
+            k = d % 6
+            if k == 3:
                 assert (m["data"][:, 0] == audio_pattern(d)).all()
-            elif m["format"] == "gif":
+            elif k in (2, 5):
                 assert (m["data"] == gray_pattern(d)[:, :, None]).all()
+            elif k == 4:
+                assert (m["data"] == png_palette()[gray_pattern(d)]).all()
             else:
                 assert (m["data"] == image_pattern(d)).all()
 
@@ -165,7 +227,7 @@ class TestDispatchAndCorruption:
         # deterministic single-byte corruptions across the payload:
         # try_decode_media must never raise (wrong result is fine for a
         # flipped pixel byte; an exception is not).
-        for d in (0, 1, 2, 3):
+        for d in (0, 1, 2, 3, 4, 5):
             payload = bytearray(build_full_media(d))
             for pos in range(0, len(payload), 7):
                 mutated = bytearray(payload)

@@ -1,0 +1,83 @@
+"""Measured scale exponents for the two heaviest catalog paths.
+
+The always-on sf0.01 scale-sensitivity tests prove CORRECTNESS at two
+scales; this module bounds the COST growth: wall time at sf0.1 must be
+< 15× wall time at sf0.01 (10× data), so a superlinear blowup — a pair
+join losing its pruning, an iterative operator whose rounds stop
+converging — is caught by CI instead of by eyeballing BENCH deltas.
+The bound is deliberately generous: 10× data through a near-linear
+path lands well under 15× even with fixed-overhead noise; a quadratic
+escape lands near 100× and fails loudly. Measured ratios are recorded
+in COVERAGE.md.
+
+Timing discipline mirrors bench.py: warm-up run untimed, then
+min-of-two timed runs per scale, both scales inside one session so JVM
+state is comparable.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF001_DIR = "/root/testdata/sf0.01"
+SF01_DIR = "/root/testdata/sf0.1"
+
+MAX_RATIO = 15.0
+
+
+def _min_of_two(fn) -> float:
+    fn()  # warm-up: JIT, parquet footers, broadcast state
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+@pytest.mark.slow
+def test_semantic_bucketed_pair_pass_scale_exponent(spark):
+    """The Exchange-free pair pass against a prebuilt layout — the cost
+    paid per dedup run. Layout builds are untimed (one-time cost by
+    design); only the per-pass join is bounded."""
+    from economic_data_etl_spark.plans.curation import (
+        build_semantic_bucketed_layout,
+        semantic_bucketed_pairs_only,
+    )
+
+    tables = {
+        sf: build_semantic_bucketed_layout(spark, sf)
+        for sf in (SF001_DIR, SF01_DIR)
+    }
+    times = {
+        sf: _min_of_two(
+            lambda t=t: semantic_bucketed_pairs_only(spark, t).collect()
+        )
+        for sf, t in tables.items()
+    }
+    ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+    assert ratio < MAX_RATIO, (
+        f"pair pass grew {ratio:.1f}x for 10x data "
+        f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+    )
+
+
+@pytest.mark.slow
+def test_cluster_components_scale_exponent(spark):
+    """Min-label-propagation connected components — iterative, so a
+    convergence regression shows up as extra rounds, i.e. superlinear
+    wall growth."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    q = REGISTRY["dedup_cluster_components"]
+    times = {
+        sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+        for sf in (SF001_DIR, SF01_DIR)
+    }
+    ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+    assert ratio < MAX_RATIO, (
+        f"components grew {ratio:.1f}x for 10x data "
+        f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+    )

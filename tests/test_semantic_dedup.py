@@ -370,6 +370,94 @@ class TestSemanticDedup:
                 "spark.sql.autoBroadcastJoinThreshold", saved
             )
 
+    def test_bucketed_layout_append_compact_cycle(self, spark, sf_dir):
+        """The FULL maintenance cycle the layout's economics rely on:
+        build → append ×3 (small files accrete, num_buckets per append)
+        → compact back to ONE file per bucket. The pair set must equal
+        the full in-memory recompute at every step, and the self-join
+        must stay Exchange-free both while fragmented and after the
+        compaction rewrite — compaction bounds small-file overhead
+        without ever touching the answer or the plan shape."""
+        import contextlib
+        import io
+
+        from economic_data_etl_spark.operators.semantic import (
+            append_assignment_bucketed,
+            compact_assignment_bucketed,
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)  # frozen across the whole cycle
+        tbl = "t_sem_bucketed_cycle"
+        nb = 8
+        cuts = [150, 250, 350]
+        write_assignment_bucketed(
+            emb.filter(F.col("vec_id") < cuts[0]),
+            cents, tbl, probes=3, num_buckets=nb,
+        )
+        for lo, hi in zip(cuts, cuts[1:] + [None]):
+            cond = F.col("vec_id") >= lo
+            if hi is not None:
+                cond = cond & (F.col("vec_id") < hi)
+            append_assignment_bucketed(
+                emb.filter(cond), cents, tbl, probes=3, num_buckets=nb
+            )
+
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=3
+            ).collect()
+        }
+
+        def pairs():
+            return {
+                (r["id_a"], r["id_b"])
+                for r in semantic_near_dup_pairs_from_bucketed(
+                    spark, tbl, threshold=TAU
+                ).collect()
+            }
+
+        def plan_no_exchange():
+            saved = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    semantic_near_dup_pairs_from_bucketed(
+                        spark, tbl, threshold=TAU
+                    ).explain("formatted")
+                plan = buf.getvalue()
+                assert "Exchange" not in plan, plan
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", saved
+                )
+
+        # fragmented: base + 3 appends → up to 4×nb files, still
+        # correct and still Exchange-free
+        n_files_fragmented = len(spark.table(tbl).inputFiles())
+        assert n_files_fragmented > nb, "appends must accrete files"
+        assert pairs() == want
+        plan_no_exchange()
+
+        compact_assignment_bucketed(spark, tbl, num_buckets=nb)
+        n_after = len(spark.table(tbl).inputFiles())
+        assert n_after <= nb < n_files_fragmented, (
+            f"compaction must restore at most one file per bucket "
+            f"(got {n_after} files for {nb} buckets, "
+            f"was {n_files_fragmented} fragmented)"
+        )
+        assert pairs() == want
+        plan_no_exchange()
+        assert any(a < cuts[0] <= b for a, b in want), (
+            "fixture must produce at least one cross-increment pair"
+        )
+
     def test_vectorized_scoring_matches_expression(self, spark, sf_dir):
         """The einsum pair-scoring lane must produce the SAME pair set
         as the expression dot-product fold (same candidates, same
