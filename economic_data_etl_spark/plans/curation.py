@@ -351,8 +351,11 @@ def build_semantic_bucketed_layout(
     # num_buckets should match the executor parallelism the pair pass
     # runs at (1 bucket file = 1 scan task): 16 buckets on local[32]
     # left half the cores idle — measured 32 buckets: write 7.4→4.1 s,
-    # pair pass 6.1→4.7 s at sf0.1. At 100 TB pick buckets ≈ cluster
-    # task slots, capped so one bucket fits a task's memory.
+    # pair pass 6.1→4.7 s at sf0.1 (array layout; the scalar-component
+    # layout then takes the pair pass to ~1.1 s warm / 2.7 s
+    # cold-JVM-harness — see SCALAR_DOT_MAX_DIM in operators/semantic).
+    # At 100 TB pick buckets ≈ cluster task slots, capped so one bucket
+    # fits a task's memory.
     write_assignment_bucketed(
         emb, cents, table, probes=_SEM_PROBES, num_buckets=32
     )

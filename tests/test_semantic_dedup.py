@@ -370,6 +370,52 @@ class TestSemanticDedup:
                 "spark.sql.autoBroadcastJoinThreshold", saved
             )
 
+    def test_bucketed_layout_array_fallback_above_dim_threshold(
+        self, spark
+    ):
+        """dim > SCALAR_DOT_MAX_DIM must fall back to the `__nv` array
+        layout (a thousand-term codegen chain would blow the JVM method
+        budget) and the fold-scored pair pass must still match the
+        in-memory operator — both layouts, one contract."""
+        import numpy as np
+
+        from economic_data_etl_spark.operators.semantic import (
+            SCALAR_DOT_MAX_DIM,
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+
+        dim = SCALAR_DOT_MAX_DIM + 2
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(4, dim))
+        rows = []
+        for i in range(40):
+            v = base[i % 4] + rng.normal(scale=0.05, size=dim)
+            rows.append((i, [float(x) for x in v]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = seed_centroids(emb, 4)
+        tbl = "t_sem_bucketed_highdim"
+        write_assignment_bucketed(emb, cents, tbl, probes=2, num_buckets=4)
+        t = spark.table(tbl)
+        assert "__nv" in t.columns, "high-dim layout must store the array"
+        assert not any(c.startswith("__nv") and c != "__nv" for c in t.columns)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, tbl, threshold=TAU
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs(
+                emb, cents, TAU, probes=2
+            ).collect()
+        }
+        assert got == want
+        assert got, "fixture must produce pairs"
+
     def test_bucketed_layout_append_compact_cycle(self, spark, sf_dir):
         """The FULL maintenance cycle the layout's economics rely on:
         build → append ×3 (small files accrete, num_buckets per append)
