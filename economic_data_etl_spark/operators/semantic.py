@@ -337,22 +337,55 @@ def semantic_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    dim = len(centroids[0]) if centroids else 0
+    scalar = not vectorized_scoring and 0 < dim <= SCALAR_DOT_MAX_DIM
     nv = l2_normalize(F.col(vec_col))
-    normed = corpus.select(
-        F.col(id_col).alias("__nid"), nv.alias("__nv")
-    ).persist()
+    if scalar:
+        # Same codegen-dot trick as the bucketed layout: persist the
+        # normalized vector as dim SCALAR columns so per-pair scoring
+        # is a left-associated multiply-add chain (whole-stage
+        # codegen), not an interpreted fold over a per-pair array. The
+        # `+` chain evaluates in the fold's exact left-to-right float
+        # order, so the pair set is bitwise unchanged (the oracle
+        # comparison and the bucketed-equality pins hold as-is).
+        normed = corpus.select(
+            F.col(id_col).alias("__nid"), nv.alias("__nv")
+        ).select(
+            "__nid", *_scalar_nv_components(F.col("__nv"), dim)
+        ).persist()
+    else:
+        normed = corpus.select(
+            F.col(id_col).alias("__nid"), nv.alias("__nv")
+        ).persist()
     if _caches is not None:
         _caches.append(normed)
-    va = normed.select(
-        F.col("__nid").alias("id_a"), F.col("__nv").alias("__va")
-    )
-    vb = normed.select(
-        F.col("__nid").alias("id_b"), F.col("__nv").alias("__vb")
-    )
-    if vectorized_scoring:
-        dot = _pair_dot_vectorized()(F.col("__va"), F.col("__vb"))
+    if scalar:
+        va = normed.select(
+            F.col("__nid").alias("id_a"),
+            *[F.col(f"__nv{i}").alias(f"__a{i}") for i in range(dim)],
+        )
+        vb = normed.select(
+            F.col("__nid").alias("id_b"),
+            *[F.col(f"__nv{i}").alias(f"__b{i}") for i in range(dim)],
+        )
+        import functools
+        import operator as op
+
+        dot = functools.reduce(
+            op.add,
+            [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)],
+        )
     else:
-        dot = dot_product(F.col("__va"), F.col("__vb"))
+        va = normed.select(
+            F.col("__nid").alias("id_a"), F.col("__nv").alias("__va")
+        )
+        vb = normed.select(
+            F.col("__nid").alias("id_b"), F.col("__nv").alias("__vb")
+        )
+        if vectorized_scoring:
+            dot = _pair_dot_vectorized()(F.col("__va"), F.col("__vb"))
+        else:
+            dot = dot_product(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -603,6 +636,21 @@ def write_assignment_bucketed(
 SCALAR_DOT_MAX_DIM = 128
 
 
+def _scalar_nv_components(nv: Column, dim: int) -> list[Column]:
+    """Extract `dim` scalar components `__nv{i}` from a normalized
+    vector column. Component 0 carries the dimension CONTRACT: it is
+    NULL unless size(nv) == dim exactly, so any wrong-length vector —
+    including one LONGER than the centroid dim, which plain F.get
+    would silently truncate-and-score — nulls the multiply-add chain
+    and the pair is dropped, the same verdict the array fold's
+    zip_with NULL-padding gives every length mismatch. (size(NULL) is
+    NULL, so NULL vectors fall through the same gate.)"""
+    return [
+        F.when(F.size(nv) == dim, F.get(nv, 0)).alias("__nv0"),
+        *[F.get(nv, i).alias(f"__nv{i}") for i in range(1, dim)],
+    ]
+
+
 def _bucketed_assignment_rows(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -636,10 +684,7 @@ def _bucketed_assignment_rows(
             "cluster",
             "__id",
             "__probes",
-            *[
-                F.get(F.col("__nv"), i).alias(f"__nv{i}")
-                for i in range(dim)
-            ],
+            *_scalar_nv_components(F.col("__nv"), dim),
         )
     return base
 

@@ -192,10 +192,13 @@ class TestSemanticDedup:
         NULL dot → pair dropped for scoring."""
         rows = [
             (0, [1.0, 0.0]),
-            (1, None),           # NULL vector
-            (2, [1.0]),          # wrong dimension
-            (3, [0.0, 0.0]),     # zero norm
-            (4, [1.0, 0.05]),    # near-dup of 0
+            (1, None),             # NULL vector
+            (2, [1.0]),            # wrong dimension (short)
+            (3, [0.0, 0.0]),       # zero norm
+            (4, [1.0, 0.05]),      # near-dup of 0
+            (5, [1.0, 0.0, 0.0]),  # wrong dimension (LONG — a scalar
+            # component lane that truncated instead of nulling would
+            # wrongly score this against 0/4)
         ]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
@@ -220,7 +223,29 @@ class TestSemanticDedup:
                 ).collect()
             }
             assert (0, 4) in pairs
-            assert not any(1 in p or 2 in p for p in pairs), pairs
+            assert not any(
+                1 in p or 2 in p or 5 in p for p in pairs
+            ), pairs
+        # the bucketed scalar-component lane enforces the same
+        # dimension contract (component 0 nulls on size mismatch)
+        from economic_data_etl_spark.operators.semantic import (
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+
+        write_assignment_bucketed(
+            emb, cents, "t_sem_ragged_bucketed", probes=2, num_buckets=2
+        )
+        bucketed = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, "t_sem_ragged_bucketed", threshold=TAU
+            ).collect()
+        }
+        assert (0, 4) in bucketed
+        assert not any(
+            1 in p or 2 in p or 5 in p for p in bucketed
+        ), bucketed
 
     def test_vectorized_assignment_broadcast_is_released(self, spark):
         """The centroid broadcast created by the vectorized lane must be
