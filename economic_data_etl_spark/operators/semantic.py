@@ -431,21 +431,43 @@ def semantic_incremental_pairs(
         .distinct()
     )
     nv = l2_normalize(F.col(vec_col))
+    dim = len(centroids[0])
     vecs = index.unionByName(batch).select(
         F.col(id_col).alias("__vid"), nv.alias("__nv")
     )
-    va = vecs.select(
-        F.col("__vid").alias("id_a"), F.col("__nv").alias("__va")
-    )
-    vb = vecs.select(
-        F.col("__vid").alias("id_b"), F.col("__nv").alias("__vb")
-    )
+    if dim <= SCALAR_DOT_MAX_DIM:
+        # same codegen-chain scoring + dimension contract as the batch
+        # and bucketed pair passes (see _scalar_nv_components)
+        import functools
+        import operator as op
+
+        vecs = vecs.select(
+            "__vid", *_scalar_nv_components(F.col("__nv"), dim)
+        )
+        va = vecs.select(
+            F.col("__vid").alias("id_a"),
+            *[F.col(f"__nv{i}").alias(f"__a{i}") for i in range(dim)],
+        )
+        vb = vecs.select(
+            F.col("__vid").alias("id_b"),
+            *[F.col(f"__nv{i}").alias(f"__b{i}") for i in range(dim)],
+        )
+        dot = functools.reduce(
+            op.add,
+            [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)],
+        )
+    else:
+        va = vecs.select(
+            F.col("__vid").alias("id_a"), F.col("__nv").alias("__va")
+        )
+        vb = vecs.select(
+            F.col("__vid").alias("id_b"), F.col("__nv").alias("__vb")
+        )
+        dot = dot_product(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(
-            dot_product(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
-        )
+        .filter(dot >= F.lit(threshold))
         .select("id_a", "id_b")
     )
 
