@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "multimodal_decode_metadata",
     "multimodal_real_pixel_decode",
+    "multimodal_jpeg_decode",
     "train_val_test_split",
     "variant_typed_extraction",
     "sketch_hll_distinct_rollup",

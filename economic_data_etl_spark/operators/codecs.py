@@ -26,10 +26,17 @@ production formats need no library at all:
   row permutation, certified order-sensitively via the
   position-weighted checksum below).
 
-JPEG (Huffman + DCT — genuinely needs an entropy-coding codec, and its
-lossy reconstruction would break exact certification), 16-bit/alpha
-PNG, and video stay behind the documented NotImplementedError seam in
-operators/multimodal.py.
+- **JPEG** (baseline sequential, 8-bit grayscale): implemented from
+  scratch in operators/jpeg.py — canonical Huffman (Annex-K tables),
+  zigzag, all-odd quantization, orthonormal 8×8 DCT, byte stuffing.
+  Lossy but DETERMINISTIC: on block-constant images every AC is
+  exactly 0 and the decode has a closed form the SQL oracle computes
+  (multimodal_jpeg_decode); general images are certified by
+  independent-math round-trips in tests/test_jpeg.py.
+
+16-bit/alpha PNG, non-baseline JPEG (progressive/arithmetic/multi-
+component), and video stay behind the documented NotImplementedError
+seam in operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test
@@ -396,9 +403,10 @@ def build_full_media(doc_id: int) -> bytes:
 def decode_media(payload: bytes) -> dict:
     """Sniff + really decode: {'format', 'data'} where data is the
     uint8 pixel array (images; GIF comes back palette-mapped (h, w, 3))
-    or int16 sample array (audio). Raises NotImplementedError only for
-    JPEG and video — the formats that genuinely need an entropy-coding
-    codec library."""
+    or int16 sample array (audio). Baseline grayscale JPEG decodes for
+    real (operators/jpeg.py — canonical Huffman + 8×8 DCT, no library);
+    only video and the non-baseline JPEG modes remain
+    NotImplementedError."""
     if payload[:8] == _PNG_SIG:
         return {"format": "png", "data": decode_png(payload)}
     if payload[:2] == b"BM":
@@ -409,9 +417,11 @@ def decode_media(payload: bytes) -> dict:
         rate, samples = decode_wav(payload)
         return {"format": "wav", "data": samples, "sample_rate": rate}
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode needs an entropy-coding codec library"
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg_gray,
         )
+
+        return {"format": "jpeg", "data": decode_jpeg_gray(payload)}
     raise ValueError("unrecognized media payload")
 
 

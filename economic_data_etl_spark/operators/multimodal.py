@@ -14,14 +14,16 @@ Two tiers of decode:
   corrupt-screening / dimension-accounting first stage of a media
   ingest, end-to-end oracle-checked via `build_sample_container`
   round-trips and pinned against reference byte strings.
-- **Pixel/audio decode is REAL for PNG, BMP, GIF, and PCM WAV**
-  (operators/codecs.py — stdlib zlib + numpy, no codec library: full
-  PNG filter reconstruction, BMP padding/BGR/bottom-up handling, GIF
-  LZW decompression, RIFF chunk walking), certified end-to-end by the
-  cross-engine `multimodal_real_pixel_decode` query.
-  `decode_image_real` dispatches there; the NotImplementedError seam
-  now covers only the formats that genuinely need a codec library —
-  JPEG (entropy coding) and video. `decode_media_metadata` keeps the
+- **Pixel/audio decode is REAL for PNG, BMP, GIF, PCM WAV, and
+  baseline JPEG** (operators/codecs.py + operators/jpeg.py — stdlib +
+  numpy, no codec library: full PNG filter reconstruction, BMP
+  padding/BGR/bottom-up handling, GIF LZW decompression, RIFF chunk
+  walking, canonical-Huffman + 8×8-DCT JPEG), certified end-to-end by
+  the cross-engine `multimodal_real_pixel_decode` and
+  `multimodal_jpeg_decode` queries. `decode_image_real` dispatches
+  there; the NotImplementedError seam now covers only video and
+  non-baseline JPEG modes (progressive/arithmetic/multi-component)
+  plus 16-bit/alpha PNG. `decode_media_metadata` keeps the
   deterministic byte-length stub for opaque-payload plumbing tests.
 """
 
@@ -54,10 +56,10 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode for the formats that need no codec library — PNG,
-    BMP, GIF (LZW), PCM WAV (operators/codecs.py). JPEG/video still
-    raise NotImplementedError (JPEG entropy coding needs a real codec —
-    the remaining environment seam, now much smaller)."""
+    """Real decode with no codec library — PNG, BMP, GIF (LZW),
+    PCM WAV (operators/codecs.py), and baseline grayscale JPEG
+    (operators/jpeg.py). Only video and non-baseline JPEG modes still
+    raise NotImplementedError — the remaining environment seam."""
     from economic_data_etl_spark.operators.codecs import decode_media
 
     return decode_media(payload)

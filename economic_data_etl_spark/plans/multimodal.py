@@ -368,3 +368,116 @@ def multimodal_real_pixel_decode(
             )
 
     return docs.mapInPandas(synth_decode_reduce, schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h
+            FROM documents
+        ), px AS (
+            -- decoded pixel of the block-constant test image: every
+            -- 8x8 block cell is constant, so all AC coefficients are
+            -- exactly zero and baseline JPEG decode reduces to the
+            -- DC closed form (quantize then dequantize+IDCT, both
+            -- with the codec's pinned biased round-half-up; q=17 is
+            -- odd so the inner rounding never ties; the 1e-6 bias
+            -- resolves the outer L*q = 4 (mod 8) exact boundaries
+            -- identically in IEEE doubles on both engines).
+            SELECT b.doc_id, b.w,
+                   y.y * b.w + x.x AS p,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR(
+                           FLOOR(8 * (((x.x // 8) + 2 * (y.y // 8)
+                                       + b.doc_id) % 256 - 128)
+                                 / 17 + 0.5 + 1e-6)
+                           * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT)
+                       + 128)) AS v
+            FROM base b,
+                 UNNEST(range(0, b.w)) AS x(x),
+                 UNNEST(range(0, b.h)) AS y(y)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM(p * v) AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL baseline-JPEG decode certified cross-engine with no codec "
+    "library (operators/jpeg.py — canonical Annex-K Huffman, zigzag, "
+    "all-odd quantization, orthonormal 8x8 DCT, byte stuffing, all "
+    "from scratch): each doc gets a complete JFIF file of a "
+    "BLOCK-CONSTANT grayscale image, the subspace where lossy JPEG "
+    "has an exact closed form (constant blocks have identically zero "
+    "AC coefficients, so decode is the DC quantize/dequantize chain "
+    "with the codec's pinned biased rounding). Spark genuinely "
+    "encodes and entropy-decodes the bytes per document inside Arrow "
+    "batches; DuckDB computes the same pixel statistics — including "
+    "the order-sensitive position-weighted checksum — arithmetically "
+    "from doc_id. A Huffman table mis-build, a DC-prediction slip, a "
+    "zigzag transposition, or an IDCT scaling error changes the sums "
+    "and fails the value hash. The general AC path (runs, ZRL, "
+    "magnitude categories) is certified by independent-math "
+    "round-trips in tests/test_jpeg.py; with this query the "
+    "environment-gated decode seam shrinks to video and non-baseline "
+    "JPEG modes.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.jpeg import (
+        block_constant_pattern,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_jpeg_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                img = block_constant_pattern(d, w, h)
+                arr = decode_jpeg_gray(encode_jpeg_gray(img)).astype(
+                    np.int64
+                )
+                flat = arr.ravel()
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_jpeg_reduce, schema).orderBy("doc_id")

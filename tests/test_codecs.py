@@ -215,8 +215,21 @@ class TestDispatchAndCorruption:
             else:
                 assert (m["data"] == image_pattern(d)).all()
 
-    def test_jpeg_stays_a_seam(self):
-        with pytest.raises(NotImplementedError):
+    def test_jpeg_decodes_for_real(self):
+        # JPEG left the seam in round 6 (operators/jpeg.py): the magic
+        # routes to the real decoder, which rejects garbage as a
+        # ValueError (corrupt data), not NotImplementedError (missing
+        # capability). Non-baseline modes still gate — see
+        # tests/test_jpeg.py.
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            encode_jpeg_gray,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        assert decode_media(encode_jpeg_gray(img))["format"] == "jpeg"
+        with pytest.raises(ValueError):
             decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
     def test_corrupt_bytes_are_data_not_exceptions(self):

@@ -1,0 +1,146 @@
+"""Baseline JPEG codec (operators/jpeg.py): the encoder certifies the
+decoder, and an INDEPENDENT straight-from-the-math reference certifies
+the entropy layer — if the Huffman bits, DC prediction, zigzag, or
+byte stuffing drop or shift a single coefficient, the decoded levels
+stop matching the reference's direct DCT/quantization arithmetic.
+
+The cross-engine closed-form certification (block-constant subspace,
+DC-only path) lives in the catalog query multimodal_jpeg_decode; this
+module covers the general path the oracle can't express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from economic_data_etl_spark.operators.jpeg import (
+    QTAB,
+    ROUND_BIAS,
+    _M,
+    _ZIGZAG,
+    block_constant_pattern,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    expected_constant_decode,
+)
+
+
+def reference_decode_of_encode(img: np.ndarray) -> np.ndarray:
+    """What decode(encode(img)) must equal, derived by direct matrix
+    math (pad → DCT → biased-round quantize → dequantize → IDCT →
+    biased-round pixels → crop) with NO shared code with the entropy
+    coder — the Huffman/zigzag/stuffing layers must be exactly
+    transparent for this to match."""
+    h, w = img.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((bh * 8, bw * 8))
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    out = np.zeros_like(padded)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            levels = np.floor((_M @ blk @ _M.T) / QTAB + 0.5 + ROUND_BIAS)
+            rec = _M.T @ (levels * QTAB) @ _M
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(rec + 128.5 + ROUND_BIAS), 0, 255
+            )
+    return out[:h, :w].astype(np.uint8)
+
+
+class TestJpegRoundTrip:
+    @pytest.mark.parametrize(
+        "shape", [(8, 8), (16, 24), (17, 23), (1, 1), (79, 79)]
+    )
+    def test_random_images_match_independent_reference(self, shape):
+        rng = np.random.default_rng(hash(shape) % 2**32)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert dec.shape == img.shape
+        assert (dec == reference_decode_of_encode(img)).all()
+
+    def test_adversarial_values(self):
+        for img in (
+            np.full((11, 13), 255, np.uint8),
+            np.zeros((11, 13), np.uint8),
+            (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8),
+        ):
+            dec = decode_jpeg_gray(encode_jpeg_gray(img))
+            assert (dec == reference_decode_of_encode(img)).all()
+
+    def test_zrl_long_zero_runs(self):
+        # a block whose only nonzero AC sits deep in the zigzag order
+        # forces ZRL (16-zero-run) symbols through the entropy coder
+        for zz_idx in (20, 40, 63):
+            r, c = _ZIGZAG[zz_idx]
+            F = np.zeros((8, 8))
+            F[r, c] = 3 * QTAB[r, c]
+            blk = np.clip(
+                np.floor(_M.T @ F @ _M + 128.5 + ROUND_BIAS), 0, 255
+            ).astype(np.uint8)
+            dec = decode_jpeg_gray(encode_jpeg_gray(blk))
+            assert (dec == reference_decode_of_encode(blk)).all()
+
+    def test_block_constant_closed_form(self):
+        # the catalog query's contract, pinned locally: every decoded
+        # pixel equals the closed-form constant-block formula
+        for d in (0, 7, 123, 64 * 9 + 3, 4095):
+            w, h = 16 + d % 64, 16 + (d // 64) % 64
+            img = block_constant_pattern(d, w, h)
+            dec = decode_jpeg_gray(encode_jpeg_gray(img))
+            bx = np.arange(w) // 8
+            by = np.arange(h) // 8
+            cgrid = (bx[None, :] + 2 * by[:, None] + d) % 256
+            want = np.vectorize(expected_constant_decode)(cgrid)
+            assert (dec == want).all()
+
+    def test_dc_prediction_spans_blocks(self):
+        # strictly increasing block constants → every DC diff nonzero,
+        # positive and negative magnitudes both exercised
+        img = np.repeat(
+            np.repeat(np.arange(16, dtype=np.uint8).reshape(4, 4) * 16, 8, 0),
+            8,
+            1,
+        )
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert (dec == reference_decode_of_encode(img)).all()
+
+
+class TestJpegRobustness:
+    def test_profile_gates_raise_not_implemented(self):
+        payload = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+        # flip SOF0 (0xC0) to SOF2 (0xC2, progressive)
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_gray(bytes(payload))
+
+    def test_truncation_and_garbage_raise_value_error(self):
+        good = encode_jpeg_gray(np.zeros((16, 16), np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(good[: len(good) // 2])
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\x00" * 40)
+
+    def test_corrupt_bytes_never_escape_try_decode(self):
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        payload = bytearray(
+            encode_jpeg_gray(block_constant_pattern(3, 24, 16))
+        )
+        assert try_decode_media(bytes(payload)) is not None
+        for pos in range(0, len(payload), 5):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xFF
+            try_decode_media(bytes(mutated))  # must not raise
+
+    def test_dispatch_through_decode_media(self):
+        from economic_data_etl_spark.operators.codecs import decode_media
+
+        img = block_constant_pattern(5, 32, 24)
+        m = decode_media(encode_jpeg_gray(img))
+        assert m["format"] == "jpeg"
+        assert m["data"].shape == img.shape
