@@ -1,20 +1,23 @@
 """Real media codecs, stdlib + numpy only — no PIL/ffmpeg required.
 
 Round-4 verdict item 1 ("real pixel/audio decode") was filed as
-environment-gated because the codec LIBRARIES are absent — but three
+environment-gated because the codec LIBRARIES are absent — but these
 production formats need no library at all:
 
-- **PNG** (8-bit grayscale/truecolor/palette, non-interlaced): DEFLATE
-  is stdlib `zlib`; the five scanline filters (None/Sub/Up/Average/
-  Paeth) are pure arithmetic, reconstructed here exactly per the PNG
-  spec (RFC 2083 §6). Sub/Up reconstruction is vectorized
-  (per-byte-lane cumulative sums / row adds); Average/Paeth carry a
-  left-recursion the spec makes inherently sequential, decoded
+- **PNG** — the FULL still-image profile matrix: 8/16-bit ×
+  gray / truecolor / palette / gray+alpha / RGBA × plain/Adam7
+  interlaced (only pre-web sub-byte depths 1/2/4 remain gated).
+  DEFLATE is stdlib `zlib`; the five scanline filters
+  (None/Sub/Up/Average/Paeth) are pure arithmetic, reconstructed here
+  exactly per the PNG spec (RFC 2083 §6). Sub/Up reconstruction is
+  vectorized (per-byte-lane cumulative sums / row adds); Average/Paeth
+  carry a left-recursion the spec makes inherently sequential, decoded
   per-lane in Python — this is a correctness-grade decoder (real
   codecs are C for a reason); its Spark-side plumbing (Arrow batches,
   mapInPandas) is the same one a C-backed decoder would use. Color
   type 3 maps indices through the PLTE chunk (filters run on index
-  bytes, bpp=1).
+  bytes, bpp=1); 16-bit samples are big-endian; each Adam7 pass is its
+  own filtered scanline group scattered back into the pixel grid.
 - **BMP** (24-bit BI_RGB): bottom-up row order, BGR byte order, 4-byte
   row padding — pure slicing.
 - **WAV** (PCM 8/16-bit): RIFF chunk walk + `np.frombuffer`.
@@ -34,9 +37,9 @@ production formats need no library at all:
   (multimodal_jpeg_decode); general images are certified by
   independent-math round-trips in tests/test_jpeg.py.
 
-16-bit/alpha PNG, non-baseline JPEG (progressive/arithmetic/multi-
-component), and video stay behind the documented NotImplementedError
-seam in operators/multimodal.py.
+Sub-byte PNG depths (1/2/4), non-baseline JPEG (progressive/
+arithmetic/multi-component), and video stay behind the documented
+NotImplementedError seam in operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test
@@ -113,27 +116,29 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) truecolor uint8 as a
-    complete PNG. With `palette` ((n, 3) uint8), `img` must be (h, w)
-    palette INDICES and the output is a color-type-3 indexed PNG with
-    a PLTE chunk. Row y is filtered with type y % 5, so a decoder must
-    implement every filter correctly to round-trip any image taller
-    than 4 rows — deliberate, this encoder exists to certify the
-    decoder."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    if palette is not None:
-        if ch != 1:
-            raise ValueError("palette PNG takes (h, w) index input")
-        color = 3
-    else:
-        color = 0 if ch == 1 else 2
-    rows = img.reshape(h, w * ch).astype(np.int32)
-    bpp = ch  # bytes per pixel at bit depth 8
+# Adam7 interlace passes: (x0, y0, dx, dy) — pass p covers pixels
+# (x0 + i*dx, y0 + j*dy). Transmission order per the PNG spec §8.2.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _filter_scanlines(rows: np.ndarray, bpp: int) -> bytes:
+    """Encoder side: filter an (n, stride) int32 byte matrix, row j
+    with filter type j % 5 — every filter exercised on any image (or
+    interlace pass) taller than 4 rows. Deliberate: this encoder
+    exists to certify the decoder."""
+    n, stride = rows.shape
     out = []
-    for y in range(h):
+    for y in range(n):
         cur = rows[y]
         prior = rows[y - 1] if y else np.zeros_like(cur)
         left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
@@ -150,7 +155,125 @@ def encode_png(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
         else:
             filt = cur - _paeth(left, prior, upleft)
         out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
-    idat = zlib.compress(b"".join(out))
+    return b"".join(out)
+
+
+def _reconstruct_scanlines(
+    raw: bytes, offset: int, n: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Decoder side: reconstruct `n` filtered scanlines of `stride`
+    bytes starting at `offset` in the inflated stream; returns the
+    (n, stride) uint8 matrix and the next offset. Sub/Up are
+    vectorized (per-byte-lane cumulative sums / row adds); Average and
+    Paeth recurse on RECONSTRUCTED left bytes — the floor-div /
+    predictor select break the prefix-sum trick, so they decode
+    sequentially per lane (spec-mandated data dependency; plain Python
+    lists in the loop — numpy SCALAR indexing boxes per access,
+    measured ~3x slower). Each reconstructed byte is reduced mod 256
+    BEFORE it feeds the next prediction — Average's floor-division and
+    Paeth's magnitude comparisons operate on true byte values."""
+    need = n * (stride + 1)
+    if len(raw) < offset + need:
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((n, stride), dtype=np.uint8)
+    for y in range(n):
+        base = offset + y * (stride + 1)
+        ft = raw[base]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        prior = (
+            out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        )
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            lanes = row.reshape(stride // bpp, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(stride)
+        elif ft == 2:
+            rec = row + prior
+        elif ft in (3, 4):
+            row_l, prior_l = row.tolist(), prior.tolist()
+            rec_l = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    a = rec_l[x - bpp] if x >= bpp else 0
+                    rec_l[x] = (row_l[x] + (a + prior_l[x]) // 2) % 256
+            else:
+                for x in range(stride):
+                    a = rec_l[x - bpp] if x >= bpp else 0
+                    b = prior_l[x]
+                    cdiag = prior_l[x - bpp] if x >= bpp else 0
+                    p = a + b - cdiag
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cdiag)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else cdiag)
+                    )
+                    rec_l[x] = (row_l[x] + pred) % 256
+            rec = np.asarray(rec_l, dtype=np.int32)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out, offset + need
+
+
+def _img_to_byte_rows(img: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) uint8/uint16 -> (h, w*ch*depth//8) int32 byte matrix
+    (16-bit samples big-endian per the spec)."""
+    h, w, ch = img.shape
+    if depth == 16:
+        be = np.ascontiguousarray(img.astype(">u2"))
+        return (
+            be.view(np.uint8).reshape(h, w * ch * 2).astype(np.int32)
+        )
+    return img.reshape(h, w * ch).astype(np.int32)
+
+
+def encode_png(
+    img: np.ndarray,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a complete PNG across the full profile matrix:
+
+    - shape: (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) truecolor,
+      (h, w, 4) RGBA;
+    - dtype: uint8 (depth 8) or uint16 (depth 16, big-endian samples);
+    - `palette` ((n, 3) uint8): img is (h, w) uint8 indices, color
+      type 3 with a PLTE chunk;
+    - `interlace`: Adam7 — each of the 7 passes is filtered as its own
+      scanline group (per the spec).
+
+    Scanline j of each (pass-)group uses filter type j % 5, so a
+    decoder must implement every filter to round-trip anything taller
+    than 4 rows — deliberate; this encoder exists to certify the
+    decoder."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    depth = 16 if img.dtype == np.uint16 else 8
+    if palette is not None:
+        if ch != 1 or depth != 8:
+            raise ValueError("palette PNG takes (h, w) uint8 indices")
+        color = 3
+    else:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * depth // 8
+
+    parts = []
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _filter_scanlines(_img_to_byte_rows(sub, depth), bpp)
+            )
+    else:
+        parts.append(_filter_scanlines(_img_to_byte_rows(img, depth), bpp))
+    idat = zlib.compress(b"".join(parts))
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -160,7 +283,9 @@ def encode_png(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     plte = (
         chunk(b"PLTE", palette.astype(np.uint8).tobytes())
         if palette is not None
@@ -176,11 +301,13 @@ def encode_png(img: np.ndarray, palette: np.ndarray | None = None) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit grayscale/truecolor/palette PNG
-    to uint8 (h, w) / (h, w, 3) (palette images come back
-    palette-mapped (h, w, 3)). Raises ValueError on malformed bytes
-    and NotImplementedError on PNG features outside that profile
-    (16-bit, alpha, interlace)."""
+    """Decode ANY PNG of the standard's still-image profile matrix —
+    8/16-bit, gray / truecolor / palette / gray+alpha / RGBA,
+    interlaced (Adam7) or not — to a numpy array: (h, w) for gray,
+    (h, w, 2|3|4) otherwise (palette comes back mapped (h, w, 3));
+    dtype uint8 or uint16. Raises ValueError on malformed bytes and
+    NotImplementedError only for sub-byte bit depths (1/2/4, the
+    pre-web-era profiles)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, header, plte = 8, [], None, None
@@ -205,68 +332,53 @@ def decode_png(payload: bytes) -> np.ndarray:
     if header is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = header
-    if depth != 8 or color not in (0, 2, 3) or comp or filt or interlace:
-        raise NotImplementedError(
-            "PNG profile outside 8-bit gray/truecolor/palette "
-            "non-interlaced"
-        )
+    if comp or filt:
+        raise ValueError("unknown compression/filter method")
+    if color not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise ValueError("bad color type / interlace method")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError("sub-byte PNG bit depths")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
-    ch = 1 if color in (0, 3) else 3
-    stride = w * ch
+    ch = _PNG_CHANNELS[color]
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
-        if ft == 0:
-            rec = row
-        elif ft == 1:
-            # Sub is a per-lane prefix sum: rec[x] = row[x] + rec[x-bpp]
-            lanes = row.reshape(w, ch)
-            rec = np.cumsum(lanes, axis=0).reshape(stride)
-        elif ft == 2:
-            rec = row + prior
-        elif ft in (3, 4):
-            # Average/Paeth recurse on RECONSTRUCTED left bytes — the
-            # floor-div / predictor select break the prefix-sum trick,
-            # so these two decode sequentially per lane (spec-mandated
-            # data dependency; see module docstring). Plain Python
-            # lists in the loop: numpy SCALAR indexing boxes per
-            # access and measured ~3× slower than list ops here. Each
-            # reconstructed byte is reduced mod 256 BEFORE it feeds the
-            # next prediction — Average's floor-division and Paeth's
-            # magnitude comparisons operate on true byte values, so a
-            # deferred mod changes their results.
-            row_l, prior_l = row.tolist(), prior.tolist()
-            rec_l = [0] * stride
-            if ft == 3:
-                for x in range(stride):
-                    a = rec_l[x - ch] if x >= ch else 0
-                    rec_l[x] = (row_l[x] + (a + prior_l[x]) // 2) % 256
-            else:
-                for x in range(stride):
-                    a = rec_l[x - ch] if x >= ch else 0
-                    b = prior_l[x]
-                    cdiag = prior_l[x - ch] if x >= ch else 0
-                    p = a + b - cdiag
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cdiag)
-                    pred = (
-                        a
-                        if pa <= pb and pa <= pc
-                        else (b if pb <= pc else cdiag)
-                    )
-                    rec_l[x] = (row_l[x] + pred) % 256
-            rec = np.asarray(rec_l, dtype=np.int32)
-        else:
-            raise ValueError(f"bad filter type {ft}")
-        out[y] = (rec % 256).astype(np.uint8)
-    img = out.reshape(h, w, ch)
+
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    if interlace:
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = _reconstruct_scanlines(
+                raw, offset, ph, pw * bpp, bpp
+            )
+            # scatter the pass back into the output byte grid: pixel
+            # (x0 + i*dx) occupies byte columns [(x0+i*dx)*bpp, +bpp)
+            sub_px = sub.reshape(ph, pw, bpp)
+            cols = (x0 + np.arange(pw) * dx)[None, :, None] * bpp + np.arange(
+                bpp
+            )[None, None, :]
+            rows_idx = (y0 + np.arange(ph) * dy)[:, None, None]
+            out[rows_idx, cols] = sub_px
+        if offset != len(raw):
+            raise ValueError("IDAT size mismatch")
+    else:
+        out, end = _reconstruct_scanlines(raw, 0, h, w * bpp, bpp)
+        if end != len(raw):
+            raise ValueError("IDAT size mismatch")
+
+    if depth == 16:
+        arr = out.reshape(h, w * ch, 2)
+        img = (
+            (arr[:, :, 0].astype(np.uint16) << 8)
+            | arr[:, :, 1].astype(np.uint16)
+        ).reshape(h, w, ch)
+    else:
+        img = out.reshape(h, w, ch)
     if color == 3:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:

@@ -21,9 +21,9 @@ Two tiers of decode:
   walking, canonical-Huffman + 8×8-DCT JPEG), certified end-to-end by
   the cross-engine `multimodal_real_pixel_decode` and
   `multimodal_jpeg_decode` queries. `decode_image_real` dispatches
-  there; the NotImplementedError seam now covers only video and
-  non-baseline JPEG modes (progressive/arithmetic/multi-component)
-  plus 16-bit/alpha PNG. `decode_media_metadata` keeps the
+  there; the NotImplementedError seam now covers only video,
+  non-baseline JPEG modes (progressive/arithmetic/multi-component),
+  and sub-byte PNG depths. `decode_media_metadata` keeps the
   deterministic byte-length stub for opaque-payload plumbing tests.
 """
 

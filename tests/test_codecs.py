@@ -59,9 +59,31 @@ class TestPngRoundTrip:
     def test_unsupported_profile_raises_not_implemented(self):
         img = image_pattern(1)
         payload = bytearray(encode_png(img))
-        payload[8 + 8 + 9] = 4  # color type 4 (gray+alpha)
+        payload[8 + 8 + 8] = 4  # bit depth 4 (sub-byte — the one
+        # remaining NotImplementedError profile)
         with pytest.raises(NotImplementedError):
             decode_png(bytes(payload))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    @pytest.mark.parametrize(
+        "shape", [(23, 31), (23, 31, 2), (23, 31, 3), (23, 31, 4), (1, 1)]
+    )
+    def test_full_profile_matrix(self, shape, dtype, interlace):
+        # 8/16-bit × gray/gray+alpha/RGB/RGBA × plain/Adam7 — every
+        # combination round-trips exactly (16-bit samples big-endian;
+        # Adam7 passes carry their own filter sequences)
+        rng = np.random.default_rng(sum(shape) + interlace)
+        hi = 256 if dtype == np.uint8 else 65536
+        img = rng.integers(0, hi, size=shape, dtype=dtype)
+        out = decode_png(encode_png(img, interlace=interlace))
+        want = img[:, :, 0] if img.ndim == 3 and shape[2] == 1 else img
+        assert out.shape == want.shape and out.dtype == want.dtype
+        assert (out == want).all()
+
+    def test_interlaced_file_differs_from_sequential(self):
+        img = image_pattern(7)
+        assert encode_png(img, interlace=True) != encode_png(img)
 
     @pytest.mark.parametrize("doc_id", [4, 10, 64 * 9 + 4])
     def test_palette_roundtrip(self, doc_id):
