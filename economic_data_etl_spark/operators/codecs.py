@@ -29,16 +29,18 @@ production formats need no library at all:
   row permutation, certified order-sensitively via the
   position-weighted checksum below).
 
-- **JPEG** (baseline sequential, 8-bit grayscale): implemented from
-  scratch in operators/jpeg.py — canonical Huffman (Annex-K tables),
-  zigzag, all-odd quantization, orthonormal 8×8 DCT, byte stuffing.
-  Lossy but DETERMINISTIC: on block-constant images every AC is
-  exactly 0 and the decode has a closed form the SQL oracle computes
-  (multimodal_jpeg_decode); general images are certified by
-  independent-math round-trips in tests/test_jpeg.py.
+- **JPEG** (baseline sequential, 8-bit, grayscale + YCbCr color in
+  4:4:4 and 4:2:0): implemented from scratch in operators/jpeg.py —
+  canonical Huffman (Annex-K-style luma + chroma tables), zigzag,
+  all-odd quantization, orthonormal 8×8 DCT, interleaved MCUs, chroma
+  up/downsampling, byte stuffing. Lossy but DETERMINISTIC: on
+  block-constant grayscale images every AC is exactly 0 and the
+  decode has a closed form the SQL oracle computes
+  (multimodal_jpeg_decode); general gray and color images are
+  certified by independent-math round-trips in tests/test_jpeg.py.
 
 Sub-byte PNG depths (1/2/4), non-baseline JPEG (progressive/
-arithmetic/multi-component), and video stay behind the documented
+arithmetic/exotic sampling), and video stay behind the documented
 NotImplementedError seam in operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
@@ -529,11 +531,9 @@ def decode_media(payload: bytes) -> dict:
         rate, samples = decode_wav(payload)
         return {"format": "wav", "data": samples, "sample_rate": rate}
     if payload[:3] == b"\xff\xd8\xff":
-        from economic_data_etl_spark.operators.jpeg import (
-            decode_jpeg_gray,
-        )
+        from economic_data_etl_spark.operators.jpeg import decode_jpeg
 
-        return {"format": "jpeg", "data": decode_jpeg_gray(payload)}
+        return {"format": "jpeg", "data": decode_jpeg(payload)}
     raise ValueError("unrecognized media payload")
 
 

@@ -8,10 +8,14 @@ matrix multiply per block. Both are implementable exactly, the same way
 round 5 implemented GIF's LZW. What a library buys is SPEED (SIMD
 IDCT), not feasibility.
 
-Profile: baseline sequential DCT, 8-bit, SINGLE grayscale component
-(no chroma subsampling decisions to make), Annex-K-style Huffman
-tables, one quantization table. Encoder and decoder both live here; the
-encoder exists to certify the decoder (the codecs.py pattern).
+Profile: baseline sequential DCT, 8-bit — single-component grayscale
+AND 3-component YCbCr color, 4:4:4 or 4:2:0 (2×2-mean chroma
+reduction, interleaved 16×16 MCUs, replicate upsampling), with
+separate luma/chroma quantization and Huffman tables exactly like a
+camera JPEG; all tables travel in DQT/DHT, so the decoder reads
+whatever tables the stream declares. Encoder and decoder both live
+here; the encoder exists to certify the decoder (the codecs.py
+pattern).
 
 Exact-certification design — JPEG is lossy but DETERMINISTIC, and this
 codec pins every implementation-defined rounding to round-half-up
@@ -268,68 +272,228 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+
 # --------------------------------------------------------------------------
-# Encoder
+# Chroma tables (color JPEG) — Annex-K-style; like the luma tables these
+# are TRANSMITTED in the file's DQT/DHT segments, so the codec is
+# self-describing: any decoder reads the tables it needs from the
+# stream, and round-trip correctness never depends on matching some
+# external table byte-for-byte.
+# --------------------------------------------------------------------------
+_Q_CHROMA_BASE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+QTAB_CHROMA = _Q_CHROMA_BASE | 1  # odd, same tie-free rationale
+
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_DC_ENC_C = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_ENC_C = _canonical_codes(_AC_BITS_C, _AC_VALS_C)
+
+
+# --------------------------------------------------------------------------
+# Color transform (JFIF / BT.601) — lossy but pinned: biased
+# round-half-up both directions, clip to [0, 255]
+# --------------------------------------------------------------------------
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(
+        _round_half_up(np.stack([y, cb, cr], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64) - 128.0
+    cr = ycc[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        _round_half_up(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean with the codec's biased rounding (edge-replicated to
+    even dims first) — the 4:2:0 chroma reduction."""
+    h, w = plane.shape
+    p = np.empty(((h + 1) // 2 * 2, (w + 1) // 2 * 2), dtype=np.float64)
+    p[:h, :w] = plane
+    if h % 2:
+        p[h, :w] = plane[h - 1]
+    if w % 2:
+        p[:, w:] = p[:, w - 1 : w]
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return np.clip(_round_half_up(s / 4.0), 0, 255).astype(np.uint8)
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate `plane` up to (ph, pw)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Shared block entropy coding
+# --------------------------------------------------------------------------
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_enc: dict,
+    ac_enc: dict,
+    prev_dc: int,
+) -> int:
+    """DCT -> quantize -> zigzag -> Huffman one 8x8 spatial block
+    (already level-shift-ready uint8 domain); returns the new DC
+    predictor."""
+    coeff = _M @ (block - 128.0) @ _M.T
+    levels = _round_half_up(coeff / qtab).astype(np.int64)
+    zz = [int(levels[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_enc[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        if i > last_nz:
+            code, length = ac_enc[0x00]  # EOB
+            writer.write(code, length)
+            break
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_enc[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_enc[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    return zz[0]
+
+
+def _decode_block(
+    reader: _BitReader,
+    qtab: np.ndarray,
+    dc_dec: dict,
+    ac_dec: dict,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Huffman -> dezigzag -> dequantize -> IDCT one block; returns the
+    uint8 spatial block and the new DC predictor."""
+    zz = [0] * 64
+    size = reader.read_symbol(dc_dec)
+    prev_dc += _extend(reader.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = reader.read_symbol(ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i >= 64:
+            raise ValueError("AC index overflow")
+        zz[i] = _extend(reader.read_bits(size), size)
+        i += 1
+    levels = np.zeros((8, 8), dtype=np.int64)
+    for j, (r, c) in enumerate(_ZIGZAG):
+        levels[r, c] = zz[j]
+    block = _M.T @ (levels * qtab).astype(np.float64) @ _M
+    pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
+    return pixels.astype(np.uint8), prev_dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dqt_payload(tid: int, qtab: np.ndarray) -> bytes:
+    return bytes([tid]) + bytes(int(qtab[r, c]) for r, c in _ZIGZAG)
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
+# --------------------------------------------------------------------------
+# Encoders
 # --------------------------------------------------------------------------
 def encode_jpeg_gray(img: np.ndarray) -> bytes:
     """Encode (h, w) uint8 grayscale as a baseline JFIF JPEG: edge
-    blocks padded by replication, DCT → all-odd quantization →
-    zigzag → Annex-K Huffman, byte-stuffed entropy stream."""
+    blocks padded by replication, orthonormal-DCT (the 1/4·C·C scaling
+    of T.81 equals the orthonormal transform exactly) -> all-odd
+    quantization -> zigzag -> Annex-K Huffman, byte-stuffed entropy
+    stream."""
     h, w = img.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1 : h, :]  # replicate bottom edge
-    padded[:, w:] = padded[:, w - 1 : w]  # replicate right edge
-
+    padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
     writer = _BitWriter()
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = _M @ block @ _M.T
-            # JPEG's DCT scaling is 2× the orthonormal transform per
-            # axis... no: F_jpeg = (1/4)C C Σ = orthonormal M f M.T
-            # exactly (see _M construction), so no extra factor.
-            levels = _round_half_up(coeff / QTAB).astype(np.int64)
-            zz = [int(levels[r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size, bits = _magnitude(diff)
-            code, length = _DC_ENC[size]
-            writer.write(code, length)
-            if size:
-                writer.write(bits, size)
-            run = 0
-            last_nz = max(
-                (i for i in range(1, 64) if zz[i]), default=0
+            prev_dc = _encode_block(
+                writer,
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                QTAB,
+                _DC_ENC,
+                _AC_ENC,
+                prev_dc,
             )
-            for i in range(1, 64):
-                if i > last_nz:
-                    code, length = _AC_ENC[0x00]  # EOB
-                    writer.write(code, length)
-                    break
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = _AC_ENC[0xF0]  # ZRL
-                    writer.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = _AC_ENC[(run << 4) | size]
-                writer.write(code, length)
-                writer.write(bits, size)
-                run = 0
     entropy = writer.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    qt_zz = bytes([0]) + bytes(
-        int(QTAB[r, c]) for r, c in _ZIGZAG
-    )
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
@@ -337,76 +501,161 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     return (
-        b"\xff\xd8"  # SOI
-        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xFFDB, qt_zz)
-        + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht)
-        + seg(0xFFDA, sos)
+        b"\xff\xd8"
+        + _seg(0xFFE0, _JFIF_APP0)
+        + _seg(0xFFDB, _dqt_payload(0, QTAB))
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
         + entropy
-        + b"\xff\xd9"  # EOI
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline JFIF YCbCr JPEG —
+    4:4:4 by default, 4:2:0 with `subsample` (2x2-mean chroma
+    reduction, Y sampling factor 2x2, 16x16 MCUs). Luma uses the luma
+    quantization/Huffman tables, chroma the chroma ones, exactly like
+    a camera JPEG; all tables travel in DQT/DHT."""
+    h, w, _ = img.shape
+    ycc = rgb_to_ycbcr(img)
+    y_plane = ycc[:, :, 0].astype(np.float64)
+    if subsample:
+        cb = _downsample2(ycc[:, :, 1]).astype(np.float64)
+        cr = _downsample2(ycc[:, :, 2]).astype(np.float64)
+        mcu_h, mcu_w = 16, 16
+        y_factor = 2
+    else:
+        cb = ycc[:, :, 1].astype(np.float64)
+        cr = ycc[:, :, 2].astype(np.float64)
+        mcu_h, mcu_w = 8, 8
+        y_factor = 1
+    mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
+    y_pad = _pad_to(y_plane, mh * mcu_h, mw * mcu_w)
+    cb_pad = _pad_to(cb, mh * 8, mw * 8)
+    cr_pad = _pad_to(cr, mh * 8, mw * 8)
+
+    writer = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            for vy in range(y_factor):
+                for vx in range(y_factor):
+                    by = my * y_factor + vy
+                    bx = mx * y_factor + vx
+                    dc[0] = _encode_block(
+                        writer,
+                        y_pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        QTAB,
+                        _DC_ENC,
+                        _AC_ENC,
+                        dc[0],
+                    )
+            for ci, plane in ((1, cb_pad), (2, cr_pad)):
+                dc[ci] = _encode_block(
+                    writer,
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    QTAB_CHROMA,
+                    _DC_ENC_C,
+                    _AC_ENC_C,
+                    dc[ci],
+                )
+    entropy = writer.flush()
+
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+        + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
+    )
+    samp = (y_factor << 4) | y_factor
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _JFIF_APP0)
+        + _seg(0xFFDB, _dqt_payload(0, QTAB))
+        + _seg(0xFFDB, _dqt_payload(1, QTAB_CHROMA))
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
     )
 
 
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG produced by any encoder
-    using this module's profile (8-bit, one scan, Huffman, no restart
-    markers) to uint8 (h, w). Raises ValueError on malformed bytes and
-    NotImplementedError on profile features outside baseline
-    single-component (progressive, multi-component, arithmetic,
-    restart intervals)."""
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline Huffman JPEG: single-component -> uint8
+    (h, w); 3-component YCbCr (4:4:4 or 4:2:0) -> uint8 (h, w, 3) RGB.
+    Raises ValueError on malformed bytes and NotImplementedError on
+    non-baseline modes (progressive, arithmetic, restart intervals,
+    other sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
-    qtab = None
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps = None  # list of (comp_id, h_i, v_i, qtab_id)
+    scan_map = None  # comp_id -> (dc_table_id, ac_table_id)
     dims = None
-    dc_dec, ac_dec = None, None
     entropy = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
+        if marker == 0xD9:
             break
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
             raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
-            if body[0] & 0xF0:
-                raise NotImplementedError("16-bit quantization table")
-            q = np.zeros((8, 8), dtype=np.int64)
-            for i, (r, c) in enumerate(_ZIGZAG):
-                q[r, c] = body[1 + i]
-            qtab = q
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq_tq = body[p]
+                if pq_tq & 0xF0:
+                    raise NotImplementedError("16-bit quantization table")
+                q = np.zeros((8, 8), dtype=np.int64)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    q[r, c] = body[p + 1 + i]
+                qtabs[pq_tq & 0x0F] = q
+                p += 65
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("non-baseline JPEG mode")
-        elif marker == 0xC0:  # SOF0
+        elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("non-8-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError("multi-component JPEG")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
             dims = (h, w)
-        elif marker == 0xC4:  # DHT (may hold several tables)
+        elif marker == 0xC4:
             p = 0
             while p < len(body):
                 tc_th = body[p]
                 bits = list(body[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(body[p + 17 : p + 17 + n])
-                table = _decode_table(bits, vals)
-                if tc_th & 0x10:
-                    ac_dec = table
-                else:
-                    dc_dec = table
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _decode_table(
+                    bits, vals
+                )
                 p += 17 + n
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_map = {}
+            for i in range(ns):
+                cid, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan_map[cid] = (tables >> 4, tables & 0x0F)
             entropy_start = pos + 2 + ln
             end = payload.rfind(b"\xff\xd9")
             if end < 0:
@@ -414,45 +663,70 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             entropy = payload[entropy_start:end]
             break
         pos += 2 + ln
-    if qtab is None or dims is None or dc_dec is None or ac_dec is None:
-        raise ValueError("missing DQT/SOF/DHT/SOS")
+    if comps is None or dims is None or scan_map is None:
+        raise ValueError("missing SOF/SOS")
     if entropy is None:
         raise ValueError("missing entropy data")
     h, w = dims
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    factors = tuple((c[1], c[2]) for c in comps)
+    if not (
+        factors == ((1, 1),)
+        or factors == ((1, 1), (1, 1), (1, 1))
+        or factors == ((2, 2), (1, 1), (1, 1))
+    ):
+        raise NotImplementedError(f"sampling layout {factors}")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
     reader = _BitReader(entropy)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            size = reader.read_symbol(dc_dec)
-            diff = _extend(reader.read_bits(size), size)
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = reader.read_symbol(ac_dec)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            levels = np.zeros((8, 8), dtype=np.int64)
-            for i, (r, c) in enumerate(_ZIGZAG):
-                levels[r, c] = zz[i]
-            block = _M.T @ (levels * qtab).astype(np.float64) @ _M
-            pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels.astype(
-                np.uint8
-            )
-    return out[:h, :w]
+    planes = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("missing quantization table")
+        planes.append(
+            np.zeros((mh * vi * 8, mw * hi * 8), dtype=np.uint8)
+        )
+    dc = [0] * len(comps)
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                dc_dec = huff.get((0, scan_map[cid][0]))
+                ac_dec = huff.get((1, scan_map[cid][1]))
+                if dc_dec is None or ac_dec is None:
+                    raise ValueError("missing Huffman table")
+                for vy in range(vi):
+                    for vx in range(hi):
+                        block, dc[ci] = _decode_block(
+                            reader, qtabs[tq], dc_dec, ac_dec, dc[ci]
+                        )
+                        by, bx = my * vi + vy, mx * hi + vx
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
+    if len(comps) == 1:
+        return planes[0][:h, :w]
+    out_planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = planes[ci][:ch, :cw]
+        if (hi, vi) != (hmax, vmax):  # replicate-upsample chroma
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        out_planes.append(plane[:h, :w])
+    ycc = np.stack(out_planes, axis=2)
+    return ycbcr_to_rgb(ycc)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Single-component entry: decode and require a grayscale result
+    (the closed-form certification path)."""
+    img = decode_jpeg(payload)
+    if img.ndim != 2:
+        raise ValueError("not a single-component JPEG")
+    return img
 
 
 # --------------------------------------------------------------------------

@@ -107,6 +107,106 @@ class TestJpegRoundTrip:
         assert (dec == reference_decode_of_encode(img)).all()
 
 
+class TestJpegColor:
+    @staticmethod
+    def _reference_color(img: np.ndarray, subsample: bool) -> np.ndarray:
+        """Independent math reference for the color pipeline: color
+        transform → (2×2-mean chroma reduction) → per-plane
+        DCT/quant/dequant/IDCT → replicate-upsample → inverse
+        transform, sharing only the pinned constants with the codec,
+        never its entropy coder or MCU walk."""
+        from economic_data_etl_spark.operators.jpeg import (
+            QTAB_CHROMA,
+            _downsample2,
+            _pad_to,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        h, w, _ = img.shape
+        ycc = rgb_to_ycbcr(img)
+        yp = ycc[:, :, 0].astype(np.float64)
+        if subsample:
+            cb = _downsample2(ycc[:, :, 1]).astype(np.float64)
+            cr = _downsample2(ycc[:, :, 2]).astype(np.float64)
+            mcu, yf = 16, 2
+        else:
+            cb = ycc[:, :, 1].astype(np.float64)
+            cr = ycc[:, :, 2].astype(np.float64)
+            mcu, yf = 8, 1
+        mh, mw = (h + mcu - 1) // mcu, (w + mcu - 1) // mcu
+
+        def codec_plane(plane, ph, pw, q):
+            p = _pad_to(plane, ph, pw)
+            out = np.zeros((ph, pw))
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    lv = np.floor(
+                        (_M @ blk @ _M.T) / q + 0.5 + ROUND_BIAS
+                    )
+                    rec = _M.T @ (lv * q) @ _M
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.floor(rec + 128.5 + ROUND_BIAS), 0, 255
+                    )
+            return out
+
+        ydec = codec_plane(yp, mh * mcu, mw * mcu, QTAB)[:h, :w]
+        cbd = codec_plane(cb, mh * 8, mw * 8, QTAB_CHROMA)
+        crd = codec_plane(cr, mh * 8, mw * 8, QTAB_CHROMA)
+        if subsample:
+            ch, cw = (h + 1) // 2, (w + 1) // 2
+            cbd = np.repeat(np.repeat(cbd[:ch, :cw], 2, 0), 2, 1)[:h, :w]
+            crd = np.repeat(np.repeat(crd[:ch, :cw], 2, 0), 2, 1)[:h, :w]
+        else:
+            cbd, crd = cbd[:h, :w], crd[:h, :w]
+        return ycbcr_to_rgb(
+            np.stack([ydec, cbd, crd], 2).astype(np.uint8)
+        )
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    @pytest.mark.parametrize(
+        "shape", [(8, 8), (16, 16), (17, 23), (33, 47), (1, 1)]
+    )
+    def test_color_matches_independent_reference(self, shape, subsample):
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_color,
+        )
+
+        rng = np.random.default_rng(sum(shape) * 2 + subsample)
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_color(img, subsample=subsample))
+        assert dec.shape == img.shape
+        assert (dec == self._reference_color(img, subsample)).all()
+
+    def test_smooth_gradient_reconstructs_closely(self):
+        # behaves like a real image codec: low-frequency content
+        # survives quantization nearly intact
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_color,
+        )
+
+        x, y = np.meshgrid(np.arange(32), np.arange(32))
+        img = np.stack(
+            [(x * 4) % 256, (y * 4) % 256, np.full_like(x, 128)], axis=2
+        ).astype(np.uint8)
+        for sub in (False, True):
+            dec = decode_jpeg(encode_jpeg_color(img, subsample=sub))
+            err = np.abs(dec.astype(int) - img.astype(int)).mean()
+            assert err < 4.0, err
+
+    def test_grayscale_entry_rejects_color(self):
+        from economic_data_etl_spark.operators.jpeg import (
+            encode_jpeg_color,
+        )
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(encode_jpeg_color(img))
+
+
 class TestJpegRobustness:
     def test_profile_gates_raise_not_implemented(self):
         payload = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
