@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_decode_metadata",
     "multimodal_real_pixel_decode",
     "multimodal_jpeg_decode",
+    "multimodal_video_frames",
     "train_val_test_split",
     "variant_typed_extraction",
     "sketch_hll_distinct_rollup",

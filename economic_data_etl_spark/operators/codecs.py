@@ -479,6 +479,107 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
+# AVI / MJPEG — real VIDEO decode with no codec library. Motion JPEG
+# is intra-frame only: the container is a RIFF chunk walk (same
+# machinery as WAV) and every frame is a complete baseline JPEG, which
+# operators/jpeg.py already decodes from scratch. What remains genuinely
+# library-gated after this is INTER-FRAME-PREDICTIVE video (H.264/VP9/
+# AV1 — motion compensation + arithmetic coding).
+# --------------------------------------------------------------------------
+def encode_mjpeg_avi(
+    frames: list[np.ndarray], fps: int = 10
+) -> bytes:
+    """Encode a list of same-shape uint8 frames ((h, w) gray or
+    (h, w, 3) RGB) as an AVI with MJPG streams — each '00dc' chunk is
+    a complete baseline JPEG from operators/jpeg.py."""
+    from economic_data_etl_spark.operators.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    encoded = [
+        encode_jpeg_color(f) if f.ndim == 3 else encode_jpeg_gray(f)
+        for f in frames
+    ]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", e) for e in encoded))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi(payload: bytes) -> list[np.ndarray]:
+    """Decode an AVI's video frames: walk the RIFF tree to the 'movi'
+    LIST, decode every '00dc'/'00db' chunk as a baseline JPEG. Raises
+    ValueError on malformed containers and NotImplementedError if a
+    stream chunk is not JPEG-compressed (a non-MJPG AVI — inter-frame
+    codecs genuinely need a codec library)."""
+    from economic_data_etl_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[np.ndarray] = []
+
+    def walk_movi(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if len(body) != ln:
+                raise ValueError("truncated movi chunk")
+            if fourcc[2:4] in (b"dc", b"db") and ln:
+                if body[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-MJPG AVI stream (inter-frame codec)"
+                    )
+                frames.append(decode_jpeg(body))
+            pos += 8 + ln + (ln & 1)
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated AVI chunk")
+        if fourcc == b"LIST" and body[:4] == b"movi":
+            walk_movi(body[4:])
+        pos += 8 + ln + (ln & 1)
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 def png_palette() -> np.ndarray:
@@ -530,6 +631,13 @@ def decode_media(payload: bytes) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return {"format": "wav", "data": samples, "sample_rate": rate}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames = decode_mjpeg_avi(payload)
+        return {
+            "format": "avi",
+            "data": np.stack(frames),
+            "n_frames": len(frames),
+        }
     if payload[:3] == b"\xff\xd8\xff":
         from economic_data_etl_spark.operators.jpeg import decode_jpeg
 

@@ -691,6 +691,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for my in range(mh):
         for mx in range(mw):
             for ci, (cid, hi, vi, tq) in enumerate(comps):
+                if cid not in scan_map:
+                    raise ValueError("SOS/SOF component id mismatch")
                 dc_dec = huff.get((0, scan_map[cid][0]))
                 ac_dec = huff.get((1, scan_map[cid][1]))
                 if dc_dec is None or ac_dec is None:

@@ -481,3 +481,119 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(synth_jpeg_reduce, schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h,
+                   2 + doc_id % 3 AS nf
+            FROM documents
+        ), fr AS (
+            SELECT b.doc_id, b.w, b.h, f.f AS frame_idx
+            FROM base b, UNNEST(range(0, b.nf)) AS f(f)
+        ), px AS (
+            -- frame f carries the block-constant pattern of
+            -- (doc_id + f): the same DC-only JPEG closed form as
+            -- multimodal_jpeg_decode, per frame
+            SELECT fr.doc_id, fr.frame_idx,
+                   y.y * fr.w + x.x AS p,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR(
+                           FLOOR(8 * (((x.x // 8) + 2 * (y.y // 8)
+                                       + fr.doc_id + fr.frame_idx)
+                                      % 256 - 128)
+                                 / 17 + 0.5 + 1e-6)
+                           * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT)
+                       + 128)) AS v
+            FROM fr,
+                 UNNEST(range(0, fr.w)) AS x(x),
+                 UNNEST(range(0, fr.h)) AS y(y)
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(p * v) AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id, frame_idx
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL video decode certified cross-engine with no codec "
+    "library: each doc gets a complete MJPEG AVI (RIFF container "
+    "built and walked from scratch, every '00dc' frame a baseline "
+    "JPEG from operators/jpeg.py) of 2-4 block-constant grayscale "
+    "frames. Spark walks the container, entropy-decodes every frame, "
+    "and emits per-frame pixel statistics (including the "
+    "order-sensitive position-weighted checksum); DuckDB computes the "
+    "same statistics from doc_id and frame index via the DC-only "
+    "closed form. This is the decode-explode shape of a real video "
+    "ingest (one payload row to N frame rows inside Arrow batches). "
+    "After this query the genuinely library-gated surface is "
+    "inter-frame-predictive video only (H.264/VP9/AV1 motion "
+    "compensation + arithmetic coding).",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.codecs import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+    from economic_data_etl_spark.operators.jpeg import (
+        block_constant_pattern,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, frame_idx long, n_values long, "
+        "val_sum long, val_possum long"
+    )
+
+    def synth_video_explode(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                nf = 2 + d % 3
+                payload = encode_mjpeg_avi(
+                    [
+                        block_constant_pattern(d + f, w, h)
+                        for f in range(nf)
+                    ]
+                )
+                for f, frame in enumerate(decode_mjpeg_avi(payload)):
+                    flat = frame.astype(np.int64).ravel()
+                    rows.append(
+                        (
+                            d,
+                            f,
+                            int(flat.size),
+                            int(flat.sum()),
+                            int((np.arange(flat.size) * flat).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_values",
+                    "val_sum", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_video_explode, schema).orderBy(
+        "doc_id", "frame_idx"
+    )

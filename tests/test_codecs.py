@@ -212,6 +212,82 @@ class TestGifLzw:
         assert sorted(order.tolist()) == list(range(h))
 
 
+class TestMjpegAvi:
+    def test_gray_frames_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        frames = [block_constant_pattern(d, 24, 16) for d in (3, 4, 5)]
+        dec = decode_mjpeg_avi(encode_mjpeg_avi(frames))
+        assert len(dec) == 3
+        for got, d in zip(dec, (3, 4, 5)):
+            want = decode_jpeg(
+                encode_jpeg_gray(block_constant_pattern(d, 24, 16))
+            )
+            assert (got == want).all()
+
+    def test_color_frames_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+
+        rng = np.random.default_rng(4)
+        frames = [
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            for _ in range(2)
+        ]
+        dec = decode_mjpeg_avi(encode_mjpeg_avi(frames))
+        assert len(dec) == 2 and dec[0].shape == (16, 16, 3)
+
+    def test_non_mjpg_stream_is_a_seam(self):
+        # a '00dc' chunk that isn't JPEG = an inter-frame codec: the
+        # genuinely library-gated case must raise NotImplementedError,
+        # not decode garbage
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+        )
+
+        payload = bytearray(
+            encode_mjpeg_avi([block_constant_pattern(1, 16, 16)])
+        )
+        idx = bytes(payload).find(b"00dc") + 8
+        payload[idx : idx + 2] = b"\x00\x00"  # destroy the SOI marker
+        with pytest.raises(NotImplementedError):
+            decode_mjpeg_avi(bytes(payload))
+
+    def test_dispatch_and_corruption(self):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_mjpeg_avi,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+        )
+
+        payload = encode_mjpeg_avi(
+            [block_constant_pattern(d, 16, 16) for d in (0, 1)]
+        )
+        m = decode_media(payload)
+        assert m["format"] == "avi" and m["n_frames"] == 2
+        assert m["data"].shape == (2, 16, 16)
+        assert try_decode_media(payload[: len(payload) // 2]) is None
+        for pos in range(0, len(payload), 11):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xFF
+            try_decode_media(bytes(mutated))  # must not raise
+
+
 class TestDispatchAndCorruption:
     def test_build_full_media_cycles_formats(self):
         fmts = [
