@@ -20,7 +20,11 @@ production formats need no library at all:
   own filtered scanline group scattered back into the pixel grid.
 - **BMP** (24-bit BI_RGB): bottom-up row order, BGR byte order, 4-byte
   row padding — pure slicing.
-- **WAV** (PCM 8/16-bit): RIFF chunk walk + `np.frombuffer`.
+- **WAV** (PCM 8/16-bit, G.711 A-law/μ-law, IMA ADPCM mono): RIFF
+  chunk walk + `np.frombuffer`; G.711 is an exact integer
+  segmented-log mapping (A-law bijective over all 256 codes, μ-law's
+  single ±0 fold pinned); IMA ADPCM is the standard 89-step 4-bit
+  delta state machine with fact-chunk sample accounting.
 - **GIF** (87a/89a, interlaced or not): LZW is a dictionary coder, not
   an entropy coder — variable-width codes, CLEAR/EOI, the KwKwK
   corner, and 4096-entry dictionary resets are all implemented here
@@ -457,25 +461,260 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     fact) between fmt and data are fine."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while pos + 8 <= len(payload):
         typ = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if typ == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif typ == b"data":
             data = body
+        elif typ == b"fact" and ln >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise NotImplementedError("WAV profile outside PCM 8/16-bit")
-    dt = np.uint8 if bits == 8 else np.dtype("<i2")
-    arr = np.frombuffer(data, dt)
+    if audio_fmt == 1 and bits in (8, 16):
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        arr = np.frombuffer(data, dt)
+    elif audio_fmt == 6:  # G.711 A-law
+        arr = alaw_decode(np.frombuffer(data, np.uint8))
+    elif audio_fmt == 7:  # G.711 mu-law
+        arr = mulaw_decode(np.frombuffer(data, np.uint8))
+    elif audio_fmt == 0x11:  # IMA ADPCM (mono)
+        if channels != 1:
+            raise NotImplementedError("multi-channel ADPCM")
+        if len(fmt_body) >= 20:
+            (spb,) = struct.unpack("<H", fmt_body[18:20])
+        else:
+            spb = 505
+        if fact is None:
+            raise ValueError("ADPCM WAV without a fact chunk")
+        arr = ima_adpcm_decode(data, fact, block_samples=spb)
+    else:
+        raise NotImplementedError(
+            "WAV profile outside PCM 8/16-bit, G.711, and IMA ADPCM"
+        )
     n = arr.size // channels
     return rate, arr[: n * channels].reshape(n, channels)
+
+
+# --------------------------------------------------------------------------
+# G.711 companding (A-law / mu-law) — ITU-T's telephony codecs are
+# EXACT integer mappings (a segmented-log quantizer), implementable in
+# a dozen lines of integer arithmetic; certified by the standard's own
+# invariant: compress(expand(code)) == code for all 256 codes.
+# --------------------------------------------------------------------------
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law uint8 (G.711, mu=255, with the standard
+    33-sample bias)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132  # bias 33 << 2
+    exp = (np.floor(np.log2(mag)).astype(np.int32)) - 7
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """mu-law uint8 -> int16 (exact inverse of the quantizer's
+    reconstruction levels)."""
+    c = (~codes.astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = ((mant << 3) + 132 << exp) - 132
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> A-law uint8 (G.711, A=87.6, 0x55 toggle; sign bit set
+    for non-negative input, 13-bit magnitude domain)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    with np.errstate(divide="ignore"):
+        seg = np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4
+    exp = np.where(mag < 32, 0, np.clip(seg, 1, 7))
+    mant = np.where(exp == 0, mag >> 1, (mag >> exp) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law uint8 -> int16 reconstruction levels (segment midpoints,
+    13-bit domain scaled back by <<3)."""
+    c = codes.astype(np.int32) ^ 0x55
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 1) + 1, ((mant << 1) + 33) << (exp - 1)
+    )
+    mag = mag << 3  # 13-bit magnitude back to the 16-bit domain
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (WAV format 0x11, mono) — a 4-bit delta quantizer driven by
+# the standard 89-entry step table; pure integer state machine, fully
+# implementable and deterministic.
+# --------------------------------------------------------------------------
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA decode step: (new_predictor, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return predictor, index
+
+
+def ima_adpcm_encode(samples: np.ndarray, block_samples: int = 505) -> bytes:
+    """Encode int16 mono samples as IMA ADPCM block payloads: each
+    block is a 4-byte header (first sample + step index) followed by
+    4-bit deltas, two per byte, low nibble first."""
+    out = bytearray()
+    samples = samples.astype(np.int64)
+    for start in range(0, len(samples), block_samples):
+        block = samples[start : start + block_samples]
+        predictor = int(block[0])
+        index = 0
+        out += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = _IMA_STEPS[index]
+            delta = int(s) - predictor
+            nibble = 0
+            if delta < 0:
+                nibble = 8
+                delta = -delta
+            if delta >= step:
+                nibble |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nibble |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nibble |= 1
+            predictor, index = _ima_step(predictor, index, nibble)
+            nibbles.append(nibble)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(
+    data: bytes, n_samples: int, block_samples: int = 505
+) -> np.ndarray:
+    """Decode IMA ADPCM block payloads back to int16 mono samples."""
+    out: list[int] = []
+    pos = 0
+    block_bytes = 4 + (block_samples - 1 + 1) // 2
+    while pos + 4 <= len(data) and len(out) < n_samples:
+        predictor, index, _ = struct.unpack(
+            "<hBB", data[pos : pos + 4]
+        )
+        index = max(0, min(88, index))
+        out.append(predictor)
+        want = min(block_samples, n_samples - len(out) + 1)
+        body = data[pos + 4 : pos + block_bytes]
+        produced = 1
+        for byte in body:
+            for nibble in (byte & 0x0F, byte >> 4):
+                if produced >= want:
+                    break
+                predictor, index = _ima_step(predictor, index, nibble)
+                out.append(predictor)
+                produced += 1
+        pos += block_bytes
+    if len(out) < n_samples:
+        raise ValueError("truncated ADPCM data")
+    return np.asarray(out[:n_samples], dtype=np.int16)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int, block_samples: int = 505
+) -> bytes:
+    """Encode int16 mono samples as an IMA-ADPCM WAV (format 0x11),
+    with the fmt extension (samples per block) and the mandatory fact
+    chunk (true sample count)."""
+    data = ima_adpcm_encode(samples, block_samples)
+    block_bytes = 4 + block_samples // 2
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate,
+        rate * block_bytes // block_samples, block_bytes, 4,
+        2, block_samples,
+    )
+    fact = struct.pack("<I", len(samples))
+    pad = b"\x00" if len(data) % 2 else b""
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data) + len(pad))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", 4)
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + pad
+    )
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int, law: str = "mulaw"
+) -> bytes:
+    """Encode int16 mono samples as a G.711 WAV (format tag 7 mu-law /
+    6 A-law)."""
+    if law == "mulaw":
+        data = mulaw_encode(samples).tobytes()
+        tag = 7
+    else:
+        data = alaw_encode(samples).tobytes()
+        tag = 6
+    fmt = struct.pack("<IHHIIHH", 16, tag, 1, rate, rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
 
 
 # --------------------------------------------------------------------------

@@ -212,6 +212,134 @@ class TestGifLzw:
         assert sorted(order.tolist()) == list(range(h))
 
 
+class TestG711:
+    def test_alaw_code_space_is_bijective(self):
+        # the standard's own invariant: compress(expand(code)) == code
+        # for the FULL 256-code space
+        from economic_data_etl_spark.operators.codecs import (
+            alaw_decode,
+            alaw_encode,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        assert (alaw_encode(alaw_decode(codes)) == codes).all()
+
+    def test_mulaw_code_space_folds_only_negative_zero(self):
+        from economic_data_etl_spark.operators.codecs import (
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        rt = mulaw_encode(mulaw_decode(codes))
+        bad = codes[rt != codes]
+        # 0x7F is mu-law's negative zero: it expands to 0, which
+        # re-encodes as positive zero 0xFF — the standard's known fold
+        assert bad.tolist() == [0x7F]
+
+    def test_known_reference_values(self):
+        from economic_data_etl_spark.operators.codecs import (
+            alaw_decode,
+            mulaw_decode,
+        )
+
+        assert mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+        assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+        assert alaw_decode(np.array([0x55], np.uint8))[0] == -8
+        assert alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+
+    def test_quantization_error_bounded(self):
+        from economic_data_etl_spark.operators.codecs import (
+            alaw_decode,
+            alaw_encode,
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        x = np.arange(-32000, 32000, 7).astype(np.int16)
+        for enc, dec in (
+            (mulaw_encode, mulaw_decode),
+            (alaw_encode, alaw_decode),
+        ):
+            err = np.abs(dec(enc(x)).astype(int) - x.astype(int))
+            rel = err / np.maximum(np.abs(x.astype(int)), 256)
+            assert rel.max() < 0.07  # ~4-bit mantissa resolution
+
+    def test_wav_container_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            alaw_decode,
+            alaw_encode,
+            decode_wav,
+            encode_wav_g711,
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        s = ((np.arange(500) * 37) % 1024 - 512).astype(np.int16)
+        for law, enc, dec in (
+            ("mulaw", mulaw_encode, mulaw_decode),
+            ("alaw", alaw_encode, alaw_decode),
+        ):
+            rate, out = decode_wav(encode_wav_g711(s, 8000, law))
+            assert rate == 8000
+            assert (out[:, 0] == dec(enc(s))).all()
+
+
+class TestImaAdpcm:
+    def test_wav_container_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_wav,
+            encode_wav_adpcm,
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        s = (6000 * np.sin(np.arange(2000) / 15)).astype(np.int16)
+        rate, out = decode_wav(encode_wav_adpcm(s, 16000))
+        want = ima_adpcm_decode(ima_adpcm_encode(s), len(s))
+        assert rate == 16000 and out.shape == (2000, 1)
+        assert (out[:, 0] == want).all()
+
+    def test_tracks_audio_signal(self):
+        # ADPCM is a delta coder: on band-limited content it must
+        # reconstruct within a reasonable SNR, not just round-trip its
+        # own state machine
+        from economic_data_etl_spark.operators.codecs import (
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        t = np.arange(3000)
+        sig = (
+            8000 * np.sin(t / 20) + 3000 * np.sin(t / 7)
+        ).astype(np.int16)
+        dec = ima_adpcm_decode(ima_adpcm_encode(sig), len(sig))
+        noise = (dec.astype(float) - sig.astype(float)) ** 2
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean() / noise.mean())
+        assert snr > 20, snr
+
+    @pytest.mark.parametrize("n", [1, 2, 504, 505, 506, 1011])
+    def test_block_boundaries_and_odd_lengths(self, n):
+        from economic_data_etl_spark.operators.codecs import (
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        s = (np.arange(n) * 211 % 4096 - 2048).astype(np.int16)
+        assert len(ima_adpcm_decode(ima_adpcm_encode(s), n)) == n
+
+    def test_truncated_data_raises(self):
+        from economic_data_etl_spark.operators.codecs import (
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        s = np.zeros(600, np.int16)
+        data = ima_adpcm_encode(s)
+        with pytest.raises(ValueError):
+            ima_adpcm_decode(data[: len(data) // 2], 600)
+
+
 class TestMjpegAvi:
     def test_gray_frames_roundtrip(self):
         from economic_data_etl_spark.operators.codecs import (
