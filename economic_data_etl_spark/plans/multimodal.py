@@ -597,3 +597,119 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth_video_explode, schema).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "multimodal_g711_audio_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, 200 + doc_id % 100 AS ns
+            FROM documents
+        ), sm AS (
+            -- mu-law expand of code c (ITU G.711): complement, split
+            -- into sign/exponent/mantissa, rebuild the segment
+            -- midpoint — pure integer arithmetic, mirrored from
+            -- operators/codecs.py:mulaw_decode
+            SELECT b.doc_id, i.i,
+                   CASE WHEN (255 - ((i.i * 7 + b.doc_id) % 256)) >= 128
+                        THEN -(((255 - ((i.i * 7 + b.doc_id) % 256)) % 16)
+                               * 8 + 132)
+                             * CAST(POWER(2,
+                                 ((255 - ((i.i * 7 + b.doc_id) % 256))
+                                  // 16) % 8) AS BIGINT) + 132
+                        ELSE (((255 - ((i.i * 7 + b.doc_id) % 256)) % 16)
+                              * 8 + 132)
+                             * CAST(POWER(2,
+                                 ((255 - ((i.i * 7 + b.doc_id) % 256))
+                                  // 16) % 8) AS BIGINT) - 132
+                   END AS v
+            FROM base b, UNNEST(range(0, b.ns)) AS i(i)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM(i * v) AS BIGINT) AS val_possum
+        FROM sm
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL G.711 telephony-audio decode certified cross-engine: "
+    "each doc gets a complete mu-law WAV (format tag 7) whose CODE "
+    "bytes follow a closed form in doc_id; Spark walks the RIFF "
+    "container and expands every code through the segmented-log "
+    "integer mapping (operators/codecs.py:mulaw_decode), DuckDB "
+    "rebuilds the identical mapping in pure integer SQL "
+    "(complement -> sign/exponent/mantissa -> segment midpoint). Any "
+    "bias slip, exponent shift, or sign-fold error in the expander "
+    "changes the sums. Complements the bijectivity proof "
+    "(compress(expand(c)) == c over all 256 codes) in "
+    "tests/test_codecs.py.",
+)
+def multimodal_g711_audio_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.codecs import decode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_g711_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 200 + d % 100
+                codes = (
+                    (np.arange(n, dtype=np.int64) * 7 + d) % 256
+                ).astype(np.uint8)
+                data = codes.tobytes()
+                fmt = _struct.pack(
+                    "<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8
+                )
+                wav = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + fmt
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                    + data
+                )
+                _, samples = decode_wav(wav)
+                flat = samples[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        int(flat.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_g711_reduce, schema).orderBy("doc_id")
