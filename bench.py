@@ -134,6 +134,11 @@ def run_batch(names: list[str], sf_dir: str) -> None:
             )
 
             table = build_semantic_bucketed_layout(spark, sf_dir)
+            if table is None:  # empty corpus: nothing to time
+                print(
+                    json.dumps({"name": name, "sec": 0.0}), flush=True
+                )
+                continue
             best = float("inf")
             for _ in range(2):
                 start = time.perf_counter()

@@ -645,7 +645,9 @@ def ima_adpcm_decode(
         index = max(0, min(88, index))
         out.append(predictor)
         want = min(block_samples, n_samples - len(out) + 1)
-        body = data[pos + 4 : pos + block_bytes]
+        # only the bytes that can still yield wanted samples: 2
+        # nibbles per byte, first header sample already emitted
+        body = data[pos + 4 : pos + 4 + (max(want - 1, 0) + 1) // 2]
         produced = 1
         for byte in body:
             for nibble in (byte & 0x0F, byte >> 4):

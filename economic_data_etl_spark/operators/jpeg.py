@@ -626,7 +626,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     q[r, c] = body[p + 1 + i]
                 qtabs[pq_tq & 0x0F] = q
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            # every non-SOF0 frame marker (extended/progressive/
+            # lossless, Huffman or arithmetic) is a CAPABILITY gate,
+            # not corrupt data — NotImplementedError by contract
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])

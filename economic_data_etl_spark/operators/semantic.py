@@ -360,21 +360,9 @@ def semantic_near_dup_pairs(
     if _caches is not None:
         _caches.append(normed)
     if scalar:
-        va = normed.select(
-            F.col("__nid").alias("id_a"),
-            *[F.col(f"__nv{i}").alias(f"__a{i}") for i in range(dim)],
-        )
-        vb = normed.select(
-            F.col("__nid").alias("id_b"),
-            *[F.col(f"__nv{i}").alias(f"__b{i}") for i in range(dim)],
-        )
-        import functools
-        import operator as op
-
-        dot = functools.reduce(
-            op.add,
-            [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)],
-        )
+        vec_a, vec_b, dot = _scalar_pair_scoring(dim)
+        va = normed.select(F.col("__nid").alias("id_a"), *vec_a)
+        vb = normed.select(F.col("__nid").alias("id_b"), *vec_b)
     else:
         va = normed.select(
             F.col("__nid").alias("id_a"), F.col("__nv").alias("__va")
@@ -437,25 +425,14 @@ def semantic_incremental_pairs(
     )
     if dim <= SCALAR_DOT_MAX_DIM:
         # same codegen-chain scoring + dimension contract as the batch
-        # and bucketed pair passes (see _scalar_nv_components)
-        import functools
-        import operator as op
-
+        # and bucketed pair passes (see _scalar_pair_scoring /
+        # _scalar_nv_components)
         vecs = vecs.select(
             "__vid", *_scalar_nv_components(F.col("__nv"), dim)
         )
-        va = vecs.select(
-            F.col("__vid").alias("id_a"),
-            *[F.col(f"__nv{i}").alias(f"__a{i}") for i in range(dim)],
-        )
-        vb = vecs.select(
-            F.col("__vid").alias("id_b"),
-            *[F.col(f"__nv{i}").alias(f"__b{i}") for i in range(dim)],
-        )
-        dot = functools.reduce(
-            op.add,
-            [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)],
-        )
+        vec_a, vec_b, dot = _scalar_pair_scoring(dim)
+        va = vecs.select(F.col("__vid").alias("id_a"), *vec_a)
+        vb = vecs.select(F.col("__vid").alias("id_b"), *vec_b)
     else:
         va = vecs.select(
             F.col("__vid").alias("id_a"), F.col("__nv").alias("__va")
@@ -658,6 +635,28 @@ def write_assignment_bucketed(
 SCALAR_DOT_MAX_DIM = 128
 
 
+def _scalar_pair_scoring(
+    dim: int,
+) -> tuple[list[Column], list[Column], Column]:
+    """(a-side aliases, b-side aliases, dot) for scalar-component pair
+    scoring — the ONE definition of the left-associated multiply-add
+    chain. Its left-to-right evaluation order is a load-bearing
+    bitwise-equality contract (it reproduces the HOF fold's sequential
+    float sum and the DuckDB oracle's list_dot_product exactly);
+    keeping it in one place means no lane can drift from the other
+    two (batch, incremental, bucketed — all route here)."""
+    import functools
+    import operator as op
+
+    vec_a = [F.col(f"__nv{i}").alias(f"__a{i}") for i in range(dim)]
+    vec_b = [F.col(f"__nv{i}").alias(f"__b{i}") for i in range(dim)]
+    dot = functools.reduce(
+        op.add,
+        [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)],
+    )
+    return vec_a, vec_b, dot
+
+
 def _scalar_nv_components(nv: Column, dim: int) -> list[Column]:
     """Extract `dim` scalar components `__nv{i}` from a normalized
     vector column. Component 0 carries the dimension CONTRACT: it is
@@ -743,17 +742,13 @@ def semantic_near_dup_pairs_from_bucketed(
     sum, so the pair set is bitwise the same either way (pinned in
     tests/test_semantic_dedup.py).
     """
-    import functools
-    import operator as op
-
     t = spark.table(table_name)
     comps = sorted(
         (c for c in t.columns if c.startswith("__nv") and c != "__nv"),
         key=lambda c: int(c[4:]),
     )
     if comps:
-        vec_a = [F.col(c).alias(f"__a{i}") for i, c in enumerate(comps)]
-        vec_b = [F.col(c).alias(f"__b{i}") for i, c in enumerate(comps)]
+        vec_a, vec_b, scalar_dot = _scalar_pair_scoring(len(comps))
     else:
         vec_a = [F.col("__nv").alias("__va")]
         vec_b = [F.col("__nv").alias("__vb")]
@@ -781,16 +776,9 @@ def semantic_near_dup_pairs_from_bucketed(
     # is evaluated before its branch BY DEFINITION, so no conjunct
     # shuffle can hoist the dot above the cheap tests.
     guard = (F.col("id_a") < F.col("id_b")) & canonical
-    if comps:
-        dot = functools.reduce(
-            op.add,
-            [
-                F.col(f"__a{i}") * F.col(f"__b{i}")
-                for i in range(len(comps))
-            ],
-        )
-    else:
-        dot = dot_product(F.col("__va"), F.col("__vb"))
+    dot = scalar_dot if comps else dot_product(
+        F.col("__va"), F.col("__vb")
+    )
     return (
         a.join(b, F.col("__ca") == F.col("__cb"))
         .filter(
@@ -877,6 +865,11 @@ def compact_assignment_bucketed(
         write_bucketed(
             spark.table(stage), table_name, "cluster", num_buckets
         )
-        spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+        # split a db-qualified stage name before backticking — a
+        # single-identifier `db.tbl_compacting` would name-miss and
+        # leak the staging table (and its full data copy) every cycle
+        parts = [p.strip("`") for p in stage.split(".")]
+        qualified = ".".join(f"`{p}`" for p in parts)
+        spark.sql(f"DROP TABLE IF EXISTS {qualified}")
     finally:
         spark.conf.set(conf_key, saved)

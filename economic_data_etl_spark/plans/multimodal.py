@@ -307,10 +307,12 @@ def multimodal_container_header_parse(
     "checksum (plain sums are order-invariant, so only Σ index·value "
     "catches a row flip, a skipped palette lookup, or a wrong "
     "de-interlace permutation); DuckDB computes the same statistics "
-    "arithmetically from doc_id. Only JPEG (entropy coding + lossy), "
-    "16-bit/alpha PNG, and video remain the documented "
-    "NotImplementedError seam — everything DEFLATE/LZW-based or "
-    "uncompressed is decoded for real.",
+    "arithmetically from doc_id. Everything DEFLATE/LZW-based or "
+    "uncompressed is decoded for real; baseline JPEG and MJPEG video "
+    "are certified by their own queries (multimodal_jpeg_decode, "
+    "multimodal_video_frames), leaving only sub-byte PNG depths, "
+    "non-baseline JPEG modes, and inter-frame-predictive video as the "
+    "documented NotImplementedError seam.",
 )
 def multimodal_real_pixel_decode(
     spark: SparkSession, sf_dir: str

@@ -64,7 +64,20 @@ def foreach_batch_trending_topk(
     from economic_data_etl_spark.operators.topk import grouped_top_k
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         spark = batch_df.sparkSession
+        staging = f"{counts_path}.staging"
+        # Crash-window recovery: a failure between rmtree(counts) and
+        # rename(staging) leaves the only copy of the accumulated
+        # counts in the staging dir — finish the interrupted swap
+        # before reading, or the bare first-run fallback below would
+        # silently reset every total. (os-path swap = local-FS scope,
+        # matching local-mode tests; a production deployment would
+        # point this sink at a transactional table format instead.)
+        if os.path.exists(staging) and not os.path.exists(counts_path):
+            os.rename(staging, counts_path)
         fresh = batch_df.select("window_start", key, "n_events")
         try:
             old = spark.read.parquet(counts_path)
@@ -84,10 +97,6 @@ def foreach_batch_trending_topk(
         # job is not safe in plain parquet). The staged write is fully
         # distributed — no driver materialization, so the sink never
         # assumes the counts table fits on the driver.
-        import os
-        import shutil
-
-        staging = f"{counts_path}.staging"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(counts_path):
             shutil.rmtree(counts_path)
