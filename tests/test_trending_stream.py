@@ -103,3 +103,35 @@ def test_incremental_merge_last_write_wins(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "t")).collect()
     }
     assert rows == {("view", 9, 1), ("click", 5, 2)}
+
+
+def test_crash_window_recovery_preserves_counts(spark, tmp_path):
+    """A crash between rmtree(counts) and rename(staging) leaves the
+    only copy of the accumulated counts in the staging dir; the next
+    micro-batch must finish the swap instead of treating it as a first
+    run and silently resetting every total."""
+    import datetime as dt
+    import os
+
+    counts = str(tmp_path / "c")
+    topk = str(tmp_path / "t")
+    sink = foreach_batch_trending_topk(counts, topk, k=2)
+    w0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b1 = spark.createDataFrame(
+        [(w0, "click", 5), (w0, "view", 3)],
+        "window_start timestamp, event_type string, n_events long",
+    )
+    sink(b1, 0)
+    # simulate the crash window: counts dir gone, data only in staging
+    os.rename(counts, counts + ".staging")
+    b2 = spark.createDataFrame(
+        [(w0, "view", 9)],
+        "window_start timestamp, event_type string, n_events long",
+    )
+    sink(b2, 1)
+    rows = {
+        (r.event_type, r.n_events, r.rank)
+        for r in spark.read.parquet(topk).collect()
+    }
+    # click's total survived the interrupted swap
+    assert rows == {("view", 9, 1), ("click", 5, 2)}
