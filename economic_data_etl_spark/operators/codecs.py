@@ -777,6 +777,58 @@ def encode_mjpeg_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_mjpeg_avi_sampled(
+    payload: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Selective frame decode: [(frame_idx, pixels)] for every
+    `every_n`-th video frame, up to `max_frames`. Skipped frames cost
+    ZERO decode work — AVI chunks are length-prefixed, so the walk
+    seeks past them without touching the entropy coder. This is the
+    production shape of video sampling at corpus scale: decode cost is
+    proportional to frames KEPT, not frames stored."""
+    from economic_data_etl_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    out: list[tuple[int, np.ndarray]] = []
+    frame_no = 0
+
+    def walk_movi(data: bytes) -> None:
+        nonlocal frame_no
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if len(body) != ln:
+                raise ValueError("truncated movi chunk")
+            if fourcc[2:4] in (b"dc", b"db") and ln:
+                if max_frames is not None and len(out) >= max_frames:
+                    return
+                if frame_no % every_n == 0:
+                    if body[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "non-MJPG AVI stream (inter-frame codec)"
+                        )
+                    out.append((frame_no, decode_jpeg(body)))
+                frame_no += 1
+            pos += 8 + ln + (ln & 1)
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated AVI chunk")
+        if fourcc == b"LIST" and body[:4] == b"movi":
+            walk_movi(body[4:])
+        pos += 8 + ln + (ln & 1)
+    if frame_no == 0:
+        raise ValueError("AVI contains no video frames")
+    return out
+
+
 def decode_mjpeg_avi(payload: bytes) -> list[np.ndarray]:
     """Decode an AVI's video frames: walk the RIFF tree to the 'movi'
     LIST, decode every '00dc'/'00db' chunk as a baseline JPEG. Raises

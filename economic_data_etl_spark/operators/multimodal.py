@@ -363,6 +363,75 @@ def sample_frames(
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)
 
 
+SAMPLED_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("val_sum", LongType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling over MJPEG-AVI payload columns: each
+    payload row explodes to one row per KEPT frame, decoded for real
+    (operators/codecs.py:decode_mjpeg_avi_sampled). Skipped frames are
+    seeked past at the container level — decode cost is proportional
+    to frames kept, not frames stored, which is the lever that makes
+    1-fps sampling of a 30-fps corpus 30× cheaper, not merely 30×
+    smaller. Supersedes the byte-slicing `sample_frames` stub for AVI
+    payloads (the stub remains for opaque-payload plumbing tests)."""
+    import numpy as np
+
+    from economic_data_etl_spark.operators.codecs import (
+        decode_mjpeg_avi_sampled,
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, frame in decode_mjpeg_avi_sampled(
+                    bytes(payload), every_n, max_frames
+                ):
+                    arr = frame.astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            int(idx),
+                            int(frame.shape[0]),
+                            int(frame.shape[1]),
+                            int(arr.sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "height", "width", "val_sum"
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "height": "int32",
+                    "width": "int32",
+                    "val_sum": "int64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, SAMPLED_FRAME_SCHEMA
+    )
+
+
 BYTE_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

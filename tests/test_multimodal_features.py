@@ -157,3 +157,66 @@ class TestContainerHeaderParsing:
             full = build_sample_container(d)
             for i in range(len(full)):
                 parse_container_header(full[:i])
+
+
+class TestSampledVideoFrames:
+    def test_sampled_equals_subset_of_full_decode(self, spark):
+        """sample_video_frames must return exactly the every-Nth subset
+        of the full decode — the container-level seek changes COST, not
+        answers."""
+        import numpy as np
+
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+        )
+        from economic_data_etl_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        payloads = []
+        for d in (0, 1, 2):
+            frames = [
+                block_constant_pattern(d + f, 24, 16) for f in range(5)
+            ]
+            payloads.append((d, bytearray(encode_mjpeg_avi(frames))))
+        df = spark.createDataFrame(
+            [(d, bytes(p)) for d, p in payloads],
+            "doc_id long, payload binary",
+        )
+        got = {
+            (r.doc_id, r.frame_idx, r.val_sum)
+            for r in sample_video_frames(df, every_n=2).collect()
+        }
+        want = set()
+        for d, p in payloads:
+            for idx, frame in enumerate(decode_mjpeg_avi(bytes(p))):
+                if idx % 2 == 0:
+                    want.add(
+                        (d, idx, int(frame.astype(np.int64).sum()))
+                    )
+        assert got == want
+        assert len(got) == 9  # 3 docs x frames 0,2,4
+
+    def test_max_frames_caps_output(self, spark):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_mjpeg_avi,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+        )
+        from economic_data_etl_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        payload = encode_mjpeg_avi(
+            [block_constant_pattern(f, 16, 16) for f in range(6)]
+        )
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        rows = sample_video_frames(df, every_n=1, max_frames=2).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 1]
