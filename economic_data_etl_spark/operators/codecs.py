@@ -484,6 +484,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         arr = alaw_decode(np.frombuffer(data, np.uint8))
     elif audio_fmt == 7:  # G.711 mu-law
         arr = mulaw_decode(np.frombuffer(data, np.uint8))
+    elif audio_fmt == 3 and bits == 32:  # IEEE float PCM
+        arr = np.frombuffer(data, np.dtype("<f4"))
     elif audio_fmt == 0x11:  # IMA ADPCM (mono)
         if channels != 1:
             raise NotImplementedError("multi-channel ADPCM")
@@ -496,7 +498,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         arr = ima_adpcm_decode(data, fact, block_samples=spb)
     else:
         raise NotImplementedError(
-            "WAV profile outside PCM 8/16-bit, G.711, and IMA ADPCM"
+            "WAV profile outside PCM 8/16-bit, float32, G.711, and "
+            "IMA ADPCM"
         )
     n = arr.size // channels
     return rate, arr[: n * channels].reshape(n, channels)

@@ -142,6 +142,25 @@ class TestWavRoundTrip:
         assert out.shape == (samples.size, 1)
         assert (out[:, 0] == samples).all()
 
+    def test_float32_pcm(self):
+        from economic_data_etl_spark.operators.codecs import decode_wav
+
+        s = (np.sin(np.arange(300) / 9)).astype("<f4")
+        fmt = struct.pack("<IHHIIHH", 16, 3, 1, 48000, 48000 * 4, 4, 32)
+        wav = (
+            b"RIFF"
+            + struct.pack("<I", 36 + s.nbytes)
+            + b"WAVE"
+            + b"fmt "
+            + fmt
+            + b"data"
+            + struct.pack("<I", s.nbytes)
+            + s.tobytes()
+        )
+        rate, out = decode_wav(wav)
+        assert rate == 48000 and out.dtype == np.float32
+        assert (out[:, 0] == s).all()
+
     def test_extra_chunk_between_fmt_and_data(self):
         samples = audio_pattern(8)
         payload = encode_wav(samples, rate=8000)
