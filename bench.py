@@ -60,6 +60,7 @@ HEADLINE = [
     "multimodal_real_pixel_decode",
     "multimodal_jpeg_decode",
     "multimodal_video_frames",
+    "multimodal_g711_audio_decode",
     "train_val_test_split",
     "variant_typed_extraction",
     "sketch_hll_distinct_rollup",
