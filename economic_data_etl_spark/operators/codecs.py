@@ -109,6 +109,41 @@ def audio_pattern(doc_id: int) -> np.ndarray:
     return ((i * (1 + d % 7)) % 1024 - 512).astype(np.int16)
 
 
+# A corpus decoder runs on UNTRUSTED bytes: header-declared dimensions
+# drive allocations, so a corrupt/malicious payload claiming
+# 65535×65535 pixels (or a zip-bomb IDAT) must fail fast with
+# ValueError instead of attempting a multi-GB allocation that would
+# take down the executor. 2^26 pixels (~67 MP, 192 MB decoded RGB) is
+# far above any real profile this engine certifies and far below
+# OOM territory.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_pixel_budget(w: int, h: int, frames: int = 1) -> None:
+    if w <= 0 or h <= 0 or frames <= 0:
+        raise ValueError("non-positive image dimensions")
+    if w * h * frames > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"implausible decode size {w}x{h}x{frames} "
+            f"(> {MAX_DECODE_PIXELS} pixels)"
+        )
+
+
+def _bounded_inflate(chunks: list[bytes], expected: int) -> bytes:
+    """zlib-inflate with a HARD output bound: a zip-bomb stream (a few
+    KB expanding to GBs) stops at expected+1 bytes and fails the exact
+    size check in the caller, never the executor's memory."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    budget = expected + 1
+    for c in chunks:
+        out += d.decompress(c, max(budget - len(out), 1))
+        if len(out) > expected:
+            return bytes(out)  # caller's size check rejects it
+    out += d.flush(max(budget - len(out), 1))
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # PNG
 # --------------------------------------------------------------------------
@@ -349,7 +384,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color]
     sample_bytes = depth // 8
     bpp = ch * sample_bytes
-    raw = zlib.decompress(b"".join(idat))
+    _check_pixel_budget(w, h)
+    if interlace:
+        expected = sum(
+            ph * (pw * bpp + 1)
+            for pw, ph in (
+                (
+                    (w - x0 + dx - 1) // dx,
+                    (h - y0 + dy - 1) // dy,
+                )
+                for x0, y0, dx, dy in _ADAM7
+            )
+            if pw > 0 and ph > 0
+        )
+    else:
+        expected = h * (w * bpp + 1)
+    raw = _bounded_inflate(idat, expected)
 
     out = np.zeros((h, w * bpp), dtype=np.uint8)
     if interlace:
@@ -1008,9 +1058,13 @@ def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decompress(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
     """Inverse of _lzw_compress, including the KwKwK corner (a code one
-    past the table end refers to prev + prev[0])."""
+    past the table end refers to prev + prev[0]). `max_out` bounds the
+    OUTPUT (LZW expands up to ~4096× per code run): a corrupt stream
+    cannot allocate past the caller's pixel budget."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     acc = n_bits = pos = 0
@@ -1049,6 +1103,8 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError("corrupt LZW stream")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            break  # caller's exact-size check rejects the excess
         if prev is not None:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -1145,8 +1201,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1
             if palette is None:
                 raise ValueError("GIF image without a palette")
+            _check_pixel_budget(w, h)
             idx = np.frombuffer(
-                _lzw_decompress(bytes(lzw), min_code), np.uint8
+                _lzw_decompress(bytes(lzw), min_code, max_out=w * h),
+                np.uint8,
             )
             if idx.size < w * h:
                 raise ValueError("truncated GIF pixel data")

@@ -674,6 +674,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if entropy is None:
         raise ValueError("missing entropy data")
     h, w = dims
+    # untrusted-bytes guard: SOF-declared dimensions drive the plane
+    # allocations below — cap them before allocating (see
+    # codecs.MAX_DECODE_PIXELS)
+    from economic_data_etl_spark.operators.codecs import (
+        _check_pixel_budget,
+    )
+
+    _check_pixel_budget(w, h, frames=len(comps))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     factors = tuple((c[1], c[2]) for c in comps)

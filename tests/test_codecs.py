@@ -231,6 +231,80 @@ class TestGifLzw:
         assert sorted(order.tolist()) == list(range(h))
 
 
+class TestUntrustedBytesBudget:
+    """A corpus decoder runs on untrusted payloads: header-declared
+    sizes must be capped BEFORE any allocation, and compressed streams
+    must inflate under a hard output bound — a malicious/corrupt file
+    fails fast with ValueError, never an executor OOM."""
+
+    def test_png_huge_declared_dims_fail_fast(self):
+        import struct as _s
+
+        payload = bytearray(encode_png(image_pattern(1)))
+        # IHDR w/h live at offset 16/20; declare 65535x65535
+        _s.pack_into(">II", payload, 16, 65535, 65535)
+        with pytest.raises(ValueError):
+            decode_png(bytes(payload))
+
+    def test_png_zip_bomb_idat_is_bounded(self):
+        import struct as _s
+        import zlib as _z
+
+        # a 16x16 gray PNG whose IDAT inflates to ~50 MB of zeros:
+        # must be rejected by the exact-size check without ever
+        # materializing the bomb
+        bomb = _z.compress(b"\x00" * (50 * 1024 * 1024), 9)
+
+        def chunk(typ, data):
+            return (
+                _s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", _z.crc32(typ + data))
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(payload)
+
+    def test_jpeg_huge_declared_dims_fail_fast(self):
+        import struct as _s
+
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        payload = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+        idx = bytes(payload).find(b"\xff\xc0")
+        _s.pack_into(">HH", payload, idx + 5, 65535, 65535)
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
+
+    def test_gif_huge_declared_dims_fail_fast(self):
+        import struct as _s
+
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif,
+            encode_gif_gray,
+            gray_pattern,
+        )
+
+        payload = bytearray(encode_gif_gray(gray_pattern(2)))
+        # image-descriptor w/h: after header(13) + palette(768) + 0x2c,
+        # at offsets +5 and +7 of the descriptor
+        base = 13 + 768
+        assert payload[base] == 0x2C
+        _s.pack_into("<HH", payload, base + 5, 60000, 60000)
+        with pytest.raises(ValueError):
+            decode_gif(bytes(payload))
+
+
 class TestG711:
     def test_alaw_code_space_is_bijective(self):
         # the standard's own invariant: compress(expand(code)) == code
