@@ -137,6 +137,57 @@ class TestAdpcmProperties:
         assert np.abs(dec.astype(int) - sig.astype(int)).max() < 4000
 
 
+class TestUntrustedBytesProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def test_mutated_valid_files_never_raise_from_try_decode(self, data):
+        from economic_data_etl_spark.operators.codecs import (
+            build_full_media,
+            encode_mjpeg_avi,
+            try_decode_media,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+            encode_jpeg_gray,
+        )
+
+        kind = data.draw(st.integers(0, 7))
+        if kind < 6:
+            payload = bytearray(build_full_media(kind))
+        elif kind == 6:
+            payload = bytearray(
+                encode_jpeg_gray(block_constant_pattern(3, 24, 16))
+            )
+        else:
+            payload = bytearray(
+                encode_mjpeg_avi(
+                    [block_constant_pattern(f, 16, 16) for f in (0, 1)]
+                )
+            )
+        # flip up to 4 bytes anywhere (headers, dims, entropy data)
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(0, len(payload) - 1))
+            payload[pos] ^= data.draw(st.integers(1, 255))
+        try_decode_media(bytes(payload))  # None or data — never raises
+
+    @settings(max_examples=60, deadline=None)
+    @given(junk=st.binary(min_size=0, max_size=200))
+    def test_magic_prefixed_junk_never_raises(self, junk):
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        for magic in (
+            b"\x89PNG\r\n\x1a\n",
+            b"BM",
+            b"GIF89a",
+            b"RIFF\x20\x00\x00\x00WAVE",
+            b"RIFF\x20\x00\x00\x00AVI ",
+            b"\xff\xd8\xff",
+        ):
+            try_decode_media(magic + junk)
+
+
 class TestJpegProperties:
     @settings(max_examples=15, deadline=None)
     @given(data=st.data())
