@@ -20,7 +20,7 @@ production formats need no library at all:
   own filtered scanline group scattered back into the pixel grid.
 - **BMP** (24-bit BI_RGB): bottom-up row order, BGR byte order, 4-byte
   row padding — pure slicing.
-- **WAV** (PCM 8/16-bit, G.711 A-law/μ-law, IMA ADPCM mono): RIFF
+- **WAV** (PCM 8/16-bit + float32, G.711 A-law/μ-law, IMA ADPCM mono/stereo): RIFF
   chunk walk + `np.frombuffer`; G.711 is an exact integer
   segmented-log mapping (A-law bijective over all 256 codes, μ-law's
   single ±0 fold pinned); IMA ADPCM is the standard 89-step 4-bit
@@ -43,9 +43,15 @@ production formats need no library at all:
   (multimodal_jpeg_decode); general gray and color images are
   certified by independent-math round-trips in tests/test_jpeg.py.
 
+- **AVI / MJPEG video**: RIFF tree walk (encode_mjpeg_avi /
+  decode_mjpeg_avi below) with every '00dc' frame a complete baseline
+  JPEG — plus selective sampling that seeks past unkept frames before
+  the entropy coder (decode_mjpeg_avi_sampled).
+
 Sub-byte PNG depths (1/2/4), non-baseline JPEG (progressive/
-arithmetic/exotic sampling), and video stay behind the documented
-NotImplementedError seam in operators/multimodal.py.
+arithmetic/exotic sampling), and inter-frame-predictive video
+(H.264/VP9/AV1) stay behind the documented NotImplementedError seam
+in operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test
@@ -536,16 +542,17 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         arr = mulaw_decode(np.frombuffer(data, np.uint8))
     elif audio_fmt == 3 and bits == 32:  # IEEE float PCM
         arr = np.frombuffer(data, np.dtype("<f4"))
-    elif audio_fmt == 0x11:  # IMA ADPCM (mono)
-        if channels != 1:
-            raise NotImplementedError("multi-channel ADPCM")
+    elif audio_fmt == 0x11:  # IMA ADPCM
         if len(fmt_body) >= 20:
             (spb,) = struct.unpack("<H", fmt_body[18:20])
         else:
             spb = 505
         if fact is None:
             raise ValueError("ADPCM WAV without a fact chunk")
-        arr = ima_adpcm_decode(data, fact, block_samples=spb)
+        arr = ima_adpcm_decode(
+            data, fact, block_samples=spb, channels=channels
+        )
+        return rate, arr if channels > 1 else arr.reshape(-1, 1)
     else:
         raise NotImplementedError(
             "WAV profile outside PCM 8/16-bit, float32, G.711, and "
@@ -648,84 +655,170 @@ def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     return predictor, index
 
 
+def _ima_encode_nibble(
+    s: int, predictor: int, index: int
+) -> tuple[int, int, int]:
+    """Quantize one sample against the current state; returns
+    (nibble, new_predictor, new_index)."""
+    step = _IMA_STEPS[index]
+    delta = s - predictor
+    nibble = 0
+    if delta < 0:
+        nibble = 8
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    predictor, index = _ima_step(predictor, index, nibble)
+    return nibble, predictor, index
+
+
 def ima_adpcm_encode(samples: np.ndarray, block_samples: int = 505) -> bytes:
-    """Encode int16 mono samples as IMA ADPCM block payloads: each
-    block is a 4-byte header (first sample + step index) followed by
-    4-bit deltas, two per byte, low nibble first."""
-    out = bytearray()
+    """Encode int16 samples — (n,) mono or (n, ch) multi-channel — as
+    IMA ADPCM block payloads: per block, one 4-byte header per channel
+    (first sample + step index), then the standard interleave: 4-byte
+    words of 8 nibbles, channels round-robin, low nibble first.
+    Multi-channel requires block_samples ≡ 1 (mod 8) so channel words
+    stay aligned (505 qualifies)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch > 1 and (block_samples - 1) % 8:
+        raise ValueError("multi-channel ADPCM needs block_samples % 8 == 1")
     samples = samples.astype(np.int64)
-    for start in range(0, len(samples), block_samples):
+    out = bytearray()
+    for start in range(0, n, block_samples):
         block = samples[start : start + block_samples]
-        predictor = int(block[0])
-        index = 0
-        out += struct.pack("<hBB", predictor, index, 0)
-        nibbles = []
-        for s in block[1:]:
-            step = _IMA_STEPS[index]
-            delta = int(s) - predictor
-            nibble = 0
-            if delta < 0:
-                nibble = 8
-                delta = -delta
-            if delta >= step:
-                nibble |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nibble |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nibble |= 1
-            predictor, index = _ima_step(predictor, index, nibble)
-            nibbles.append(nibble)
-        if len(nibbles) % 2:
-            nibbles.append(0)
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
+        preds = [int(block[0, c]) for c in range(ch)]
+        idxs = [0] * ch
+        for c in range(ch):
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        # per-channel nibble streams for the block body
+        streams: list[list[int]] = [[] for _ in range(ch)]
+        for c in range(ch):
+            for s in block[1:, c]:
+                nib, preds[c], idxs[c] = _ima_encode_nibble(
+                    int(s), preds[c], idxs[c]
+                )
+                streams[c].append(nib)
+        if ch == 1:
+            nibbles = streams[0]
+            if len(nibbles) % 2:
+                nibbles.append(0)
+            for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+                out.append(lo | (hi << 4))
+        else:
+            # pad each stream to a multiple of 8, then interleave
+            # 8-nibble (4-byte) words round-robin across channels
+            for s in streams:
+                s += [0] * (-len(s) % 8)
+            for g in range(0, len(streams[0]), 8):
+                for c in range(ch):
+                    w = streams[c][g : g + 8]
+                    for lo, hi in zip(w[0::2], w[1::2]):
+                        out.append(lo | (hi << 4))
     return bytes(out)
 
 
 def ima_adpcm_decode(
-    data: bytes, n_samples: int, block_samples: int = 505
+    data: bytes,
+    n_samples: int,
+    block_samples: int = 505,
+    channels: int = 1,
 ) -> np.ndarray:
-    """Decode IMA ADPCM block payloads back to int16 mono samples."""
-    out: list[int] = []
+    """Decode IMA ADPCM block payloads back to int16 samples: (n,)
+    mono, (n, ch) multi-channel (4-byte channel words de-interleaved
+    per the standard layout)."""
+    if channels == 1:
+        out: list[int] = []
+        pos = 0
+        block_bytes = 4 + (block_samples - 1 + 1) // 2
+        while pos + 4 <= len(data) and len(out) < n_samples:
+            predictor, index, _ = struct.unpack(
+                "<hBB", data[pos : pos + 4]
+            )
+            index = max(0, min(88, index))
+            out.append(predictor)
+            want = min(block_samples, n_samples - len(out) + 1)
+            # only the bytes that can still yield wanted samples: 2
+            # nibbles per byte, first header sample already emitted
+            body = data[pos + 4 : pos + 4 + (max(want - 1, 0) + 1) // 2]
+            produced = 1
+            for byte in body:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    if produced >= want:
+                        break
+                    predictor, index = _ima_step(
+                        predictor, index, nibble
+                    )
+                    out.append(predictor)
+                    produced += 1
+            pos += block_bytes
+        if len(out) < n_samples:
+            raise ValueError("truncated ADPCM data")
+        return np.asarray(out[:n_samples], dtype=np.int16)
+    if (block_samples - 1) % 8:
+        raise ValueError("multi-channel ADPCM needs block_samples % 8 == 1")
+    ch = channels
+    rows: list[list[int]] = []
     pos = 0
-    block_bytes = 4 + (block_samples - 1 + 1) // 2
-    while pos + 4 <= len(data) and len(out) < n_samples:
-        predictor, index, _ = struct.unpack(
-            "<hBB", data[pos : pos + 4]
-        )
-        index = max(0, min(88, index))
-        out.append(predictor)
-        want = min(block_samples, n_samples - len(out) + 1)
-        # only the bytes that can still yield wanted samples: 2
-        # nibbles per byte, first header sample already emitted
-        body = data[pos + 4 : pos + 4 + (max(want - 1, 0) + 1) // 2]
-        produced = 1
-        for byte in body:
-            for nibble in (byte & 0x0F, byte >> 4):
-                if produced >= want:
+    words_per_ch = (block_samples - 1) // 8
+    block_bytes = 4 * ch + words_per_ch * 4 * ch
+    while pos + 4 * ch <= len(data) and len(rows) < n_samples:
+        preds, idxs = [], []
+        for c in range(ch):
+            p, i, _ = struct.unpack(
+                "<hBB", data[pos + 4 * c : pos + 4 * c + 4]
+            )
+            preds.append(p)
+            idxs.append(max(0, min(88, i)))
+        rows.append(list(preds))
+        body = data[pos + 4 * ch : pos + block_bytes]
+        decoded: list[list[int]] = [[] for _ in range(ch)]
+        for g in range(words_per_ch):
+            for c in range(ch):
+                word = body[
+                    (g * ch + c) * 4 : (g * ch + c) * 4 + 4
+                ]
+                if len(word) < 4:
                     break
-                predictor, index = _ima_step(predictor, index, nibble)
-                out.append(predictor)
-                produced += 1
+                for byte in word:
+                    for nibble in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nibble
+                        )
+                        decoded[c].append(preds[c])
+        usable = min(len(d) for d in decoded)
+        for j in range(usable):
+            if len(rows) >= n_samples:
+                break
+            rows.append([decoded[c][j] for c in range(ch)])
         pos += block_bytes
-    if len(out) < n_samples:
+    if len(rows) < n_samples:
         raise ValueError("truncated ADPCM data")
-    return np.asarray(out[:n_samples], dtype=np.int16)
+    return np.asarray(rows[:n_samples], dtype=np.int16)
 
 
 def encode_wav_adpcm(
     samples: np.ndarray, rate: int, block_samples: int = 505
 ) -> bytes:
-    """Encode int16 mono samples as an IMA-ADPCM WAV (format 0x11),
-    with the fmt extension (samples per block) and the mandatory fact
-    chunk (true sample count)."""
+    """Encode int16 samples ((n,) mono or (n, ch)) as an IMA-ADPCM WAV
+    (format 0x11), with the fmt extension (samples per block) and the
+    mandatory fact chunk (true per-channel sample count)."""
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     data = ima_adpcm_encode(samples, block_samples)
-    block_bytes = 4 + block_samples // 2
+    if ch == 1:
+        block_bytes = 4 + block_samples // 2
+    else:
+        block_bytes = 4 * ch + (block_samples - 1) // 8 * 4 * ch
     fmt = struct.pack(
         "<HHIIHHHH",
-        0x11, 1, rate,
+        0x11, ch, rate,
         rate * block_bytes // block_samples, block_bytes, 4,
         2, block_samples,
     )

@@ -432,6 +432,53 @@ class TestImaAdpcm:
         with pytest.raises(ValueError):
             ima_adpcm_decode(data[: len(data) // 2], 600)
 
+    def test_stereo_channels_are_independent_mono_streams(self):
+        # the standard interleave (4-byte channel words) must decode
+        # each channel EXACTLY as its own mono encode — channel state
+        # never leaks across the interleave
+        from economic_data_etl_spark.operators.codecs import (
+            decode_wav,
+            encode_wav_adpcm,
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        t = np.arange(1500)
+        left = (8000 * np.sin(t / 20)).astype(np.int16)
+        right = (6000 * np.sin(t / 13 + 1)).astype(np.int16)
+        stereo = np.stack([left, right], axis=1)
+        dec = ima_adpcm_decode(
+            ima_adpcm_encode(stereo), len(t), channels=2
+        )
+        assert (
+            dec[:, 0] == ima_adpcm_decode(ima_adpcm_encode(left), len(t))
+        ).all()
+        assert (
+            dec[:, 1]
+            == ima_adpcm_decode(ima_adpcm_encode(right), len(t))
+        ).all()
+        rate, out = decode_wav(encode_wav_adpcm(stereo, 44100))
+        assert rate == 44100 and out.shape == (1500, 2)
+        assert (out == dec).all()
+
+    @pytest.mark.parametrize("n", [1, 9, 505, 513, 1011])
+    def test_stereo_odd_lengths(self, n):
+        from economic_data_etl_spark.operators.codecs import (
+            ima_adpcm_decode,
+            ima_adpcm_encode,
+        )
+
+        s = np.stack(
+            [
+                (np.arange(n) * 211 % 4096 - 2048).astype(np.int16),
+                (np.arange(n) * 97 % 4096 - 2048).astype(np.int16),
+            ],
+            axis=1,
+        )
+        assert ima_adpcm_decode(
+            ima_adpcm_encode(s), n, channels=2
+        ).shape == (n, 2)
+
 
 class TestMjpegAvi:
     def test_gray_frames_roundtrip(self):
