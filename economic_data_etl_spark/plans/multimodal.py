@@ -626,27 +626,55 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   // 16) % 8) AS BIGINT) - 132
                    END AS v
             FROM base b, UNNEST(range(0, b.ns)) AS i(i)
+        ), sa AS (
+            -- A-law expand of the SAME code stream: XOR the 0x55
+            -- toggle, split sign/exponent/mantissa, rebuild the
+            -- 13-bit segment midpoint and scale <<3 — sign bit SET
+            -- means positive in A-law (the opposite of mu-law's
+            -- complemented convention). Mirrors
+            -- operators/codecs.py:alaw_decode exactly (verified over
+            -- all 256 codes on both engines).
+            SELECT b.doc_id, i.i,
+                   CASE WHEN xor((i.i * 7 + b.doc_id) % 256, 85) >= 128
+                        THEN 8
+                        ELSE -8
+                   END
+                   * (CASE WHEN (xor((i.i * 7 + b.doc_id) % 256, 85)
+                                 // 16) % 8 = 0
+                           THEN 2 * (xor((i.i * 7 + b.doc_id) % 256, 85)
+                                     % 16) + 1
+                           ELSE (2 * (xor((i.i * 7 + b.doc_id) % 256, 85)
+                                      % 16) + 33)
+                                * CAST(POWER(2,
+                                    (xor((i.i * 7 + b.doc_id) % 256, 85)
+                                     // 16) % 8 - 1) AS BIGINT)
+                      END) AS v
+            FROM base b, UNNEST(range(0, b.ns)) AS i(i)
         )
-        SELECT doc_id,
+        SELECT m.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_values,
-               CAST(SUM(v) AS BIGINT) AS val_sum,
-               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
-               CAST(SUM(i * v) AS BIGINT) AS val_possum
-        FROM sm
-        GROUP BY doc_id
-        ORDER BY doc_id
+               CAST(SUM(m.v) AS BIGINT) AS mu_sum,
+               CAST(SUM(m.v * m.v) AS BIGINT) AS mu_sumsq,
+               CAST(SUM(m.i * m.v) AS BIGINT) AS mu_possum,
+               CAST(SUM(a.v) AS BIGINT) AS a_sum,
+               CAST(SUM(a.v * a.v) AS BIGINT) AS a_sumsq,
+               CAST(SUM(a.i * a.v) AS BIGINT) AS a_possum
+        FROM sm m JOIN sa a ON m.doc_id = a.doc_id AND m.i = a.i
+        GROUP BY m.doc_id
+        ORDER BY m.doc_id
     """,
-    doc="REAL G.711 telephony-audio decode certified cross-engine: "
-    "each doc gets a complete mu-law WAV (format tag 7) whose CODE "
-    "bytes follow a closed form in doc_id; Spark walks the RIFF "
-    "container and expands every code through the segmented-log "
-    "integer mapping (operators/codecs.py:mulaw_decode), DuckDB "
-    "rebuilds the identical mapping in pure integer SQL "
-    "(complement -> sign/exponent/mantissa -> segment midpoint). Any "
-    "bias slip, exponent shift, or sign-fold error in the expander "
-    "changes the sums. Complements the bijectivity proof "
-    "(compress(expand(c)) == c over all 256 codes) in "
-    "tests/test_codecs.py.",
+    doc="REAL G.711 telephony-audio decode certified cross-engine for "
+    "BOTH laws: each doc gets a mu-law WAV (format tag 7) and an "
+    "A-law WAV (tag 6) carrying the same closed-form CODE bytes; "
+    "Spark walks each RIFF container and expands every code through "
+    "the segmented-log integer mappings "
+    "(operators/codecs.py:mulaw_decode/alaw_decode), DuckDB rebuilds "
+    "both mappings in pure integer SQL (complement vs 0x55-toggle, "
+    "sign/exponent/mantissa, segment midpoints — note the opposite "
+    "sign-bit conventions). Any bias slip, exponent shift, or "
+    "sign-fold error in either expander changes the sums. Complements "
+    "the bijectivity proofs (A-law exact over all 256 codes, mu-law's "
+    "single ±0 fold) in tests/test_codecs.py.",
 )
 def multimodal_g711_audio_decode(
     spark: SparkSession, sf_dir: str
@@ -664,14 +692,30 @@ def multimodal_g711_audio_decode(
         .repartition(spark.sparkContext.defaultParallelism)
     )
     schema = (
-        "doc_id long, n_values long, val_sum long, "
-        "val_sumsq long, val_possum long"
+        "doc_id long, n_values long, "
+        "mu_sum long, mu_sumsq long, mu_possum long, "
+        "a_sum long, a_sumsq long, a_possum long"
     )
 
     def synth_g711_reduce(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         import struct as _struct
+
+        def wav_for(tag: int, data: bytes) -> bytes:
+            fmt = _struct.pack(
+                "<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8
+            )
+            return (
+                b"RIFF"
+                + _struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + fmt
+                + b"data"
+                + _struct.pack("<I", len(data))
+                + data
+            )
 
         for pdf in batches:
             rows = []
@@ -682,35 +726,22 @@ def multimodal_g711_audio_decode(
                     (np.arange(n, dtype=np.int64) * 7 + d) % 256
                 ).astype(np.uint8)
                 data = codes.tobytes()
-                fmt = _struct.pack(
-                    "<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8
-                )
-                wav = (
-                    b"RIFF"
-                    + _struct.pack("<I", 36 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + fmt
-                    + b"data"
-                    + _struct.pack("<I", len(data))
-                    + data
-                )
-                _, samples = decode_wav(wav)
-                flat = samples[:, 0].astype(np.int64)
-                rows.append(
-                    (
-                        d,
-                        int(flat.size),
+                stats = []
+                for tag in (7, 6):  # mu-law, then A-law
+                    _, samples = decode_wav(wav_for(tag, data))
+                    flat = samples[:, 0].astype(np.int64)
+                    stats += [
                         int(flat.sum()),
                         int((flat * flat).sum()),
                         int((np.arange(flat.size) * flat).sum()),
-                    )
-                )
+                    ]
+                rows.append((d, n, *stats))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_values", "val_sum",
-                    "val_sumsq", "val_possum",
+                    "doc_id", "n_values",
+                    "mu_sum", "mu_sumsq", "mu_possum",
+                    "a_sum", "a_sumsq", "a_possum",
                 ],
             )
 
