@@ -4,9 +4,10 @@ Round-4 verdict item 1 ("real pixel/audio decode") was filed as
 environment-gated because the codec LIBRARIES are absent — but these
 production formats need no library at all:
 
-- **PNG** — the FULL still-image profile matrix: 8/16-bit ×
-  gray / truecolor / palette / gray+alpha / RGBA × plain/Adam7
-  interlaced (only pre-web sub-byte depths 1/2/4 remain gated).
+- **PNG** — EVERY legal still-image profile: gray 1/2/4/8/16-bit,
+  palette 1/2/4/8-bit, truecolor / gray+alpha / RGBA 8/16-bit,
+  plain or Adam7 interlaced (sub-byte samples pack MSB-first with
+  byte-aligned rows; the decoder has no NotImplementedError left).
   DEFLATE is stdlib `zlib`; the five scanline filters
   (None/Sub/Up/Average/Paeth) are pure arithmetic, reconstructed here
   exactly per the PNG spec (RFC 2083 §6). Sub/Up reconstruction is
@@ -48,10 +49,9 @@ production formats need no library at all:
   JPEG — plus selective sampling that seeks past unkept frames before
   the entropy coder (decode_mjpeg_avi_sampled).
 
-Sub-byte PNG depths (1/2/4), non-baseline JPEG (progressive/
-arithmetic/exotic sampling), and inter-frame-predictive video
-(H.264/VP9/AV1) stay behind the documented NotImplementedError seam
-in operators/multimodal.py.
+Non-baseline JPEG (progressive/arithmetic/exotic sampling) and
+inter-frame-predictive video (H.264/VP9/AV1) are the only remaining
+NotImplementedError gates, documented in operators/multimodal.py.
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test
@@ -266,30 +266,63 @@ def _reconstruct_scanlines(
     return out, offset + need
 
 
+def _png_stride(w: int, ch: int, depth: int) -> int:
+    """Bytes per unfiltered scanline: sub-byte samples pack MSB-first
+    with each row padded to a byte boundary (spec §7.2)."""
+    return (w * ch * depth + 7) // 8
+
+
 def _img_to_byte_rows(img: np.ndarray, depth: int) -> np.ndarray:
-    """(h, w, ch) uint8/uint16 -> (h, w*ch*depth//8) int32 byte matrix
-    (16-bit samples big-endian per the spec)."""
+    """(h, w, ch) -> (h, stride) int32 byte matrix: 16-bit samples
+    big-endian, sub-byte samples (1/2/4) packed MSB-first per row."""
     h, w, ch = img.shape
     if depth == 16:
         be = np.ascontiguousarray(img.astype(">u2"))
         return (
             be.view(np.uint8).reshape(h, w * ch * 2).astype(np.int32)
         )
-    return img.reshape(h, w * ch).astype(np.int32)
+    if depth == 8:
+        return img.reshape(h, w * ch).astype(np.int32)
+    per_byte = 8 // depth
+    samples = img.reshape(h, w * ch).astype(np.uint8)
+    pad = -samples.shape[1] % per_byte
+    if pad:
+        samples = np.pad(samples, ((0, 0), (0, pad)))
+    grouped = samples.reshape(h, -1, per_byte)
+    shifts = np.arange(per_byte - 1, -1, -1) * depth  # MSB first
+    packed = (grouped.astype(np.int32) << shifts).sum(axis=2)
+    return packed
+
+
+def _unpack_subbyte_rows(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """(n, stride) packed bytes -> (n, w*ch) samples, MSB-first."""
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    shifts = np.arange(per_byte - 1, -1, -1) * depth
+    samples = (
+        (rows[:, :, None].astype(np.int32) >> shifts) & mask
+    ).reshape(rows.shape[0], -1)
+    return samples[:, : w * ch].astype(np.uint8)
 
 
 def encode_png(
     img: np.ndarray,
     palette: np.ndarray | None = None,
     interlace: bool = False,
+    depth: int | None = None,
 ) -> bytes:
-    """Encode a complete PNG across the full profile matrix:
+    """Encode a complete PNG across the full LEGAL profile matrix:
 
     - shape: (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) truecolor,
       (h, w, 4) RGBA;
     - dtype: uint8 (depth 8) or uint16 (depth 16, big-endian samples);
-    - `palette` ((n, 3) uint8): img is (h, w) uint8 indices, color
-      type 3 with a PLTE chunk;
+    - `depth` 1/2/4 (explicit): sub-byte grayscale or palette indices,
+      packed MSB-first with byte-aligned rows — sample values must fit
+      the depth;
+    - `palette` ((n, 3) uint8): img is (h, w) indices, color type 3
+      with a PLTE chunk;
     - `interlace`: Adam7 — each of the 7 passes is filtered as its own
       scanline group (per the spec).
 
@@ -300,14 +333,22 @@ def encode_png(
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    depth = 16 if img.dtype == np.uint16 else 8
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
+    if depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte PNG is gray/palette only")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError("sample exceeds bit depth")
     if palette is not None:
-        if ch != 1 or depth != 8:
-            raise ValueError("palette PNG takes (h, w) uint8 indices")
+        if ch != 1 or depth == 16:
+            raise ValueError("palette PNG takes (h, w) index input")
         color = 3
     else:
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch * depth // 8
+        if depth in (1, 2, 4) and color != 0:
+            raise ValueError("sub-byte PNG is gray/palette only")
+    bpp = max(1, ch * depth // 8)
 
     parts = []
     if interlace:
@@ -348,13 +389,14 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode ANY PNG of the standard's still-image profile matrix —
-    8/16-bit, gray / truecolor / palette / gray+alpha / RGBA,
-    interlaced (Adam7) or not — to a numpy array: (h, w) for gray,
-    (h, w, 2|3|4) otherwise (palette comes back mapped (h, w, 3));
-    dtype uint8 or uint16. Raises ValueError on malformed bytes and
-    NotImplementedError only for sub-byte bit depths (1/2/4, the
-    pre-web-era profiles)."""
+    """Decode ANY legal PNG still image — every color-type × bit-depth
+    combination the spec allows (gray 1/2/4/8/16, palette 1/2/4/8,
+    truecolor / gray+alpha / RGBA 8/16), interlaced (Adam7) or not —
+    to a numpy array: (h, w) for gray (sub-byte grays return RAW
+    sample values 0..2^depth-1), (h, w, 2|3|4) otherwise (palette
+    comes back mapped (h, w, 3)); dtype uint8 or uint16. Raises
+    ValueError on malformed bytes or spec-illegal depth/color
+    combinations — there is no NotImplementedError left in PNG."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, header, plte = 8, [], None, None
@@ -383,64 +425,94 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("unknown compression/filter method")
     if color not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError("bad color type / interlace method")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
-        raise NotImplementedError("sub-byte PNG bit depths")
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if depth not in legal:
+        raise ValueError("illegal bit depth for color type")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
     ch = _PNG_CHANNELS[color]
-    sample_bytes = depth // 8
-    bpp = ch * sample_bytes
+    subbyte = depth < 8
+    bpp = max(1, ch * depth // 8)  # filters work on byte granularity
     _check_pixel_budget(w, h)
+
+    def stride_of(width: int) -> int:
+        return _png_stride(width, ch, depth)
+
     if interlace:
+        passes = [
+            (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
         expected = sum(
-            ph * (pw * bpp + 1)
-            for pw, ph in (
-                (
-                    (w - x0 + dx - 1) // dx,
-                    (h - y0 + dy - 1) // dy,
-                )
-                for x0, y0, dx, dy in _ADAM7
-            )
+            ph * (stride_of(pw) + 1)
+            for *_ignored, pw, ph in passes
             if pw > 0 and ph > 0
         )
     else:
-        expected = h * (w * bpp + 1)
+        expected = h * (stride_of(w) + 1)
     raw = _bounded_inflate(idat, expected)
 
-    out = np.zeros((h, w * bpp), dtype=np.uint8)
-    if interlace:
-        offset = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            sub, offset = _reconstruct_scanlines(
-                raw, offset, ph, pw * bpp, bpp
+    if subbyte:
+        # sub-byte rows unpack to SAMPLES before any scatter: packing
+        # is per-scanline (and per-pass when interlaced)
+        samples = np.zeros((h, w), dtype=np.uint8)
+        if interlace:
+            offset = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, offset = _reconstruct_scanlines(
+                    raw, offset, ph, stride_of(pw), bpp
+                )
+                samples[y0::dy, x0::dx] = _unpack_subbyte_rows(
+                    sub, pw, 1, depth
+                ).reshape(ph, pw)
+            if offset != len(raw):
+                raise ValueError("IDAT size mismatch")
+        else:
+            out, end = _reconstruct_scanlines(
+                raw, 0, h, stride_of(w), bpp
             )
-            # scatter the pass back into the output byte grid: pixel
-            # (x0 + i*dx) occupies byte columns [(x0+i*dx)*bpp, +bpp)
-            sub_px = sub.reshape(ph, pw, bpp)
-            cols = (x0 + np.arange(pw) * dx)[None, :, None] * bpp + np.arange(
-                bpp
-            )[None, None, :]
-            rows_idx = (y0 + np.arange(ph) * dy)[:, None, None]
-            out[rows_idx, cols] = sub_px
-        if offset != len(raw):
-            raise ValueError("IDAT size mismatch")
+            if end != len(raw):
+                raise ValueError("IDAT size mismatch")
+            samples = _unpack_subbyte_rows(out, w, 1, depth).reshape(
+                h, w
+            )
+        img = samples[:, :, None]
     else:
-        out, end = _reconstruct_scanlines(raw, 0, h, w * bpp, bpp)
-        if end != len(raw):
-            raise ValueError("IDAT size mismatch")
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        if interlace:
+            offset = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, offset = _reconstruct_scanlines(
+                    raw, offset, ph, pw * bpp, bpp
+                )
+                # scatter the pass back into the output byte grid:
+                # pixel (x0 + i*dx) occupies columns [(x0+i*dx)*bpp,+bpp)
+                sub_px = sub.reshape(ph, pw, bpp)
+                cols = (
+                    (x0 + np.arange(pw) * dx)[None, :, None] * bpp
+                    + np.arange(bpp)[None, None, :]
+                )
+                rows_idx = (y0 + np.arange(ph) * dy)[:, None, None]
+                out[rows_idx, cols] = sub_px
+            if offset != len(raw):
+                raise ValueError("IDAT size mismatch")
+        else:
+            out, end = _reconstruct_scanlines(raw, 0, h, w * bpp, bpp)
+            if end != len(raw):
+                raise ValueError("IDAT size mismatch")
 
-    if depth == 16:
-        arr = out.reshape(h, w * ch, 2)
-        img = (
-            (arr[:, :, 0].astype(np.uint16) << 8)
-            | arr[:, :, 1].astype(np.uint16)
-        ).reshape(h, w, ch)
-    else:
-        img = out.reshape(h, w, ch)
+        if depth == 16:
+            arr = out.reshape(h, w * ch, 2)
+            img = (
+                (arr[:, :, 0].astype(np.uint16) << 8)
+                | arr[:, :, 1].astype(np.uint16)
+            ).reshape(h, w, ch)
+        else:
+            img = out.reshape(h, w, ch)
     if color == 3:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:

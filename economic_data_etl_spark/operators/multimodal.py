@@ -21,10 +21,11 @@ Two tiers of decode:
   walking, canonical-Huffman + 8×8-DCT JPEG), certified end-to-end by
   the cross-engine `multimodal_real_pixel_decode` and
   `multimodal_jpeg_decode` queries. `decode_image_real` dispatches
-  there; the NotImplementedError seam now covers only video,
-  non-baseline JPEG modes (progressive/arithmetic/multi-component),
-  and sub-byte PNG depths. `decode_media_metadata` keeps the
-  deterministic byte-length stub for opaque-payload plumbing tests.
+  there; the NotImplementedError seam now covers only non-baseline
+  JPEG modes (progressive/arithmetic/exotic sampling) and
+  inter-frame-predictive video (H.264-class) — MJPEG AVI decodes for
+  real. `decode_media_metadata` keeps the deterministic byte-length
+  stub for opaque-payload plumbing tests.
 """
 
 from __future__ import annotations
@@ -56,10 +57,11 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode with no codec library — PNG, BMP, GIF (LZW),
-    PCM WAV (operators/codecs.py), and baseline grayscale JPEG
-    (operators/jpeg.py). Only video and non-baseline JPEG modes still
-    raise NotImplementedError — the remaining environment seam."""
+    """Real decode with no codec library — every legal PNG profile,
+    BMP, GIF (LZW), WAV (PCM/float/G.711/ADPCM), baseline JPEG
+    (gray + color), and MJPEG AVI video (operators/codecs.py,
+    operators/jpeg.py). Only non-baseline JPEG modes and inter-frame
+    video still raise NotImplementedError — the remaining seam."""
     from economic_data_etl_spark.operators.codecs import decode_media
 
     return decode_media(payload)

@@ -1,10 +1,12 @@
 """Multimodal-column queries: binary payload decode + frame sampling.
 
-The decode is a deterministic stub (no codecs in this container —
-operators/multimodal.py), but the Spark-side plumbing (binary columns,
-Arrow-batched mapInPandas, 1-to-N frame explode) is real, and the stub's
-arithmetic is replicated in the oracle SQL so the whole path is
-value-checked, not just row-counted.
+Decode is REAL for every certified format (operators/codecs.py and
+operators/jpeg.py — PNG/BMP/GIF/WAV/JPEG/MJPEG-AVI from scratch); the
+byte-length metadata stub survives only in multimodal_decode_metadata,
+which exercises the opaque-payload plumbing (binary columns,
+Arrow-batched mapInPandas, 1-to-N frame explode) with stub arithmetic
+the oracle replicates. Everything else here decodes actual bytes and is
+value-checked cross-engine.
 """
 
 from __future__ import annotations
@@ -137,8 +139,9 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(build_sample_container), the parser reads them back from the "
     "BYTES, and the oracle recomputes the expected fields "
     "arithmetically — a builder/parser disagreement or an endianness "
-    "bug flips the value hash. Pixel decode remains the documented "
-    "decode_image_real seam (PIL absent).",
+    "bug flips the value hash. (Full pixel decode is certified by the "
+    "multimodal_real_pixel_decode / multimodal_jpeg_decode / "
+    "multimodal_video_frames queries.)",
 )
 def multimodal_container_header_parse(
     spark: SparkSession, sf_dir: str
@@ -310,9 +313,9 @@ def multimodal_container_header_parse(
     "arithmetically from doc_id. Everything DEFLATE/LZW-based or "
     "uncompressed is decoded for real; baseline JPEG and MJPEG video "
     "are certified by their own queries (multimodal_jpeg_decode, "
-    "multimodal_video_frames), leaving only sub-byte PNG depths, "
-    "non-baseline JPEG modes, and inter-frame-predictive video as the "
-    "documented NotImplementedError seam.",
+    "multimodal_video_frames), leaving only non-baseline JPEG modes "
+    "and inter-frame-predictive video as the documented "
+    "NotImplementedError seam.",
 )
 def multimodal_real_pixel_decode(
     spark: SparkSession, sf_dir: str

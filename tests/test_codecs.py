@@ -22,6 +22,7 @@ from economic_data_etl_spark.operators.codecs import (
     encode_png,
     encode_wav,
     image_pattern,
+    png_palette,
     try_decode_media,
 )
 
@@ -56,13 +57,31 @@ class TestPngRoundTrip:
         ):
             assert (decode_png(encode_png(img)) == img).all()
 
-    def test_unsupported_profile_raises_not_implemented(self):
+    def test_illegal_depth_color_combo_raises_value_error(self):
+        # depth-4 TRUECOLOR is not a legal PNG profile (sub-byte is
+        # gray/palette only per the spec) — corrupt data, ValueError;
+        # PNG has no NotImplementedError gates left
         img = image_pattern(1)
         payload = bytearray(encode_png(img))
-        payload[8 + 8 + 8] = 4  # bit depth 4 (sub-byte — the one
-        # remaining NotImplementedError profile)
-        with pytest.raises(NotImplementedError):
+        payload[8 + 8 + 8] = 4
+        with pytest.raises(ValueError):
             decode_png(bytes(payload))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_subbyte_gray_and_palette(self, depth, interlace):
+        rng = np.random.default_rng(depth * 10 + interlace)
+        img = rng.integers(0, 1 << depth, size=(23, 31), dtype=np.uint8)
+        out = decode_png(encode_png(img, interlace=interlace, depth=depth))
+        assert out.shape == img.shape and (out == img).all()
+        idx = rng.integers(0, 1 << depth, size=(13, 19), dtype=np.uint8)
+        out = decode_png(
+            encode_png(
+                idx, palette=png_palette(), interlace=interlace,
+                depth=depth,
+            )
+        )
+        assert (out == png_palette()[idx]).all()
 
     @pytest.mark.parametrize("interlace", [False, True])
     @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
