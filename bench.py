@@ -113,6 +113,11 @@ ISOLATED = {
 }
 
 
+# min-of-N repeats for the heavy ISOLATED queries (see comment at the
+# timing loop); light batched queries keep 2
+REPEATS_ISOLATED = 3
+
+
 def run_batch(names: list[str], sf_dir: str) -> None:
     """Child entry: time each query in a fresh session, one JSON line per
     query on stdout (Spark logs go to stderr)."""
@@ -141,7 +146,7 @@ def run_batch(names: list[str], sf_dir: str) -> None:
                 )
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(REPEATS_ISOLATED):
                 start = time.perf_counter()
                 semantic_bucketed_pairs_only(spark, table).collect()
                 best = min(best, time.perf_counter() - start)
@@ -151,12 +156,15 @@ def run_batch(names: list[str], sf_dir: str) -> None:
                 flush=True,
             )
             continue
-        # Two timed executions, report the min: single-shot numbers swing
-        # ±2× on sub-5 s queries from JIT/IO warmup noise, which would
-        # read as phantom regressions round-over-round. Min-of-two is the
-        # steady-state engine throughput, applied uniformly.
+        # Repeated timed executions, report the min: single-shot numbers
+        # swing ±2× on sub-5 s queries from JIT/IO warmup noise, which
+        # would read as phantom regressions round-over-round. Min-of-N is
+        # the steady-state engine throughput. ISOLATED queries get an
+        # extra repeat — round 6 showed best-of-2 leaves ±30% jitter on
+        # them (dedup_simhash +31% with untouched code), drowning real
+        # regressions.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPEATS_ISOLATED if name in ISOLATED else 2):
             start = time.perf_counter()
             REGISTRY[name].spark(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
@@ -201,19 +209,73 @@ def main() -> None:
             except json.JSONDecodeError:
                 continue
             timings[rec["name"]] = rec["sec"]
+            # stream per-query results as they land, so a truncated
+            # capture still shows progress
+            print(line, flush=True)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    best_ever = _update_best_ever(timings, sf)
+    # Output order matters for the driver's bounded TAIL capture
+    # (round 6: the single summary line outgrew it and the artifact
+    # lost the total, "parsed": null). The full per-query map goes
+    # FIRST; the LAST line is short and total-only, so truncation can
+    # never eat the headline number.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_full_map",
+                "unit": "sec",
+                "queries": timings,
+                "best_ever": best_ever,
+                "sf": float(sf),
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
                 "sf": float(sf),
             }
         )
     )
+
+
+def _update_best_ever(timings: dict[str, float], sf: str) -> dict[str, float]:
+    """Track the best-ever per-query time (per SF) in BENCH_BEST.json so
+    round-over-round drift on untouched queries is visible against a
+    stable floor instead of last round's (noisy) sample. Returns the
+    updated map for this SF; logs >30% drift to stderr."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BEST.json")
+    try:
+        with open(path) as f:
+            book = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        book = {}
+    best = book.setdefault(str(sf), {})
+    for name, sec in timings.items():
+        if sec <= 0:
+            continue
+        prev = best.get(name)
+        if prev is not None and sec > prev * 1.3:
+            print(
+                f"bench drift: {name} {sec:.2f}s vs best-ever "
+                f"{prev:.2f}s (+{(sec / prev - 1) * 100:.0f}%)",
+                file=sys.stderr,
+            )
+        if prev is None or sec < prev:
+            best[name] = sec
+    try:
+        with open(path, "w") as f:
+            json.dump(book, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return best
 
 
 if __name__ == "__main__":

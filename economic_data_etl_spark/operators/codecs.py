@@ -119,19 +119,25 @@ def audio_pattern(doc_id: int) -> np.ndarray:
 # drive allocations, so a corrupt/malicious payload claiming
 # 65535×65535 pixels (or a zip-bomb IDAT) must fail fast with
 # ValueError instead of attempting a multi-GB allocation that would
-# take down the executor. 2^26 pixels (~67 MP, 192 MB decoded RGB) is
-# far above any real profile this engine certifies and far below
-# OOM territory.
-MAX_DECODE_PIXELS = 1 << 26
+# take down the executor. The budget bounds decoded BYTES (pixels ×
+# bytes-per-pixel), so a 16-bit RGBA PNG (8 B/px) gets a
+# proportionally smaller pixel ceiling than 8-bit gray — the worst
+# case is the same ~192 MB regardless of profile.
+MAX_DECODE_BYTES = 192 << 20
+# pixel-count ceiling at the default 3 B/px (kept for callers/tests
+# that reason in pixels)
+MAX_DECODE_PIXELS = MAX_DECODE_BYTES // 3
 
 
-def _check_pixel_budget(w: int, h: int, frames: int = 1) -> None:
+def _check_pixel_budget(
+    w: int, h: int, frames: int = 1, bytes_per_pixel: int = 3
+) -> None:
     if w <= 0 or h <= 0 or frames <= 0:
         raise ValueError("non-positive image dimensions")
-    if w * h * frames > MAX_DECODE_PIXELS:
+    if w * h * frames * max(1, bytes_per_pixel) > MAX_DECODE_BYTES:
         raise ValueError(
             f"implausible decode size {w}x{h}x{frames} "
-            f"(> {MAX_DECODE_PIXELS} pixels)"
+            f"(> {MAX_DECODE_BYTES} decoded bytes)"
         )
 
 
@@ -433,7 +439,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color]
     subbyte = depth < 8
     bpp = max(1, ch * depth // 8)  # filters work on byte granularity
-    _check_pixel_budget(w, h)
+    _check_pixel_budget(w, h, bytes_per_pixel=ch * max(1, depth // 8))
 
     def stride_of(width: int) -> int:
         return _png_stride(width, ch, depth)
@@ -605,6 +611,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
+    if channels < 1:
+        # a corrupt fmt chunk declaring nChannels=0 would hit
+        # ZeroDivisionError in the frame-count division below
+        raise ValueError("WAV declares zero channels")
     if audio_fmt == 1 and bits in (8, 16):
         dt = np.uint8 if bits == 8 else np.dtype("<i2")
         arr = np.frombuffer(data, dt)
@@ -1168,6 +1178,7 @@ def try_decode_media(payload: bytes) -> dict | None:
         IndexError,
         zlib.error,
         struct.error,
+        OverflowError,  # huge corrupt-header ints vs fixed-width numpy
     ):
         return None
 

@@ -434,6 +434,12 @@ def _decode_block(
     uint8 spatial block and the new DC predictor."""
     zz = [0] * 64
     size = reader.read_symbol(dc_dec)
+    if size > 15:
+        # T.81 caps DC magnitude categories (11 for 8-bit precision,
+        # 15 absolute); a corrupt/malicious DHT can declare any byte as
+        # the symbol, and read_bits(size) would then build an
+        # arbitrarily large int that overflows the int64 level matrix.
+        raise ValueError("DC magnitude category out of range")
     prev_dc += _extend(reader.read_bits(size), size)
     zz[0] = prev_dc
     i = 1

@@ -859,12 +859,27 @@ def compact_assignment_bucketed(
     spark.conf.set(conf_key, "false")
     try:
         stage = f"{table_name}_compacting"
-        write_bucketed(
-            spark.table(table_name), stage, "cluster", num_buckets
-        )
-        write_bucketed(
-            spark.table(stage), table_name, "cluster", num_buckets
-        )
+        # Crash-window recovery (mirrors the trending sink's
+        # interrupted-swap path): the target rewrite below drops
+        # `table_name` before re-creating it from the stage, so a
+        # failure inside that rewrite leaves the ONLY copy in
+        # `<table>_compacting`. Detect that state on entry and restore
+        # the target from the stage — the stage already holds the full
+        # compacted layout, so finishing the interrupted swap IS the
+        # compaction (pinned in tests/test_semantic_dedup.py).
+        if spark.catalog.tableExists(stage) and not spark.catalog.tableExists(
+            table_name
+        ):
+            write_bucketed(
+                spark.table(stage), table_name, "cluster", num_buckets
+            )
+        else:
+            write_bucketed(
+                spark.table(table_name), stage, "cluster", num_buckets
+            )
+            write_bucketed(
+                spark.table(stage), table_name, "cluster", num_buckets
+            )
         # split a db-qualified stage name before backticking — a
         # single-identifier `db.tbl_compacting` would name-miss and
         # leak the staging table (and its full data copy) every cycle

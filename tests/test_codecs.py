@@ -631,3 +631,81 @@ class TestDispatchAndCorruption:
                 mutated = bytearray(payload)
                 mutated[pos] ^= 0xFF
                 try_decode_media(bytes(mutated))  # must not raise
+
+
+class TestAdviceRegressionsR7:
+    """Deterministic regressions for the round-6 ADVICE findings: each
+    crafts the exact corrupt profile that previously escaped
+    try_decode_media's never-raises contract."""
+
+    def test_corrupt_dht_dc_category_never_escapes(self):
+        # ADVICE r6 (jpeg.py:437): a corrupt DHT can declare a DC
+        # magnitude-category symbol > 15; read_bits(size) then built an
+        # arbitrarily large int and the int64 level store raised
+        # OverflowError, escaping try_decode_media. Corrupt the first
+        # DC symbol of a valid JPEG's DHT to 0xC8 (200): the decoder
+        # must now fail with ValueError (caught), never OverflowError.
+        from economic_data_etl_spark.operators.jpeg import (
+            block_constant_pattern,
+            encode_jpeg_gray,
+        )
+
+        payload = bytearray(
+            encode_jpeg_gray(block_constant_pattern(3, 24, 16))
+        )
+        i = bytes(payload).find(b"\xff\xc4")
+        assert i >= 0
+        # DHT layout: marker(2) len(2) tc/th(1) counts(16) symbols...
+        sym_pos = i + 2 + 2 + 1 + 16
+        for bad in (0x10, 0x7F, 0xC8, 0xFF):
+            mutated = bytearray(payload)
+            mutated[sym_pos] = bad
+            assert try_decode_media(bytes(mutated)) is None
+
+    def test_wav_zero_channels_never_escapes(self):
+        # ADVICE r6 (codecs.py:633): nChannels=0 in the fmt chunk hit
+        # ZeroDivisionError in `arr.size // channels`. The nChannels
+        # field is at byte 2 of the fmt body = absolute offset 22.
+        payload = bytearray(encode_wav(audio_pattern(1), rate=8000))
+        assert payload[12:16] == b"fmt "
+        struct.pack_into("<H", payload, 22, 0)
+        assert try_decode_media(bytes(payload)) is None
+        with pytest.raises(ValueError, match="zero channels"):
+            decode_wav(bytes(payload))
+
+    def test_pixel_budget_bounds_decoded_bytes_not_pixels(self):
+        # ADVICE r6 (codecs.py:107): the budget was a pixel count, so a
+        # 16-bit RGBA PNG (8 B/px) within the pixel ceiling could
+        # allocate ~536 MB. 6000x6000x16-bit RGBA = 36 MP (under the
+        # old 2^26-pixel cap) but 288 MB decoded — must now fail fast.
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            import zlib
+
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 6000, 6000, 16, 6, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"\x00" * 10)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="implausible decode size"):
+            decode_png(payload)
+        assert try_decode_media(payload) is None
+        # same dims at 8-bit gray (1 B/px, 36 MB) stay in budget: the
+        # guard must reject on BYTES, not on the raw pixel count —
+        # failure here means the ceiling was just lowered across the
+        # board instead of scaled by profile.
+        from economic_data_etl_spark.operators.codecs import (
+            _check_pixel_budget,
+        )
+
+        _check_pixel_budget(6000, 6000, bytes_per_pixel=1)
+        with pytest.raises(ValueError):
+            _check_pixel_budget(6000, 6000, bytes_per_pixel=8)

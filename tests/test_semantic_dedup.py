@@ -549,3 +549,59 @@ class TestSemanticDedup:
         }
         assert expr == vec
         assert expr, "fixture must produce pairs"
+
+    def test_compaction_interrupted_swap_recovers(self, spark, sf_dir):
+        """ADVICE r6 (semantic.py:855): compaction's target rewrite
+        drops `table_name` before re-creating it from the stage — a
+        crash in that window used to leave the ONLY copy in
+        `<table>_compacting` with no recovery path. Simulate the
+        crash state exactly (stage fully written, target dropped) and
+        assert the next compact_assignment_bucketed call restores the
+        target with the identical pair set and a compacted layout —
+        mirroring the trending sink's interrupted-swap recovery."""
+        from economic_data_etl_spark.operators.semantic import (
+            compact_assignment_bucketed,
+            semantic_near_dup_pairs_from_bucketed,
+            write_assignment_bucketed,
+        )
+        from economic_data_etl_spark.operators.skew import write_bucketed
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, 8)
+        tbl = "t_sem_bucketed_crash"
+        nb = 8
+        write_assignment_bucketed(emb, cents, tbl, probes=2, num_buckets=nb)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, tbl, threshold=TAU
+            ).collect()
+        }
+        assert want, "fixture must produce pairs"
+
+        # reproduce the crash window: stage written, target dropped
+        # (write_bucketed's own first step), process "dies" before the
+        # target is re-created
+        conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        saved = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            write_bucketed(
+                spark.table(tbl), f"{tbl}_compacting", "cluster", nb
+            )
+        finally:
+            spark.conf.set(conf_key, saved)
+        spark.sql(f"DROP TABLE `{tbl}`")
+        assert not spark.catalog.tableExists(tbl)
+
+        compact_assignment_bucketed(spark, tbl, num_buckets=nb)
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}_compacting")
+        assert len(spark.table(tbl).inputFiles()) <= nb
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_near_dup_pairs_from_bucketed(
+                spark, tbl, threshold=TAU
+            ).collect()
+        }
+        assert got == want
