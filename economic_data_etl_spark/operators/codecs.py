@@ -49,9 +49,10 @@ production formats need no library at all:
   JPEG — plus selective sampling that seeks past unkept frames before
   the entropy coder (decode_mjpeg_avi_sampled).
 
-Non-baseline JPEG (progressive/arithmetic/exotic sampling) and
+Arithmetic-coded JPEG (plus exotic sampling layouts) and
 inter-frame-predictive video (H.264/VP9/AV1) are the only remaining
-NotImplementedError gates, documented in operators/multimodal.py.
+NotImplementedError gates, documented in operators/multimodal.py —
+progressive JPEG decodes for real (operators/jpeg_progressive.py).
 
 The correctness story is end-to-end and CROSS-ENGINE
 (`multimodal_real_pixel_decode` in plans/multimodal.py): every test

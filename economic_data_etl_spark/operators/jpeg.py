@@ -42,9 +42,12 @@ bit-identically in DuckDB SQL:
   entropy layer), plus corner streams (≥16-zero runs forcing ZRL,
   -1/+1 magnitudes, dimension cropping).
 
-What remains genuinely out of scope with no codec library: VIDEO
-(inter-frame prediction + entropy arithmetic far beyond a prefix code)
-and progressive/arithmetic JPEG modes.
+Progressive (SOF2, Huffman) streams decode too — the multi-scan
+spectral-selection / successive-approximation path lives in
+jpeg_progressive.py and shares this module's tables, bit I/O, and
+per-block IDCT. What remains genuinely out of scope with no codec
+library: VIDEO (inter-frame prediction + entropy arithmetic far beyond
+a prefix code) and arithmetic-coded JPEG.
 """
 
 from __future__ import annotations
@@ -597,11 +600,12 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
 # Decoder
 # --------------------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline Huffman JPEG: single-component -> uint8
+    """Decode a Huffman JPEG — baseline here, progressive (SOF2) via
+    jpeg_progressive.decode_progressive: single-component -> uint8
     (h, w); 3-component YCbCr (4:4:4 or 4:2:0) -> uint8 (h, w, 3) RGB.
     Raises ValueError on malformed bytes and NotImplementedError on
-    non-baseline modes (progressive, arithmetic, restart intervals,
-    other sampling layouts)."""
+    the remaining capability gates (arithmetic coding, restart
+    intervals, other sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -632,13 +636,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     q[r, c] = body[p + 1 + i]
                 qtabs[pq_tq & 0x0F] = q
                 p += 65
+        elif marker == 0xC2:
+            # progressive (SOF2, Huffman): multi-scan path with its own
+            # parse loop — coefficients accumulate across scans
+            from economic_data_etl_spark.operators.jpeg_progressive import (
+                decode_progressive,
+            )
+
+            return decode_progressive(payload)
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
-            # every non-SOF0 frame marker (extended/progressive/
-            # lossless, Huffman or arithmetic) is a CAPABILITY gate,
-            # not corrupt data — NotImplementedError by contract
+            # every remaining non-SOF0 frame marker (extended/lossless,
+            # arithmetic-coded) is a CAPABILITY gate, not corrupt
+            # data — NotImplementedError by contract
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])

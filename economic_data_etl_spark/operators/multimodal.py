@@ -21,11 +21,11 @@ Two tiers of decode:
   walking, canonical-Huffman + 8×8-DCT JPEG), certified end-to-end by
   the cross-engine `multimodal_real_pixel_decode` and
   `multimodal_jpeg_decode` queries. `decode_image_real` dispatches
-  there; the NotImplementedError seam now covers only non-baseline
-  JPEG modes (progressive/arithmetic/exotic sampling) and
-  inter-frame-predictive video (H.264-class) — MJPEG AVI decodes for
-  real. `decode_media_metadata` keeps the deterministic byte-length
-  stub for opaque-payload plumbing tests.
+  there; the NotImplementedError seam now covers only arithmetic-coded
+  JPEG (plus exotic sampling layouts) and inter-frame-predictive video
+  (H.264-class) — MJPEG AVI and progressive JPEG decode for real.
+  `decode_media_metadata` keeps the deterministic byte-length stub for
+  opaque-payload plumbing tests.
 """
 
 from __future__ import annotations

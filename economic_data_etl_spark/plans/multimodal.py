@@ -489,6 +489,117 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_progressive_jpeg",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h
+            FROM documents
+        ), px AS (
+            -- identical closed form to multimodal_jpeg_decode: the
+            -- scans only REORDER how the quantized coefficients
+            -- travel; on block-constant images every AC is exactly
+            -- zero in every scan and successive approximation
+            -- reconstructs the full-precision DC bit-for-bit, so the
+            -- decoded pixel is the same DC quantize/dequantize chain.
+            SELECT b.doc_id, b.w,
+                   y.y * b.w + x.x AS p,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR(
+                           FLOOR(8 * (((x.x // 8) + 2 * (y.y // 8)
+                                       + b.doc_id) % 256 - 128)
+                                 / 17 + 0.5 + 1e-6)
+                           * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT)
+                       + 128)) AS v
+            FROM base b,
+                 UNNEST(range(0, b.w)) AS x(x),
+                 UNNEST(range(0, b.h)) AS y(y)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM(p * v) AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL progressive-JPEG decode certified cross-engine "
+    "(operators/jpeg_progressive.py — spectral selection, successive "
+    "approximation, EOB runs, from scratch): each doc is encoded as a "
+    "multi-scan SOF2 stream (the successive-approximation depth "
+    "cycles with doc_id % 4, so the driver row exercises "
+    "spectral-selection-only AND 1-3 levels of DC/AC refinement) and "
+    "entropy-decoded scan by scan inside Arrow batches; DuckDB "
+    "computes the identical pixel statistics arithmetically from "
+    "doc_id because block-constant images make every scan's AC "
+    "contribution exactly zero and refinement reconstructs the full "
+    "DC. A scan-sequencing bug, a refinement-bit slip, or a "
+    "point-transform sign error changes the sums and fails the value "
+    "hash. The general path (newly-significant runs, correction "
+    "bits, ZRL-in-refinement, EOB runs across blocks) is pinned by "
+    "tests/test_jpeg_progressive.py.",
+)
+def multimodal_progressive_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.jpeg import (
+        block_constant_pattern,
+        decode_jpeg_gray,
+    )
+    from economic_data_etl_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_prog_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                img = block_constant_pattern(d, w, h)
+                payload = encode_jpeg_progressive(img, al=d % 4)
+                arr = decode_jpeg_gray(payload).astype(np.int64)
+                flat = arr.ravel()
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_prog_reduce, schema).orderBy("doc_id")
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
         WITH base AS (
