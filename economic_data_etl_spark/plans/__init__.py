@@ -24,6 +24,7 @@ from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import corpus_stats  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import invariants  # noqa: E402,F401
+from economic_data_etl_spark.plans import jdbc_sink  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
 from economic_data_etl_spark.plans import events2  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph  # noqa: E402,F401
