@@ -93,8 +93,14 @@ def _rotation_order() -> list[str]:
             if b:
                 order.append(b.pop(0))
     green = [n for n in names if n in history and history[n][0] is True]
-    # stable: ties on round keep registry order
-    green.sort(key=lambda n: history[n][1])
+    # stable: ties on round put invariant certificates (inv_*) first —
+    # they are the value-checked proof rows for the rows-only operators
+    # (LSH/IVF/PQ recall, sketch error bounds, packing conservation),
+    # so a stale inv_* weakens more claims than a stale plain query —
+    # then keep registry order.
+    green.sort(
+        key=lambda n: (history[n][1], 0 if n.startswith("inv_") else 1)
+    )
     order.extend(green)
     return order
 
