@@ -135,3 +135,115 @@ def test_crash_window_recovery_preserves_counts(spark, tmp_path):
     }
     # click's total survived the interrupted swap
     assert rows == {("view", 9, 1), ("click", 5, 2)}
+
+
+def test_crash_at_any_offset_recovers(spark, tmp_path_factory):
+    """Property over the WHOLE crash window (round-6 advice): the sink's
+    per-batch sequence is stage-write → rmtree(counts) → rename(staging)
+    → top-k rewrite. A crash after ANY of those steps, followed by the
+    streaming engine's retry of the same micro-batch, must converge to
+    the same totals as an uninterrupted run — last-write-wins per
+    (window, key) makes the retry idempotent at every offset. The single
+    offset pinned by test_crash_window_recovery_preserves_counts is case
+    'after_rmtree' here; this covers the other offsets and multi-batch
+    sequences."""
+    import datetime as dt
+    import itertools
+    import os
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    w0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    w1 = dt.datetime(2024, 1, 1, 1, 0, 0)
+    counter = itertools.count()
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        base = tmp_path_factory.mktemp(f"trend_crash_{next(counter)}")
+        counts, topk = str(base / "c"), str(base / "t")
+        staging = counts + ".staging"
+        sink = foreach_batch_trending_topk(counts, topk, k=2)
+        totals: dict[tuple, int] = {}
+
+        def snapshot(path):
+            return path + ".snap" if os.path.exists(path) else None
+
+        n_batches = data.draw(st.integers(2, 4))
+        for i in range(n_batches):
+            keys = data.draw(
+                st.sets(st.sampled_from("abcd"), min_size=1, max_size=3)
+            )
+            rows = []
+            for key in sorted(keys):
+                w = data.draw(st.sampled_from([w0, w1]))
+                n = data.draw(st.integers(1, 50))
+                rows.append((w, key, n))
+                totals[(w, key)] = n  # update-mode emissions are totals
+            batch = spark.createDataFrame(
+                rows,
+                "window_start timestamp, event_type string, n_events long",
+            )
+            crash = data.draw(
+                st.sampled_from(
+                    ["none", "after_staging", "after_rmtree", "before_topk"]
+                )
+            )
+            # snapshot pre-batch state so each crash offset can be
+            # reconstructed exactly from a completed run
+            pre_c = pre_t = None
+            if crash != "none":
+                if os.path.exists(counts):
+                    pre_c = counts + ".snap"
+                    shutil.copytree(counts, pre_c)
+                if os.path.exists(topk):
+                    pre_t = topk + ".snap"
+                    shutil.copytree(topk, pre_t)
+            sink(batch, i)
+            if crash != "none":
+                # rebuild the exact on-disk state at the crash offset,
+                # then retry the batch as the streaming engine would
+                if crash == "after_staging":
+                    # staging = merged, counts = pre-batch, topk = pre
+                    os.rename(counts, staging)
+                    if pre_c:
+                        shutil.copytree(pre_c, counts)
+                elif crash == "after_rmtree":
+                    # staging = merged, counts gone, topk = pre
+                    os.rename(counts, staging)
+                if crash in ("after_staging", "after_rmtree"):
+                    shutil.rmtree(topk)
+                    if pre_t:
+                        shutil.copytree(pre_t, topk)
+                elif crash == "before_topk":
+                    # counts swapped, top-k rewrite never happened
+                    shutil.rmtree(topk)
+                    if pre_t:
+                        shutil.copytree(pre_t, topk)
+                sink(batch, i)  # retry
+                for p in (pre_c, pre_t):
+                    if p:
+                        shutil.rmtree(p)
+
+        got = {
+            (r.window_start, r.event_type, r.n_events, r.rank)
+            for r in spark.read.parquet(topk).collect()
+        }
+        want = set()
+        for w in (w0, w1):
+            ranked = sorted(
+                ((k, n) for (ww, k), n in totals.items() if ww == w),
+                key=lambda kn: (-kn[1], kn[0]),
+            )[:2]
+            want |= {
+                (w, k, n, rank + 1) for rank, (k, n) in enumerate(ranked)
+            }
+        assert got == want
+
+    run()
