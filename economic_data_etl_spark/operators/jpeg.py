@@ -9,11 +9,12 @@ round 5 implemented GIF's LZW. What a library buys is SPEED (SIMD
 IDCT), not feasibility.
 
 Profile: baseline sequential DCT, 8-bit — single-component grayscale
-AND 3-component YCbCr color, 4:4:4 or 4:2:0 (2×2-mean chroma
-reduction, interleaved 16×16 MCUs, replicate upsampling), with
-separate luma/chroma quantization and Huffman tables exactly like a
-camera JPEG; all tables travel in DQT/DHT, so the decoder reads
-whatever tables the stream declares. Encoder and decoder both live
+AND 3-component YCbCr color in 4:4:4, 4:2:0 (2×2-mean chroma
+reduction, interleaved 16×16 MCUs, replicate upsampling), 4:2:2, and
+4:4:0, with separate luma/chroma quantization and Huffman tables and
+optional DRI/RSTn restart intervals (byte-aligned markers, DC
+prediction reset) exactly like a camera JPEG; all tables travel in
+DQT/DHT, so the decoder reads whatever tables the stream declares. Encoder and decoder both live
 here; the encoder exists to certify the decoder (the codecs.py
 pattern).
 
@@ -203,6 +204,10 @@ class _BitWriter:
                 self.nbits = 0
 
     def flush(self) -> bytes:
+        self._byte_align()
+        return bytes(self.out)
+
+    def _byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-padding
@@ -211,7 +216,13 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.nbits = 0
-        return bytes(self.out)
+
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit RSTn (T.81 restart interval
+        boundary). Callers reset their DC predictors."""
+        self._byte_align()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
 
 
 class _BitReader:
@@ -244,6 +255,27 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Discard pad bits to the byte boundary and consume the
+        expected RSTn marker. A 0xFF pad byte carries a stuffed 0x00
+        which read_bit already consumed when it loaded the byte, so the
+        marker is the next byte pair; the stuffed-pair skip below is
+        defensive for streams padded differently."""
+        self.nbits = 0
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("missing restart marker")
+            b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+            if b0 != 0xFF:
+                raise ValueError("missing restart marker")
+            if b1 == 0x00:
+                self.pos += 2
+                continue
+            if b1 != 0xD0 + (n & 7):
+                raise ValueError("restart marker out of sequence")
+            self.pos += 2
+            return
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -370,6 +402,23 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(s / 4.0), 0, 255).astype(np.uint8)
 
 
+def _downsample_h(plane: np.ndarray) -> np.ndarray:
+    """1x2 horizontal mean (edge-replicated to even width) — the 4:2:2
+    chroma reduction."""
+    h, w = plane.shape
+    p = np.empty((h, (w + 1) // 2 * 2), dtype=np.float64)
+    p[:, :w] = plane
+    if w % 2:
+        p[:, w:] = p[:, w - 1 : w]
+    s = p[:, 0::2] + p[:, 1::2]
+    return np.clip(_round_half_up(s / 2.0), 0, 255).astype(np.uint8)
+
+
+def _downsample_v(plane: np.ndarray) -> np.ndarray:
+    """2x1 vertical mean — the 4:4:0 chroma reduction."""
+    return _downsample_h(plane.T).T
+
+
 def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     """Edge-replicate `plane` up to (ph, pw)."""
     h, w = plane.shape
@@ -481,19 +530,29 @@ _JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 # --------------------------------------------------------------------------
 # Encoders
 # --------------------------------------------------------------------------
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode (h, w) uint8 grayscale as a baseline JFIF JPEG: edge
     blocks padded by replication, orthonormal-DCT (the 1/4·C·C scaling
     of T.81 equals the orthonormal transform exactly) -> all-odd
     quantization -> zigzag -> Annex-K Huffman, byte-stuffed entropy
-    stream."""
+    stream. `restart_interval` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (DC prediction resets at each)."""
     h, w = img.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
     padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
     writer = _BitWriter()
     prev_dc = 0
+    mcu_index = 0
     for by in range(bh):
         for bx in range(bw):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                writer.restart((mcu_index // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu_index += 1
             prev_dc = _encode_block(
                 writer,
                 padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
@@ -509,37 +568,72 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     )
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, _JFIF_APP0)
         + _seg(0xFFDB, _dqt_payload(0, QTAB))
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht)
+        + dri
         + _seg(0xFFDA, sos)
         + entropy
         + b"\xff\xd9"
     )
 
 
-def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a baseline JFIF YCbCr JPEG —
-    4:4:4 by default, 4:2:0 with `subsample` (2x2-mean chroma
-    reduction, Y sampling factor 2x2, 16x16 MCUs). Luma uses the luma
-    quantization/Huffman tables, chroma the chroma ones, exactly like
-    a camera JPEG; all tables travel in DQT/DHT."""
+# chroma sampling layouts: name -> (luma h-factor, luma v-factor)
+_SUBSAMPLE_MODES = {
+    False: (1, 1),  # 4:4:4
+    True: (2, 2),  # 4:2:0 (bool kept for API compatibility)
+    "444": (1, 1),
+    "420": (2, 2),
+    "422": (2, 1),
+    "440": (1, 2),
+}
+
+
+def chroma_planes(
+    ycc: np.ndarray, yh: int, yv: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce the chroma planes for luma factors (yh, yv): 2x2 mean for
+    4:2:0, horizontal for 4:2:2, vertical for 4:4:0, none for 4:4:4."""
+    cb, cr = ycc[:, :, 1], ycc[:, :, 2]
+    if (yh, yv) == (2, 2):
+        return _downsample2(cb), _downsample2(cr)
+    if (yh, yv) == (2, 1):
+        return _downsample_h(cb), _downsample_h(cr)
+    if (yh, yv) == (1, 2):
+        return _downsample_v(cb), _downsample_v(cr)
+    return cb, cr
+
+
+def encode_jpeg_color(
+    img: np.ndarray,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline JFIF YCbCr JPEG.
+    `subsample` picks the chroma layout: False/"444" (default),
+    True/"420" (2x2-mean reduction, 16x16 MCUs), "422" (horizontal
+    pairs, 16x8 MCUs), "440" (vertical pairs, 8x16 MCUs). Luma uses
+    the luma quantization/Huffman tables, chroma the chroma ones,
+    exactly like a camera JPEG; all tables travel in DQT/DHT.
+    `restart_interval` > 0 emits DRI + RSTn markers every that many
+    MCUs with DC prediction reset."""
+    if subsample not in _SUBSAMPLE_MODES:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+    yh, yv = _SUBSAMPLE_MODES[subsample]
     h, w, _ = img.shape
     ycc = rgb_to_ycbcr(img)
     y_plane = ycc[:, :, 0].astype(np.float64)
-    if subsample:
-        cb = _downsample2(ycc[:, :, 1]).astype(np.float64)
-        cr = _downsample2(ycc[:, :, 2]).astype(np.float64)
-        mcu_h, mcu_w = 16, 16
-        y_factor = 2
-    else:
-        cb = ycc[:, :, 1].astype(np.float64)
-        cr = ycc[:, :, 2].astype(np.float64)
-        mcu_h, mcu_w = 8, 8
-        y_factor = 1
+    cb, cr = chroma_planes(ycc, yh, yv)
+    cb, cr = cb.astype(np.float64), cr.astype(np.float64)
+    mcu_h, mcu_w = 8 * yv, 8 * yh
     mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
     y_pad = _pad_to(y_plane, mh * mcu_h, mw * mcu_w)
     cb_pad = _pad_to(cb, mh * 8, mw * 8)
@@ -547,12 +641,21 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
 
     writer = _BitWriter()
     dc = [0, 0, 0]
+    mcu_index = 0
     for my in range(mh):
         for mx in range(mw):
-            for vy in range(y_factor):
-                for vx in range(y_factor):
-                    by = my * y_factor + vy
-                    bx = mx * y_factor + vx
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                writer.restart((mcu_index // restart_interval - 1) % 8)
+                dc = [0, 0, 0]
+            mcu_index += 1
+            for vy in range(yv):
+                for vx in range(yh):
+                    by = my * yv + vy
+                    bx = mx * yh + vx
                     dc[0] = _encode_block(
                         writer,
                         y_pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
@@ -578,11 +681,16 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
         + bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
         + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
     )
-    samp = (y_factor << 4) | y_factor
+    samp = (yh << 4) | yv
     sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
         [1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, _JFIF_APP0)
@@ -590,6 +698,7 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
         + _seg(0xFFDB, _dqt_payload(1, QTAB_CHROMA))
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht)
+        + dri
         + _seg(0xFFDA, sos)
         + entropy
         + b"\xff\xd9"
@@ -602,10 +711,11 @@ def encode_jpeg_color(img: np.ndarray, subsample: bool = False) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a Huffman JPEG — baseline here, progressive (SOF2) via
     jpeg_progressive.decode_progressive: single-component -> uint8
-    (h, w); 3-component YCbCr (4:4:4 or 4:2:0) -> uint8 (h, w, 3) RGB.
+    (h, w); 3-component YCbCr (4:4:4, 4:2:0, 4:2:2, 4:4:0) -> uint8
+    (h, w, 3) RGB; DRI/RSTn restart intervals consumed with DC reset.
     Raises ValueError on malformed bytes and NotImplementedError on
-    the remaining capability gates (arithmetic coding, restart
-    intervals, other sampling layouts)."""
+    the remaining capability gates (arithmetic coding, 4:1:1-class
+    sampling layouts, restart intervals inside progressive scans)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -615,6 +725,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_map = None  # comp_id -> (dc_table_id, ac_table_id)
     dims = None
     entropy = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -673,7 +784,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
                 p += 17 + n
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             scan_map = {}
@@ -703,10 +814,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     factors = tuple((c[1], c[2]) for c in comps)
+    chroma_111 = ((1, 1), (1, 1))
     if not (
         factors == ((1, 1),)
-        or factors == ((1, 1), (1, 1), (1, 1))
-        or factors == ((2, 2), (1, 1), (1, 1))
+        or factors == ((1, 1), *chroma_111)
+        or factors == ((2, 2), *chroma_111)
+        or factors == ((2, 1), *chroma_111)  # 4:2:2
+        or factors == ((1, 2), *chroma_111)  # 4:4:0
     ):
         raise NotImplementedError(f"sampling layout {factors}")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -720,8 +834,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             np.zeros((mh * vi * 8, mw * hi * 8), dtype=np.uint8)
         )
     dc = [0] * len(comps)
+    mcu_index = 0
     for my in range(mh):
         for mx in range(mw):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                reader.sync_restart(
+                    (mcu_index // restart_interval - 1) % 8
+                )
+                dc = [0] * len(comps)
+            mcu_index += 1
             for ci, (cid, hi, vi, tq) in enumerate(comps):
                 if cid not in scan_map:
                     raise ValueError("SOS/SOF component id mismatch")

@@ -76,7 +76,8 @@ from economic_data_etl_spark.operators.jpeg import (
     _seg,
     QTAB,
     QTAB_CHROMA,
-    _downsample2,
+    _SUBSAMPLE_MODES,
+    chroma_planes,
     rgb_to_ycbcr,
     ycbcr_to_rgb,
 )
@@ -272,22 +273,19 @@ def encode_jpeg_progressive(
         qtabs = [QTAB]
         dc_encs, ac_encs = [_DC_ENC], [_AC_ENC]
     else:
+        if subsample not in _SUBSAMPLE_MODES:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
+        yh, yv = _SUBSAMPLE_MODES[subsample]
         ycc = rgb_to_ycbcr(img)
         y = ycc[:, :, 0].astype(np.float64)
-        if subsample:
-            cb = _downsample2(ycc[:, :, 1]).astype(np.float64)
-            cr = _downsample2(ycc[:, :, 2]).astype(np.float64)
-            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            mcu = 16
-        else:
-            cb = ycc[:, :, 1].astype(np.float64)
-            cr = ycc[:, :, 2].astype(np.float64)
-            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-            mcu = 8
-        mh, mw = (h + mcu - 1) // mcu, (w + mcu - 1) // mcu
-        yf = comps[0][1]
+        cb, cr = chroma_planes(ycc, yh, yv)
+        cb, cr = cb.astype(np.float64), cr.astype(np.float64)
+        comps = [(1, yh, yv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        mcu_h, mcu_w = 8 * yv, 8 * yh
+        mh = (h + mcu_h - 1) // mcu_h
+        mw = (w + mcu_w - 1) // mcu_w
         planes = [
-            _pad_to(y, mh * yf * 8, mw * yf * 8),
+            _pad_to(y, mh * yv * 8, mw * yh * 8),
             _pad_to(cb, mh * 8, mw * 8),
             _pad_to(cr, mh * 8, mw * 8),
         ]
@@ -536,10 +534,13 @@ def decode_progressive(payload: bytes) -> np.ndarray:
 
             _check_pixel_budget(w, h, frames=len(comps))
             factors = tuple((c[1], c[2]) for c in comps)
+            chroma_111 = ((1, 1), (1, 1))
             if not (
                 factors == ((1, 1),)
-                or factors == ((1, 1), (1, 1), (1, 1))
-                or factors == ((2, 2), (1, 1), (1, 1))
+                or factors == ((1, 1), *chroma_111)
+                or factors == ((2, 2), *chroma_111)
+                or factors == ((2, 1), *chroma_111)  # 4:2:2
+                or factors == ((1, 2), *chroma_111)  # 4:4:0
             ):
                 raise NotImplementedError(f"sampling layout {factors}")
             hmax = max(c[1] for c in comps)

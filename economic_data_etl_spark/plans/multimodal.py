@@ -429,9 +429,11 @@ def multimodal_real_pixel_decode(
     "zigzag transposition, or an IDCT scaling error changes the sums "
     "and fails the value hash. The general AC path (runs, ZRL, "
     "magnitude categories) is certified by independent-math "
-    "round-trips in tests/test_jpeg.py; with this query the "
-    "environment-gated decode seam shrinks to video and non-baseline "
-    "JPEG modes.",
+    "round-trips in tests/test_jpeg.py. The per-document restart "
+    "interval cycle (0-3 MCUs) puts DRI/RSTn marker handling — "
+    "byte-aligned restart sync, DC prediction reset — under this "
+    "row's value hash too: restarts reorganize only the entropy "
+    "stream, so the closed-form oracle is unchanged.",
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -464,9 +466,14 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 w, h = 16 + d % 64, 16 + (d // 64) % 64
                 img = block_constant_pattern(d, w, h)
-                arr = decode_jpeg_gray(encode_jpeg_gray(img)).astype(
-                    np.int64
-                )
+                # restart interval cycles 0 (none), 1, 2, 3 MCUs:
+                # DRI/RSTn markers reorganize the ENTROPY stream only
+                # (byte-aligned restarts, DC prediction reset), so the
+                # decoded pixels — and the oracle — are unchanged, and
+                # the driver row now certifies restart handling too
+                arr = decode_jpeg_gray(
+                    encode_jpeg_gray(img, restart_interval=d % 4)
+                ).astype(np.int64)
                 flat = arr.ravel()
                 rows.append(
                     (

@@ -109,32 +109,29 @@ class TestJpegRoundTrip:
 
 class TestJpegColor:
     @staticmethod
-    def _reference_color(img: np.ndarray, subsample: bool) -> np.ndarray:
+    def _reference_color(img: np.ndarray, subsample) -> np.ndarray:
         """Independent math reference for the color pipeline: color
-        transform → (2×2-mean chroma reduction) → per-plane
+        transform → per-layout chroma reduction → per-plane
         DCT/quant/dequant/IDCT → replicate-upsample → inverse
-        transform, sharing only the pinned constants with the codec,
-        never its entropy coder or MCU walk."""
+        transform, sharing only the pinned constants and reduction
+        helpers with the codec, never its entropy coder or MCU walk."""
         from economic_data_etl_spark.operators.jpeg import (
             QTAB_CHROMA,
-            _downsample2,
+            _SUBSAMPLE_MODES,
             _pad_to,
+            chroma_planes,
             rgb_to_ycbcr,
             ycbcr_to_rgb,
         )
 
+        yh, yv = _SUBSAMPLE_MODES[subsample]
         h, w, _ = img.shape
         ycc = rgb_to_ycbcr(img)
         yp = ycc[:, :, 0].astype(np.float64)
-        if subsample:
-            cb = _downsample2(ycc[:, :, 1]).astype(np.float64)
-            cr = _downsample2(ycc[:, :, 2]).astype(np.float64)
-            mcu, yf = 16, 2
-        else:
-            cb = ycc[:, :, 1].astype(np.float64)
-            cr = ycc[:, :, 2].astype(np.float64)
-            mcu, yf = 8, 1
-        mh, mw = (h + mcu - 1) // mcu, (w + mcu - 1) // mcu
+        cb, cr = chroma_planes(ycc, yh, yv)
+        cb, cr = cb.astype(np.float64), cr.astype(np.float64)
+        mcu_h, mcu_w = 8 * yv, 8 * yh
+        mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
 
         def codec_plane(plane, ph, pw, q):
             p = _pad_to(plane, ph, pw)
@@ -151,20 +148,17 @@ class TestJpegColor:
                     )
             return out
 
-        ydec = codec_plane(yp, mh * mcu, mw * mcu, QTAB)[:h, :w]
+        ydec = codec_plane(yp, mh * mcu_h, mw * mcu_w, QTAB)[:h, :w]
         cbd = codec_plane(cb, mh * 8, mw * 8, QTAB_CHROMA)
         crd = codec_plane(cr, mh * 8, mw * 8, QTAB_CHROMA)
-        if subsample:
-            ch, cw = (h + 1) // 2, (w + 1) // 2
-            cbd = np.repeat(np.repeat(cbd[:ch, :cw], 2, 0), 2, 1)[:h, :w]
-            crd = np.repeat(np.repeat(crd[:ch, :cw], 2, 0), 2, 1)[:h, :w]
-        else:
-            cbd, crd = cbd[:h, :w], crd[:h, :w]
+        ch, cw = (h + yv - 1) // yv, (w + yh - 1) // yh
+        cbd = np.repeat(np.repeat(cbd[:ch, :cw], yv, 0), yh, 1)[:h, :w]
+        crd = np.repeat(np.repeat(crd[:ch, :cw], yv, 0), yh, 1)[:h, :w]
         return ycbcr_to_rgb(
             np.stack([ydec, cbd, crd], 2).astype(np.uint8)
         )
 
-    @pytest.mark.parametrize("subsample", [False, True])
+    @pytest.mark.parametrize("subsample", [False, True, "422", "440"])
     @pytest.mark.parametrize(
         "shape", [(8, 8), (16, 16), (17, 23), (33, 47), (1, 1)]
     )
@@ -174,7 +168,7 @@ class TestJpegColor:
             encode_jpeg_color,
         )
 
-        rng = np.random.default_rng(sum(shape) * 2 + subsample)
+        rng = np.random.default_rng(sum(shape) * 2 + hash(str(subsample)) % 97)
         img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
         dec = decode_jpeg(encode_jpeg_color(img, subsample=subsample))
         assert dec.shape == img.shape
@@ -246,3 +240,60 @@ class TestJpegRobustness:
         m = decode_media(encode_jpeg_gray(img))
         assert m["format"] == "jpeg"
         assert m["data"].shape == img.shape
+
+
+class TestRestartIntervals:
+    """DRI/RST (T.81 restart intervals): byte-aligned RSTn markers
+    every Ri MCUs with DC prediction reset — present in most camera
+    JPEGs, so the decoder must consume them for real."""
+
+    @pytest.mark.parametrize("ri", [1, 2, 5, 7])
+    def test_gray_decode_identical_to_no_restart(self, ri):
+        rng = np.random.default_rng(ri)
+        img = rng.integers(0, 256, size=(33, 41)).astype(np.uint8)
+        a = decode_jpeg_gray(encode_jpeg_gray(img))
+        b = decode_jpeg_gray(encode_jpeg_gray(img, restart_interval=ri))
+        assert (a == b).all()
+
+    @pytest.mark.parametrize("subsample", [False, True, "422", "440"])
+    def test_color_decode_identical_to_no_restart(self, subsample):
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_color,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(33, 41, 3)).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg_color(img, subsample=subsample))
+        b = decode_jpeg(
+            encode_jpeg_color(img, subsample=subsample, restart_interval=3)
+        )
+        assert (a == b).all()
+
+    def test_out_of_sequence_restart_is_value_error(self):
+        img = np.arange(25 * 24, dtype=np.uint8).reshape(25, 24) % 256
+        payload = bytearray(encode_jpeg_gray(img, restart_interval=2))
+        # corrupt the first RST marker's number (D0 -> D5)
+        i = bytes(payload).find(b"\xff\xd0")
+        assert i >= 0
+        payload[i + 1] = 0xD5
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(payload))
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        assert try_decode_media(bytes(payload)) is None
+
+    def test_restart_mutations_never_escape_try_decode(self):
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+        payload = bytearray(encode_jpeg_gray(img, restart_interval=1))
+        for pos in range(0, len(payload), 4):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xFF
+            try_decode_media(bytes(mutated))  # must not raise
