@@ -715,7 +715,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (h, w, 3) RGB; DRI/RSTn restart intervals consumed with DC reset.
     Raises ValueError on malformed bytes and NotImplementedError on
     the remaining capability gates (arithmetic coding, 4:1:1-class
-    sampling layouts, restart intervals inside progressive scans)."""
+    sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

@@ -17,6 +17,10 @@ MULTIPLE scans instead of one:
   already-nonzero ones (G.1.2.3).
 - **EOB runs**: AC scans may code a run of all-remaining-zero bands
   across blocks (EOBn symbols, r < 15, run = 2^r + appended bits).
+- **Restart intervals**: DRI applies to every scan — RSTn markers
+  every Ri MCUs (interleaved DC scans) or blocks (non-interleaved AC
+  scans), byte-aligned, resetting DC predictors and EOB-run state,
+  numbering restarting at RST0 per scan (T.81 E.2.4).
 
 Both directions live here; the encoder exists to certify the decoder
 (the codecs.py pattern): a progressive encode entropy-codes the exact
@@ -126,68 +130,100 @@ def _comp_grid(
 # --------------------------------------------------------------------------
 
 
-def _mcu_blocks(mh, mw, comps):
-    """Yield (ci, by, bx) in interleaved MCU order (T.81 A.2.3)."""
+def _mcu_units(mh, mw, comps):
+    """Interleaved MCU order (T.81 A.2.3) as restartable UNITS: one
+    list of (ci, by, bx) per MCU — restart intervals count MCUs in
+    interleaved scans."""
+    units = []
     for my in range(mh):
         for mx in range(mw):
+            unit = []
             for ci, (_cid, hi, vi, _tq) in enumerate(comps):
                 for vy in range(vi):
                     for vx in range(hi):
-                        yield ci, my * vi + vy, mx * hi + vx
+                        unit.append((ci, my * vi + vy, mx * hi + vx))
+            units.append(unit)
+    return units
 
 
-def _enc_dc_first(coefs, mh, mw, comps, al, dc_encs) -> bytes:
+def _mcu_blocks(mh, mw, comps):
+    """Yield (ci, by, bx) flat across the interleaved MCU walk."""
+    for unit in _mcu_units(mh, mw, comps):
+        yield from unit
+
+
+def _restart_due(i: int, ri: int) -> int | None:
+    """RSTn number before unit `i` (None if no restart falls here)."""
+    if ri and i and i % ri == 0:
+        return (i // ri - 1) % 8
+    return None
+
+
+def _enc_dc_first(coefs, units, n_comps, al, dc_encs, ri=0) -> bytes:
     w = _BitWriter()
-    preds = [0] * len(comps)
-    for ci, by, bx in _mcu_blocks(mh, mw, comps):
-        v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
-        diff = v - preds[ci]
-        preds[ci] = v
-        size, bits = _magnitude(diff)
-        code, length = dc_encs[ci][size]
-        w.write(code, length)
-        if size:
-            w.write(bits, size)
+    preds = [0] * n_comps
+    for i, unit in enumerate(units):
+        n = _restart_due(i, ri)
+        if n is not None:
+            w.restart(n)
+            preds = [0] * n_comps
+        for ci, by, bx in unit:
+            v = int(coefs[ci][by, bx, 0]) >> al  # arith shift (G.1.2.1)
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, bits = _magnitude(diff)
+            code, length = dc_encs[ci][size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
     return w.flush()
 
 
-def _enc_dc_refine(coefs, mh, mw, comps, al) -> bytes:
+def _enc_dc_refine(coefs, units, al, ri=0) -> bytes:
     """DC refinement: ONE raw bit per block, no Huffman (G.1.2.1)."""
     w = _BitWriter()
-    for ci, by, bx in _mcu_blocks(mh, mw, comps):
-        w.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+    for i, unit in enumerate(units):
+        n = _restart_due(i, ri)
+        if n is not None:
+            w.restart(n)
+        for ci, by, bx in unit:
+            w.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
     return w.flush()
 
 
-def _enc_ac_first(coef, cbh, cbw, ss, se, al, ac_enc) -> bytes:
+def _enc_ac_first(coef, cbh, cbw, ss, se, al, ac_enc, ri=0) -> bytes:
     """AC first scan of one band: the baseline AC loop, band-limited and
     point-transformed, with a per-block EOB (eobrun = 1) for trailing
-    zeros — a valid stream that trades a few bits for simplicity."""
+    zeros — a valid stream that trades a few bits for simplicity.
+    Restart intervals count BLOCKS in non-interleaved scans."""
     w = _BitWriter()
-    for by in range(cbh):
-        for bx in range(cbw):
+    blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
+    for i, (by, bx) in enumerate(blocks):
+        n = _restart_due(i, ri)
+        if n is not None:
+            w.restart(n)
+        run = 0
+        for k in range(ss, se + 1):
+            v = _pt_ac(int(coef[by, bx, k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_enc[0xF0]  # ZRL
+                w.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_enc[(run << 4) | size]
+            w.write(code, length)
+            w.write(bits, size)
             run = 0
-            for k in range(ss, se + 1):
-                v = _pt_ac(int(coef[by, bx, k]), al)
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_enc[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_enc[(run << 4) | size]
-                w.write(code, length)
-                w.write(bits, size)
-                run = 0
-            if run:
-                code, length = ac_enc[0x00]  # EOB (run of 1)
-                w.write(code, length)
+        if run:
+            code, length = ac_enc[0x00]  # EOB (run of 1)
+            w.write(code, length)
     return w.flush()
 
 
-def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc) -> bytes:
+def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc, ri=0) -> bytes:
     """AC refinement scan (G.1.2.3). The emitter MIRRORS the decoder's
     walk exactly: correction bits for already-nonzero coefficients are
     placed where the decoder's advance-over loop will read them — after
@@ -196,52 +232,55 @@ def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc) -> bytes:
     sign bit, where run counts only ZERO-HISTORY positions; history
     coefficients passed contribute correction bits, not run length."""
     w = _BitWriter()
-    for by in range(cbh):
-        for bx in range(cbw):
-            vals = [int(coef[by, bx, k]) for k in range(ss, se + 1)]
-            now = [_pt_ac(v, al) for v in vals]
-            hist = [_pt_ac(v, ah) != 0 for v in vals]
-            newly = [i for i, v in enumerate(now) if abs(v) == 1]
+    _blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
+    for _i, (by, bx) in enumerate(_blocks):
+        n_rst = _restart_due(_i, ri)
+        if n_rst is not None:
+            w.restart(n_rst)
+        vals = [int(coef[by, bx, k]) for k in range(ss, se + 1)]
+        now = [_pt_ac(v, al) for v in vals]
+        hist = [_pt_ac(v, ah) != 0 for v in vals]
+        newly = [i for i, v in enumerate(now) if abs(v) == 1]
 
-            def corr_bit(i: int) -> int:
-                return (abs(vals[i]) >> al) & 1
+        def corr_bit(i: int) -> int:
+            return (abs(vals[i]) >> al) & 1
 
-            pos = 0  # index into the band (0 == Ss)
-            for target in newly:
-                # ZRLs: each consumes 16 zero-history positions; the
-                # decoder refines history positions passed on the way,
-                # so their bits follow the ZRL code in stream order.
-                while (
-                    sum(1 for p in range(pos, target) if not hist[p]) >= 16
-                ):
-                    code, length = ac_enc[0xF0]
-                    w.write(code, length)
-                    zeros = 0
-                    p = pos
-                    while zeros < 16:
-                        if hist[p]:
-                            w.write(corr_bit(p), 1)
-                        else:
-                            zeros += 1
-                        p += 1
-                    pos = p
-                run = sum(1 for p in range(pos, target) if not hist[p])
-                code, length = ac_enc[(run << 4) | 1]
+        pos = 0  # index into the band (0 == Ss)
+        for target in newly:
+            # ZRLs: each consumes 16 zero-history positions; the
+            # decoder refines history positions passed on the way,
+            # so their bits follow the ZRL code in stream order.
+            while (
+                sum(1 for p in range(pos, target) if not hist[p]) >= 16
+            ):
+                code, length = ac_enc[0xF0]
                 w.write(code, length)
-                w.write(1 if now[target] > 0 else 0, 1)
-                for p in range(pos, target):
+                zeros = 0
+                p = pos
+                while zeros < 16:
                     if hist[p]:
                         w.write(corr_bit(p), 1)
-                pos = target + 1
-            if pos <= se - ss:
-                # trailing positions remain: close the block with EOB
-                # (eobrun = 1); the decoder then refines every history
-                # coefficient left in the band, reading one bit each.
-                code, length = ac_enc[0x00]
-                w.write(code, length)
-                for p in range(pos, se - ss + 1):
-                    if hist[p]:
-                        w.write(corr_bit(p), 1)
+                    else:
+                        zeros += 1
+                    p += 1
+                pos = p
+            run = sum(1 for p in range(pos, target) if not hist[p])
+            code, length = ac_enc[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if now[target] > 0 else 0, 1)
+            for p in range(pos, target):
+                if hist[p]:
+                    w.write(corr_bit(p), 1)
+            pos = target + 1
+        if pos <= se - ss:
+            # trailing positions remain: close the block with EOB
+            # (eobrun = 1); the decoder then refines every history
+            # coefficient left in the band, reading one bit each.
+            code, length = ac_enc[0x00]
+            w.write(code, length)
+            for p in range(pos, se - ss + 1):
+                if hist[p]:
+                    w.write(corr_bit(p), 1)
     return w.flush()
 
 
@@ -253,17 +292,25 @@ def _sos(comps_in_scan, ss, se, ah, al) -> bytes:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, subsample: bool = False, al: int = 1
+    img: np.ndarray,
+    subsample: bool | str = False,
+    al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w) gray or (h, w, 3) RGB as a PROGRESSIVE JFIF JPEG
     (SOF2). Scan script: interleaved DC first at Al=`al`, DC refinement
     down to bit 0, then per component the AC bands (1..5) and (6..63)
     as first scans at Al=`al` followed by their refinement scans.
     ``al=0`` produces a spectral-selection-only stream (no refinement
-    scans). Quantized coefficients are computed with the exact baseline
+    scans). `restart_interval` > 0 emits a DRI segment and RSTn markers
+    in EVERY scan — every `restart_interval` MCUs in interleaved DC
+    scans, blocks in non-interleaved AC scans, with DC predictors
+    reset (the numbering restarts at RST0 per scan, per T.81 E.2.4).
+    Quantized coefficients are computed with the exact baseline
     expression, so decode equals the baseline round-trip bitwise."""
     if not 0 <= al <= 3:
         raise ValueError("al must be in 0..3")
+    ri = restart_interval
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -312,16 +359,20 @@ def encode_jpeg_progressive(
         dht += bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C)
     out += _seg(0xFFC4, dht)
 
+    if ri:
+        out += _seg(0xFFDD, struct.pack(">H", ri))
+
     dc_ids = [0 if ci == 0 else 1 for ci in range(len(comps))]
     scan_comps = [
         (comps[ci][0], dc_ids[ci], dc_ids[ci]) for ci in range(len(comps))
     ]
+    units = _mcu_units(mh, mw, comps)
     # DC first (interleaved), then refinements down to bit 0
     out += _sos(scan_comps, 0, 0, 0, al)
-    out += _enc_dc_first(coefs, mh, mw, comps, al, dc_encs)
+    out += _enc_dc_first(coefs, units, len(comps), al, dc_encs, ri)
     for a in range(al, 0, -1):
         out += _sos(scan_comps, 0, 0, a, a - 1)
-        out += _enc_dc_refine(coefs, mh, mw, comps, a - 1)
+        out += _enc_dc_refine(coefs, units, a - 1, ri)
     # AC bands per component (non-interleaved), first then refinement
     bands = [(1, 5), (6, 63)]
     for ci, (cid, hi, vi, _tq) in enumerate(comps):
@@ -329,7 +380,7 @@ def encode_jpeg_progressive(
         for ss, se in bands:
             out += _sos([(cid, dc_ids[ci], dc_ids[ci])], ss, se, 0, al)
             out += _enc_ac_first(
-                coefs[ci], cbh, cbw, ss, se, al, ac_encs[ci]
+                coefs[ci], cbh, cbw, ss, se, al, ac_encs[ci], ri
             )
     for a in range(al, 0, -1):
         for ci, (cid, hi, vi, _tq) in enumerate(comps):
@@ -339,7 +390,7 @@ def encode_jpeg_progressive(
                     [(cid, dc_ids[ci], dc_ids[ci])], ss, se, a, a - 1
                 )
                 out += _enc_ac_refine(
-                    coefs[ci], cbh, cbw, ss, se, a, a - 1, ac_encs[ci]
+                    coefs[ci], cbh, cbw, ss, se, a, a - 1, ac_encs[ci], ri
                 )
     out += b"\xff\xd9"
     return bytes(out)
@@ -368,53 +419,72 @@ def _entropy_segment(payload: bytes, start: int) -> tuple[bytes, int]:
         if m == 0xFF:  # fill byte before a marker
             i = j + 1
             continue
-        if 0xD0 <= m <= 0xD7:
-            raise NotImplementedError("restart intervals")
+        if 0xD0 <= m <= 0xD7:  # RSTn: inside the scan's entropy data
+            i = j + 2
+            continue
         return payload[start:j], j
 
 
-def _dec_dc_first(reader, coefs, blocks, dc_decs, preds, al):
-    for ci, by, bx in blocks:
-        size = reader.read_symbol(dc_decs[ci])
-        if size > 15:
-            raise ValueError("DC magnitude category out of range")
-        preds[ci] += _extend(reader.read_bits(size), size)
-        coefs[ci][by, bx, 0] = preds[ci] << al
+def _dec_dc_first(reader, coefs, units, dc_decs, preds, al, ri=0):
+    for i, unit in enumerate(units):
+        n = _restart_due(i, ri)
+        if n is not None:
+            reader.sync_restart(n)
+            for j in range(len(preds)):
+                preds[j] = 0
+        for ci, by, bx in unit:
+            size = reader.read_symbol(dc_decs[ci])
+            if size > 15:
+                raise ValueError("DC magnitude category out of range")
+            preds[ci] += _extend(reader.read_bits(size), size)
+            coefs[ci][by, bx, 0] = preds[ci] << al
 
 
-def _dec_dc_refine(reader, coefs, blocks, al):
-    for ci, by, bx in blocks:
-        if reader.read_bit():
-            coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | (1 << al)
+def _dec_dc_refine(reader, coefs, units, al, ri=0):
+    for i, unit in enumerate(units):
+        n = _restart_due(i, ri)
+        if n is not None:
+            reader.sync_restart(n)
+        for ci, by, bx in unit:
+            if reader.read_bit():
+                coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | (
+                    1 << al
+                )
 
 
-def _dec_ac_first(reader, coef, cbh, cbw, ss, se, al, ac_dec, eobrun):
-    for by in range(cbh):
-        for bx in range(cbw):
-            if eobrun > 0:
-                eobrun -= 1
-                continue
-            k = ss
-            while k <= se:
-                sym = reader.read_symbol(ac_dec)
-                r, s = sym >> 4, sym & 0x0F
-                if s:
-                    k += r
-                    if k > se:
-                        raise ValueError("AC index overflow")
-                    coef[by, bx, k] = _extend(reader.read_bits(s), s) << al
-                    k += 1
-                elif r == 15:
-                    k += 16  # ZRL
-                else:
-                    eobrun = (1 << r) - 1  # current block included
-                    if r:
-                        eobrun += reader.read_bits(r)
-                    break
+def _dec_ac_first(reader, coef, cbh, cbw, ss, se, al, ac_dec, eobrun, ri=0):
+    blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
+    for i, (by, bx) in enumerate(blocks):
+        n = _restart_due(i, ri)
+        if n is not None:
+            reader.sync_restart(n)
+            eobrun = 0  # EOB runs cannot cross a restart boundary
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = reader.read_symbol(ac_dec)
+            r, s = sym >> 4, sym & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                coef[by, bx, k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+            elif r == 15:
+                k += 16  # ZRL
+            else:
+                eobrun = (1 << r) - 1  # current block included
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
     return eobrun
 
 
-def _dec_ac_refine(reader, coef, cbh, cbw, ss, se, al, ac_dec, eobrun):
+def _dec_ac_refine(
+    reader, coef, cbh, cbw, ss, se, al, ac_dec, eobrun, ri=0
+):
     """G.1.2.3 refinement walk, mirroring jdphuff/stb semantics: each
     symbol's advance-over loop refines already-nonzero coefficients
     (one correction bit each) while consuming `r` zero-history
@@ -427,43 +497,47 @@ def _dec_ac_refine(reader, coef, cbh, cbw, ss, se, al, ac_dec, eobrun):
         if reader.read_bit() and (v & p1) == 0:
             coef[by, bx, k] = v + (p1 if v >= 0 else m1)
 
-    for by in range(cbh):
-        for bx in range(cbw):
-            k = ss
-            if eobrun == 0:
-                while k <= se:
-                    sym = reader.read_symbol(ac_dec)
-                    r, s = sym >> 4, sym & 0x0F
-                    newval = 0
-                    if s:
-                        if s != 1:
-                            raise ValueError(
-                                "refinement magnitude must be 1"
-                            )
-                        newval = p1 if reader.read_bit() else m1
-                    elif r != 15:
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += reader.read_bits(r)
-                        break
-                    # advance: refine nonzero history, consume r zeros
-                    while k <= se:
-                        if coef[by, bx, k] != 0:
-                            refine(by, bx, k)
-                        else:
-                            if r == 0:
-                                break
-                            r -= 1
-                        k += 1
-                    if newval and k <= se:
-                        coef[by, bx, k] = newval
-                    k += 1
-            if eobrun > 0:
+    blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
+    for i, (by, bx) in enumerate(blocks):
+        n = _restart_due(i, ri)
+        if n is not None:
+            reader.sync_restart(n)
+            eobrun = 0  # EOB runs cannot cross a restart boundary
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = reader.read_symbol(ac_dec)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement magnitude must be 1"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # advance: refine nonzero history, consume r zeros
                 while k <= se:
                     if coef[by, bx, k] != 0:
                         refine(by, bx, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
                     k += 1
-                eobrun -= 1
+                if newval and k <= se:
+                    coef[by, bx, k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[by, bx, k] != 0:
+                    refine(by, bx, k)
+                k += 1
+            eobrun -= 1
     return eobrun
 
 
@@ -484,6 +558,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     mh = mw = hmax = vmax = 0
     preds: list[int] = []
     saw_scan = False
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -558,7 +633,7 @@ def decode_progressive(payload: bytes) -> np.ndarray:
         ):
             raise ValueError("mixed/unsupported frame in progressive stream")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if comps is None or coefs is None:
                 raise ValueError("SOS before SOF")
@@ -583,23 +658,22 @@ def decode_progressive(payload: bytes) -> np.ndarray:
                 if se != 0:
                     raise ValueError("DC scan must have Se = 0")
                 if len(scan) > 1:
-                    blocks = list(
-                        _mcu_blocks(
-                            mh, mw, [comps[ci] for ci, _d, _a in scan]
-                        )
+                    units = _mcu_units(
+                        mh, mw, [comps[ci] for ci, _d, _a in scan]
                     )
                     # scan component index → frame component index
                     remap = [ci for ci, _d, _a in scan]
-                    blocks = [
-                        (remap[ci], by, bx) for ci, by, bx in blocks
+                    units = [
+                        [(remap[ci], by, bx) for ci, by, bx in unit]
+                        for unit in units
                     ]
                 else:
                     ci = scan[0][0]
                     cbh, cbw = _comp_grid(
                         *dims, comps[ci][1], comps[ci][2], hmax, vmax
                     )
-                    blocks = [
-                        (ci, by, bx)
+                    units = [
+                        [(ci, by, bx)]
                         for by in range(cbh)
                         for bx in range(cbw)
                     ]
@@ -610,11 +684,16 @@ def decode_progressive(payload: bytes) -> np.ndarray:
                         if t is None:
                             raise ValueError("missing Huffman table")
                         dc_decs[ci] = t
-                    _dec_dc_first(reader, coefs, blocks, dc_decs, preds, al)
+                    _dec_dc_first(
+                        reader, coefs, units, dc_decs, preds, al,
+                        restart_interval,
+                    )
                 else:
                     if ah != al + 1:
                         raise ValueError("bad successive approximation")
-                    _dec_dc_refine(reader, coefs, blocks, al)
+                    _dec_dc_refine(
+                        reader, coefs, units, al, restart_interval
+                    )
             else:
                 if len(scan) != 1:
                     raise ValueError("AC scans must be non-interleaved")
@@ -627,13 +706,15 @@ def decode_progressive(payload: bytes) -> np.ndarray:
                 )
                 if ah == 0:
                     _dec_ac_first(
-                        reader, coefs[ci], cbh, cbw, ss, se, al, ac_dec, 0
+                        reader, coefs[ci], cbh, cbw, ss, se, al, ac_dec,
+                        0, restart_interval,
                     )
                 else:
                     if ah != al + 1:
                         raise ValueError("bad successive approximation")
                     _dec_ac_refine(
-                        reader, coefs[ci], cbh, cbw, ss, se, al, ac_dec, 0
+                        reader, coefs[ci], cbh, cbw, ss, se, al, ac_dec,
+                        0, restart_interval,
                     )
             saw_scan = True
             continue

@@ -583,7 +583,13 @@ def multimodal_progressive_jpeg(
                 d = int(d)
                 w, h = 16 + d % 64, 16 + (d // 64) % 64
                 img = block_constant_pattern(d, w, h)
-                payload = encode_jpeg_progressive(img, al=d % 4)
+                # cycle approximation depth AND restart interval per
+                # doc: both reorganize only the entropy stream, so the
+                # closed-form oracle is unchanged while the driver row
+                # certifies every scan type with and without RSTn
+                payload = encode_jpeg_progressive(
+                    img, al=d % 4, restart_interval=d % 3
+                )
                 arr = decode_jpeg_gray(payload).astype(np.int64)
                 flat = arr.ravel()
                 rows.append(

@@ -294,3 +294,50 @@ class TestGatesAndCorruption:
         # truncations at every length
         for cut in range(2, len(payload), 5):
             try_decode_media(bytes(payload[:cut]))
+
+
+class TestProgressiveRestartIntervals:
+    @pytest.mark.parametrize("ri", [1, 3, 5])
+    @pytest.mark.parametrize("al", [0, 1, 2])
+    def test_gray_equals_no_restart(self, ri, al):
+        rng = np.random.default_rng(ri * 10 + al)
+        img = rng.integers(0, 256, size=(33, 41)).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg_progressive(img, al=al))
+        b = decode_jpeg(
+            encode_jpeg_progressive(img, al=al, restart_interval=ri)
+        )
+        assert (a == b).all()
+
+    @pytest.mark.parametrize("subsample", [False, True, "422", "440"])
+    def test_color_equals_baseline(self, subsample):
+        rng = np.random.default_rng(hash(str(subsample)) % 97)
+        img = rng.integers(0, 256, size=(25, 41, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_color(img, subsample=subsample))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, subsample=subsample, al=1, restart_interval=2
+            )
+        )
+        assert (base == prog).all()
+
+    def test_corrupt_rst_sequence_is_data_not_crash(self):
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+        payload = bytearray(
+            encode_jpeg_progressive(img, al=1, restart_interval=1)
+        )
+        i = bytes(payload).find(b"\xff\xd0")
+        assert i >= 0
+        payload[i + 1] = 0xD6  # out-of-sequence restart number
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
+        assert try_decode_media(bytes(payload)) is None
+        # and mutations anywhere never escape the per-row contract
+        for pos in range(0, len(payload), 6):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0xA5
+            try_decode_media(bytes(mutated))
