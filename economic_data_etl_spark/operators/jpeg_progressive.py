@@ -99,6 +99,11 @@ def _pt_ac(v: int, al: int) -> int:
     return m if v >= 0 else -m
 
 
+def _pt_ac_band(band: np.ndarray, al: int) -> np.ndarray:
+    """Vectorized _pt_ac over a coefficient band (exact integer ops)."""
+    return np.where(band >= 0, band >> al, -((-band) >> al))
+
+
 def _quantize_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """(H, W) float64 plane (H, W multiples of 8) → (bh, bw, 64) int32
     quantized coefficients in ZIGZAG order. Per-block with the exact
@@ -198,28 +203,31 @@ def _enc_ac_first(coef, cbh, cbw, ss, se, al, ac_enc, ri=0) -> bytes:
     Restart intervals count BLOCKS in non-interleaved scans."""
     w = _BitWriter()
     blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
+    eob_code, eob_len = ac_enc[0x00]
     for i, (by, bx) in enumerate(blocks):
         n = _restart_due(i, ri)
         if n is not None:
             w.restart(n)
+        band = _pt_ac_band(coef[by, bx, ss : se + 1], al)
+        nz = np.flatnonzero(band)
+        if nz.size == 0:  # all-zero band: lone EOB
+            w.write(eob_code, eob_len)
+            continue
         run = 0
-        for k in range(ss, se + 1):
-            v = _pt_ac(int(coef[by, bx, k]), al)
-            if v == 0:
-                run += 1
-                continue
+        prev = -1
+        for idx in nz:
+            run = int(idx) - prev - 1
+            prev = int(idx)
             while run >= 16:
                 code, length = ac_enc[0xF0]  # ZRL
                 w.write(code, length)
                 run -= 16
-            size, bits = _magnitude(v)
+            size, bits = _magnitude(int(band[idx]))
             code, length = ac_enc[(run << 4) | size]
             w.write(code, length)
             w.write(bits, size)
-            run = 0
-        if run:
-            code, length = ac_enc[0x00]  # EOB (run of 1)
-            w.write(code, length)
+        if int(nz[-1]) < se - ss:
+            w.write(eob_code, eob_len)  # trailing zeros: EOB (run of 1)
     return w.flush()
 
 
@@ -237,13 +245,19 @@ def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc, ri=0) -> bytes:
         n_rst = _restart_due(_i, ri)
         if n_rst is not None:
             w.restart(n_rst)
-        vals = [int(coef[by, bx, k]) for k in range(ss, se + 1)]
-        now = [_pt_ac(v, al) for v in vals]
-        hist = [_pt_ac(v, ah) != 0 for v in vals]
-        newly = [i for i, v in enumerate(now) if abs(v) == 1]
+        band = coef[by, bx, ss : se + 1]
+        now = _pt_ac_band(band, al)
+        hist = _pt_ac_band(band, ah) != 0
+        newly = np.flatnonzero(np.abs(now) == 1)
+        if newly.size == 0 and not hist.any():
+            # nothing in this block's band: lone EOB closes it
+            code, length = ac_enc[0x00]
+            w.write(code, length)
+            continue
+        corr = (np.abs(band) >> al) & 1
 
         def corr_bit(i: int) -> int:
-            return (abs(vals[i]) >> al) & 1
+            return int(corr[i])
 
         pos = 0  # index into the band (0 == Ss)
         for target in newly:
@@ -533,10 +547,10 @@ def _dec_ac_refine(
                     coef[by, bx, k] = newval
                 k += 1
         if eobrun > 0:
-            while k <= se:
-                if coef[by, bx, k] != 0:
-                    refine(by, bx, k)
-                k += 1
+            # refine every remaining nonzero coefficient in the band
+            # (ascending — the same order the scalar walk took)
+            for k2 in np.flatnonzero(coef[by, bx, k : se + 1]):
+                refine(by, bx, k + int(k2))
             eobrun -= 1
     return eobrun
 
