@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_decode_metadata",
     "multimodal_real_pixel_decode",
     "multimodal_jpeg_decode",
+    "multimodal_color_jpeg_decode",
     "multimodal_progressive_jpeg",
     "multimodal_video_frames",
     "multimodal_g711_audio_decode",

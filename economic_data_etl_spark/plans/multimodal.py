@@ -613,6 +613,186 @@ def multimodal_progressive_jpeg(
 
 
 @register(
+    "multimodal_color_jpeg_decode",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h
+            FROM documents
+        ),
+        tiles AS (
+            -- 16x16-aligned constant-color tiles: constant 8x8 blocks
+            -- in EVERY sampling layout (4:4:4/4:2:0/4:2:2/4:4:0), and
+            -- chroma 2x2/1x2/2x1 means never straddle a tile, so the
+            -- whole lossy pipeline collapses to per-tile constants
+            SELECT b.doc_id, b.w, b.h, tx.tx, ty.ty,
+                   LEAST(16, b.w - tx.tx * 16) AS nx,
+                   LEAST(16, b.h - ty.ty * 16) AS ny
+            FROM base b,
+                 UNNEST(range(0, (b.w + 15) // 16)) AS tx(tx),
+                 UNNEST(range(0, (b.h + 15) // 16)) AS ty(ty)
+        ),
+        consts AS (
+            SELECT *,
+                   (tx + 2 * ty + doc_id) % 256       AS r0,
+                   (3 * tx + ty + 5 * doc_id) % 256   AS g0,
+                   (2 * tx + 3 * ty + 7 * doc_id) % 256 AS b0
+            FROM tiles
+        ),
+        ycc AS (
+            -- the codec's rgb_to_ycbcr, verbatim: same literals, same
+            -- left-associated IEEE double ops, same biased floor —
+            -- DuckDB computes the bit-identical result
+            SELECT *,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5 + 1e-6
+                ) AS BIGINT))) AS yv,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
+                    + 0.5 + 1e-6
+                ) AS BIGINT))) AS cbv,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
+                    + 0.5 + 1e-6
+                ) AS BIGINT))) AS crv
+            FROM consts
+        ),
+        dec AS (
+            -- per-plane DC quantize/dequantize chain (luma and chroma
+            -- DC quantizers are both the odd 17 -> tie-free)
+            SELECT *,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    FLOOR(8 * (yv - 128) / 17 + 0.5 + 1e-6)
+                    * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT) + 128)) AS yd,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    FLOOR(8 * (cbv - 128) / 17 + 0.5 + 1e-6)
+                    * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT) + 128)) AS cbd,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    FLOOR(8 * (crv - 128) / 17 + 0.5 + 1e-6)
+                    * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT) + 128)) AS crd
+            FROM ycc
+        ),
+        rgb AS (
+            -- the codec's ycbcr_to_rgb, verbatim
+            SELECT *,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    yd + 1.402 * (crd - 128) + 0.5 + 1e-6
+                ) AS BIGINT))) AS vr,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128)
+                    + 0.5 + 1e-6
+                ) AS BIGINT))) AS vg,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                    yd + 1.772 * (cbd - 128) + 0.5 + 1e-6
+                ) AS BIGINT))) AS vb
+            FROM dec
+        ),
+        contrib AS (
+            -- flat C-order index of pixel (y, x, c) is (y*w + x)*3 + c;
+            -- per-tile sums of the index need only the arithmetic
+            -- series over the tile's rows/cols
+            SELECT doc_id, w, h, nx, ny, vr, vg, vb,
+                   16 * tx * nx + (nx * (nx - 1)) // 2 AS sx,
+                   16 * ty * ny + (ny * (ny - 1)) // 2 AS sy
+            FROM rgb
+        )
+        SELECT doc_id,
+               CAST(SUM(3 * nx * ny) AS BIGINT) AS n_values,
+               CAST(SUM(nx * ny * (vr + vg + vb)) AS BIGINT) AS val_sum,
+               CAST(SUM(nx * ny * (vr * vr + vg * vg + vb * vb))
+                    AS BIGINT) AS val_sumsq,
+               CAST(SUM(3 * (w * sy * nx + sx * ny) * (vr + vg + vb)
+                        + nx * ny * (vg + 2 * vb))
+                    AS BIGINT) AS val_possum
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL color-JPEG decode certified cross-engine — the first "
+    "driver row through the full chroma pipeline (RGB->YCbCr with the "
+    "codec's biased rounding, per-layout chroma reduction, separate "
+    "luma/chroma tables, interleaved MCUs, replicate upsampling, "
+    "YCbCr->RGB): each doc is a 16x16-tile block-constant COLOR image "
+    "whose sampling layout cycles 4:4:4/4:2:0/4:2:2/4:4:0 and restart "
+    "interval cycles 0-2 with doc_id. On that subspace every AC "
+    "coefficient is exactly zero in every plane and the chroma means "
+    "are exact, so the decode collapses to per-tile constants DuckDB "
+    "computes by running the VERBATIM color-transform float "
+    "expressions (same literals, same op order -> bit-identical IEEE "
+    "doubles) plus the odd-17 DC chain; the oracle aggregates "
+    "per-tile via arithmetic series instead of per-pixel rows. A "
+    "chroma-swap, wrong-table, upsample-shift, or sampling-factor bug "
+    "changes the sums and fails the value hash.",
+)
+def multimodal_color_jpeg_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_color_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        modes = ("444", "420", "422", "440")
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                tx = (np.arange(w) // 16)[None, :]
+                ty = (np.arange(h) // 16)[:, None]
+                img = np.stack(
+                    [
+                        (tx + 2 * ty + d) % 256,
+                        (3 * tx + ty + 5 * d) % 256,
+                        (2 * tx + 3 * ty + 7 * d) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payload = encode_jpeg_color(
+                    img, subsample=modes[d % 4], restart_interval=d % 3
+                )
+                arr = decode_jpeg(payload).astype(np.int64)
+                flat = arr.ravel()  # C-order (y, x, channel)
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_color_reduce, schema).orderBy("doc_id")
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
         WITH base AS (
