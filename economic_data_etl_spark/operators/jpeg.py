@@ -87,6 +87,10 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 _ZIGZAG = _zigzag_order()
+# flat (row*8+col) indices in zigzag order — lets the per-block
+# (de)zigzag be one vectorized gather/scatter instead of a 64-step
+# Python loop (pure integer reindexing, no float-path change)
+_ZIG_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG])
 
 # All-odd quantization table (standard luminance table rounded up to
 # odd): oddness kills rounding ties in the DC path (module docstring).
@@ -445,7 +449,7 @@ def _encode_block(
     predictor."""
     coeff = _M @ (block - 128.0) @ _M.T
     levels = _round_half_up(coeff / qtab).astype(np.int64)
-    zz = [int(levels[r, c]) for r, c in _ZIGZAG]
+    zz = [int(v) for v in levels.ravel()[_ZIG_FLAT]]
     diff = zz[0] - prev_dc
     size, bits = _magnitude(diff)
     code, length = dc_enc[size]
@@ -508,9 +512,9 @@ def _decode_block(
             raise ValueError("AC index overflow")
         zz[i] = _extend(reader.read_bits(size), size)
         i += 1
-    levels = np.zeros((8, 8), dtype=np.int64)
-    for j, (r, c) in enumerate(_ZIGZAG):
-        levels[r, c] = zz[j]
+    levels = np.zeros(64, dtype=np.int64)
+    levels[_ZIG_FLAT] = zz
+    levels = levels.reshape(8, 8)
     block = _M.T @ (levels * qtab).astype(np.float64) @ _M
     pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
     return pixels.astype(np.uint8), prev_dc

@@ -55,6 +55,7 @@ import numpy as np
 
 from economic_data_etl_spark.operators.jpeg import (
     _AC_BITS,
+    _ZIG_FLAT,
     _AC_BITS_C,
     _AC_ENC,
     _AC_ENC_C,
@@ -116,7 +117,7 @@ def _quantize_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
             block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             coeff = _M @ (block - 128.0) @ _M.T
             levels = _round_half_up(coeff / qtab).astype(np.int64)
-            out[by, bx] = [int(levels[r, c]) for r, c in _ZIGZAG]
+            out[by, bx] = levels.ravel()[_ZIG_FLAT]
     return out
 
 
@@ -746,10 +747,9 @@ def decode_progressive(payload: bytes) -> np.ndarray:
         plane = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
         for by in range(nbh):
             for bx in range(nbw):
-                zz = coefs[ci][by, bx]
-                levels = np.zeros((8, 8), dtype=np.int64)
-                for j, (r, c) in enumerate(_ZIGZAG):
-                    levels[r, c] = zz[j]
+                levels = np.zeros(64, dtype=np.int64)
+                levels[_ZIG_FLAT] = coefs[ci][by, bx]
+                levels = levels.reshape(8, 8)
                 block = _M.T @ (levels * q).astype(np.float64) @ _M
                 pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
