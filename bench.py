@@ -62,6 +62,7 @@ HEADLINE = [
     "multimodal_color_jpeg_decode",
     "multimodal_progressive_jpeg",
     "multimodal_video_frames",
+    "multimodal_gif_animation",
     "multimodal_g711_audio_decode",
     "train_val_test_split",
     "variant_typed_extraction",

@@ -590,6 +590,47 @@ def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
     )
 
 
+# KSDATAFORMAT_SUBTYPE_* GUID suffix shared by all standard WAV
+# subformats (PCM/float/G.711/ADPCM): 00000010-8000-00aa-00389b71
+_WAVE_SUBFORMAT_SUFFIX = bytes(
+    [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+     0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
+
+def encode_wav_extensible(
+    samples: "np.ndarray", rate: int, channels: int = 1
+) -> bytes:
+    """encode_wav twin emitting a WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt
+    chunk with the PCM subformat GUID — the header layout modern
+    multi-channel/high-depth encoders write; exists to certify the
+    decoder's extensible path."""
+    data = samples.astype("<i2").tobytes()
+    # base fields, then cbSize=22, wValidBitsPerSample=16,
+    # dwChannelMask=3, then the 16-byte SubFormat GUID
+    # (tag 0x0001 little-endian + fixed suffix)
+    fmt = (
+        struct.pack(
+            "<HHIIHH", 0xFFFE, channels, rate, rate * 2 * channels,
+            2 * channels, 16,
+        )
+        + struct.pack("<HHI", 22, 16, 3)
+        + struct.pack("<H", 0x0001)
+        + _WAVE_SUBFORMAT_SUFFIX
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + 24 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode PCM 8/16-bit WAV → (sample_rate, samples[int16/uint8] of
     shape (n, channels)). Walks RIFF chunks, so extra chunks (LIST,
@@ -616,6 +657,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         # a corrupt fmt chunk declaring nChannels=0 would hit
         # ZeroDivisionError in the frame-count division below
         raise ValueError("WAV declares zero channels")
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format tag moves into the SubFormat GUID's first
+        # two bytes; the remaining 14 bytes must be the fixed media-
+        # subtype suffix. Common in >2-channel and >16-bit files.
+        if len(fmt_body) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE header")
+        if fmt_body[26:40] != _WAVE_SUBFORMAT_SUFFIX:
+            raise NotImplementedError("non-standard WAV subformat GUID")
+        (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
     if audio_fmt == 1 and bits in (8, 16):
         dt = np.uint8 if bits == 8 else np.dtype("<i2")
         arr = np.frombuffer(data, dt)
@@ -1104,6 +1154,180 @@ def decode_mjpeg_avi(payload: bytes) -> list[np.ndarray]:
 # --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
+def _gif_lzw_blocks(indices: bytes) -> bytes:
+    """LZW-compress pixel indices and wrap in GIF sub-blocks."""
+    lzw = _lzw_compress(indices, 8)
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return bytes(blocks)
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray],
+    transparent: int = 0,
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode full-canvas (h, w) uint8 index frames as an animated
+    GIF89a (256-gray global palette) the way real encoders do: frame 0
+    ships whole, every later frame ships only the BOUNDING RECT of its
+    changes, with unchanged pixels inside the rect marked with the
+    `transparent` index (disposal 1 = do-not-dispose, so the previous
+    composite shows through). Frames therefore must never use the
+    transparent index as a real value. The decoder must composite
+    sub-rect deltas over the accumulated canvas to reconstruct the
+    originals — pinned by round-trip tests."""
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    h, w = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("frames must share one shape")
+        if (f == transparent).any():
+            raise ValueError("frames must not use the transparent index")
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, transparent, 0)
+        + palette
+    )
+    prev = None
+    for fi, frame in enumerate(frames):
+        frame = frame.astype(np.uint8)
+        if prev is None:
+            rect = (0, 0, w, h)
+            patch = frame
+            tflag = 0
+        else:
+            changed = frame != prev
+            ys, xs = np.nonzero(changed)
+            if ys.size == 0:  # identical frame: 1x1 transparent patch
+                rect, tflag = (0, 0, 1, 1), 1
+                patch = np.full((1, 1), transparent, np.uint8)
+            else:
+                y0, y1 = int(ys.min()), int(ys.max()) + 1
+                x0, x1 = int(xs.min()), int(xs.max()) + 1
+                rect, tflag = (x0, y0, x1 - x0, y1 - y0), 1
+                patch = np.where(
+                    changed[y0:y1, x0:x1],
+                    frame[y0:y1, x0:x1],
+                    np.uint8(transparent),
+                )
+        x0, y0, rw, rh = rect
+        out += bytes([0x21, 0xF9, 0x04])  # GCE: disposal 1
+        out += bytes([(1 << 2) | tflag])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transparent, 0x00])
+        out += b"\x2c" + struct.pack("<HHHHB", x0, y0, rw, rh, 0)
+        out += _gif_lzw_blocks(patch.tobytes())
+        prev = frame
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode ALL frames of a (possibly animated) GIF with real
+    compositing — sub-rectangle placement, per-frame local palettes,
+    transparency (GCE flag + index), and disposal methods 0/1 (leave)
+    and 2 (restore region to background). Returns a list of full-canvas
+    uint8 (h, w, 3) composites, one per image block. Disposal 3
+    (restore-to-previous) raises NotImplementedError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    _check_pixel_budget(sw, sh)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gpal[bg] if gpal is not None and bg < len(gpal) else
+        np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    disposal, tflag, tindex = 0, 0, 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # GCE
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                tflag = gflags & 0x01
+                tindex = payload[pos + 4]
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if pal is None:
+                raise ValueError("GIF image without a palette")
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF image exceeds logical screen")
+            _check_pixel_budget(w, h)
+            # total composited output is frames x canvas: keep the
+            # accumulation inside the decode byte budget too
+            _check_pixel_budget(sw, sh, frames=len(frames) + 1)
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), min_code, max_out=w * h),
+                np.uint8,
+            )
+            if idx.size < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rows = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:
+                out = np.empty_like(rows)
+                out[_gif_interlace_order(h)] = rows
+                rows = out
+            region = canvas[top : top + h, left : left + w]
+            if tflag:
+                mask = rows != tindex
+                region[mask] = pal[rows[mask]]
+            else:
+                region[:] = pal[rows]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore region to background
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:
+                raise NotImplementedError(
+                    "GIF disposal 3 (restore to previous)"
+                )
+            disposal, tflag, tindex = 0, 0, 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return frames
+
+
 def png_palette() -> np.ndarray:
     """The 256-entry test palette for color-type-3 PNGs:
     palette[i] = (i, (2i) % 256, (3i) % 256). Channels genuinely

@@ -793,6 +793,127 @@ def multimodal_color_jpeg_decode(
 
 
 @register(
+    "multimodal_gif_animation",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h,
+                   2 + doc_id % 3 AS nf
+            FROM documents
+        ),
+        px AS (
+            -- frame 0 ships whole: v = (x + 2y + d) % 255 + 1 (values
+            -- 1..255; index 0 is the transparent index). Later frames
+            -- update ONLY the right half's alternating checkerboard
+            -- ((x + y + f) even), so a pixel's value at frame f is the
+            -- base advanced to its LAST update: f - ((x + y + f) % 2).
+            -- The left half never changes after frame 0.
+            SELECT b.doc_id, b.w, b.h, b.nf, f.f, y.y, x.x,
+                   CASE
+                       WHEN f.f = 0 OR x.x < b.w // 2
+                           THEN (x.x + 2 * y.y + b.doc_id) % 255 + 1
+                       ELSE (x.x + 2 * y.y + b.doc_id + f.f
+                             - ((x.x + y.y + f.f) % 2)) % 255 + 1
+                   END AS v
+            FROM base b,
+                 UNNEST(range(0, b.nf)) AS f(f),
+                 UNNEST(range(0, b.h)) AS y(y),
+                 UNNEST(range(0, b.w)) AS x(x)
+        )
+        SELECT doc_id,
+               CAST(3 * COUNT(*) AS BIGINT) AS n_values,
+               CAST(3 * SUM(v) AS BIGINT) AS val_sum,
+               CAST(3 * SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM((9 * ((f * h + y) * w + x) + 3) * v)
+                    AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL animated-GIF decode certified cross-engine: each doc is "
+    "a 2-4 frame animation whose right half advances an alternating "
+    "checkerboard while the left half stays static. The encoder ships "
+    "frame 0 whole and every later frame as the BOUNDING RECT of its "
+    "changes with unchanged in-rect pixels transparent (disposal 1) — "
+    "the standard delta layout — so the Spark-side decode must walk "
+    "GCE extensions, composite sub-rect patches over the accumulated "
+    "canvas, and honor the transparent index to reconstruct full "
+    "frames. DuckDB computes the same per-frame pixel values from the "
+    "closed form (a pixel's value is its base advanced to its last "
+    "checkerboard update). A compositing bug — dropped transparency, "
+    "wrong rect origin, canvas reset between frames — changes the "
+    "position-weighted sums and fails the value hash.",
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.codecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_gif_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                nf = 2 + d % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = [((x + 2 * y + d) % 255 + 1).astype(np.uint8)]
+                # advance the right half's alternating checkerboard —
+                # the frames are built by the UPDATE RULE; the oracle
+                # holds the closed form the rule must converge to
+                for f in range(1, nf):
+                    nxt = frames[-1].copy()
+                    upd = ((x + y + f) % 2 == 0) & (x >= w // 2)
+                    nxt[upd] = (((x + 2 * y + d + f) % 255 + 1)[upd]).astype(
+                        np.uint8
+                    )
+                    frames.append(nxt)
+                payload = encode_gif_animated(frames)
+                arr = np.stack(
+                    decode_gif_frames(payload), axis=0
+                ).astype(np.int64)  # (nf, h, w, 3)
+                flat = arr.ravel()
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_gif_reduce, schema).orderBy("doc_id")
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
         WITH base AS (

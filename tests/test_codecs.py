@@ -709,3 +709,138 @@ class TestAdviceRegressionsR7:
         _check_pixel_budget(6000, 6000, bytes_per_pixel=1)
         with pytest.raises(ValueError):
             _check_pixel_budget(6000, 6000, bytes_per_pixel=8)
+
+
+class TestAnimatedGif:
+    """Animated GIF: sub-rect delta frames + transparency + disposal,
+    composited for real (decode_gif_frames)."""
+
+    @staticmethod
+    def _rgb(frame):
+        return np.stack([frame, frame, frame], axis=2)
+
+    def test_delta_roundtrip_reconstructs_full_frames(self):
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        rng = np.random.default_rng(7)
+        h, w = 24, 31
+        frames = [rng.integers(1, 256, size=(h, w)).astype(np.uint8)]
+        for _ in range(3):
+            nxt = frames[-1].copy()
+            mask = rng.random((h, w)) < 0.25
+            nxt[mask] = rng.integers(1, 256, size=int(mask.sum()))
+            frames.append(nxt)
+        frames.append(frames[-1].copy())  # identical frame corner
+        dec = decode_gif_frames(encode_gif_animated(frames))
+        assert len(dec) == len(frames)
+        for f, d in zip(frames, dec):
+            assert (d == self._rgb(f)).all()
+
+    def test_static_region_never_retransmitted(self):
+        # the encoder's bounding rect must exclude the static left half
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        h, w = 16, 32
+        base = (np.arange(h * w).reshape(h, w) % 255 + 1).astype(np.uint8)
+        f2 = base.copy()
+        f2[:, w // 2 :] = ((base[:, w // 2 :].astype(int) % 255) + 1).astype(
+            np.uint8
+        )
+        payload = encode_gif_animated([base, f2])
+        dec = decode_gif_frames(payload)
+        assert (dec[1] == self._rgb(f2)).all()
+        # second image descriptor's rect must start at the right half;
+        # locate it via the GCE that precedes it (raw 0x2c scans can
+        # collide with pixel bytes)
+        gces = [i for i in range(len(payload) - 1)
+                if payload[i] == 0x21 and payload[i + 1] == 0xF9]
+        assert len(gces) == 2
+        desc = payload[gces[1] + 8 : gces[1] + 17]
+        left, top, rw, rh = struct.unpack("<HHHH", desc[1:9])
+        assert left == w // 2 and rw == w // 2
+
+    def test_disposal_2_restores_background(self):
+        # handcrafted: bg index 5, frame 1 = full canvas, frame 2 =
+        # center 2x2 patch with disposal 2, frame 3 = another patch;
+        # frame 3's composite must show BACKGROUND where frame 2 drew
+        from economic_data_etl_spark.operators.codecs import (
+            _gif_lzw_blocks,
+            decode_gif_frames,
+        )
+
+        w = h = 6
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 5, 0) + palette
+        )
+        full = np.full((h, w), 9, np.uint8)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _gif_lzw_blocks(full.tobytes())
+        # GCE disposal=2 then a 2x2 patch of 77 at (2,2)
+        out += bytes([0x21, 0xF9, 0x04, 2 << 2, 0, 0, 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHHB", 2, 2, 2, 2, 0)
+        out += _gif_lzw_blocks(bytes([77] * 4))
+        # final 1x1 patch of 33 at (0,0), no disposal
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        out += _gif_lzw_blocks(bytes([33]))
+        out += b"\x3b"
+        f1, f2, f3 = decode_gif_frames(bytes(out))
+        assert (f2[2:4, 2:4] == 77).all()
+        assert (f3[2:4, 2:4] == 5).all()  # restored to background
+        assert (f3[0, 0] == 33).all()
+        assert (f3[4:, 4:] == 9).all()  # untouched canvas survives
+
+    def test_transparent_index_rejected_as_content(self):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_gif_animated,
+        )
+
+        with pytest.raises(ValueError, match="transparent"):
+            encode_gif_animated([np.zeros((4, 4), np.uint8)])
+
+    def test_mutations_never_escape_try_decode(self):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_gif_animated,
+        )
+
+        rng = np.random.default_rng(3)
+        frames = [
+            rng.integers(1, 256, size=(12, 15)).astype(np.uint8)
+            for _ in range(3)
+        ]
+        payload = bytearray(encode_gif_animated(frames))
+        for pos in range(0, len(payload), 9):
+            mutated = bytearray(payload)
+            mutated[pos] ^= 0x3C
+            try_decode_media(bytes(mutated))  # must not raise
+
+
+class TestExtensibleWav:
+    def test_extensible_pcm_roundtrip(self):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_wav_extensible,
+        )
+
+        sig = audio_pattern(11)
+        rate, arr = decode_wav(encode_wav_extensible(sig, 16000))
+        assert rate == 16000
+        assert (arr[:, 0] == sig).all()
+
+    def test_bad_subformat_guid_is_a_gate(self):
+        from economic_data_etl_spark.operators.codecs import (
+            encode_wav_extensible,
+        )
+
+        payload = bytearray(encode_wav_extensible(audio_pattern(2), 8000))
+        # corrupt a GUID suffix byte (fmt body starts at offset 20;
+        # suffix begins at fmt_body[26] -> absolute 46)
+        payload[46 + 5] ^= 0xFF
+        with pytest.raises(NotImplementedError):
+            decode_wav(bytes(payload))
+        assert try_decode_media(bytes(payload)) is None
