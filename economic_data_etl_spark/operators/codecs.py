@@ -1364,10 +1364,13 @@ def build_full_media(doc_id: int) -> bytes:
 def decode_media(payload: bytes) -> dict:
     """Sniff + really decode: {'format', 'data'} where data is the
     uint8 pixel array (images; GIF comes back palette-mapped (h, w, 3))
-    or int16 sample array (audio). Baseline grayscale JPEG decodes for
-    real (operators/jpeg.py — canonical Huffman + 8×8 DCT, no library);
-    only video and the non-baseline JPEG modes remain
-    NotImplementedError."""
+    or int16 sample array (audio). JPEG decodes for real — baseline
+    (operators/jpeg.py), progressive SOF2 (jpeg_progressive.py),
+    arithmetic-coded SOF9/SOF10 (jpeg_arithmetic.py /
+    jpeg_arith_progressive.py, QM coder), and lossless SOF3
+    (jpeg_lossless.py, DPCM) — so only inter-frame-predictive video
+    and the residual JPEG frames (hierarchical, arithmetic-lossless
+    SOF11) remain NotImplementedError."""
     if payload[:8] == _PNG_SIG:
         return {"format": "png", "data": decode_png(payload)}
     if payload[:2] == b"BM":

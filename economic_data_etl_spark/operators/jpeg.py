@@ -46,9 +46,15 @@ bit-identically in DuckDB SQL:
 Progressive (SOF2, Huffman) streams decode too — the multi-scan
 spectral-selection / successive-approximation path lives in
 jpeg_progressive.py and shares this module's tables, bit I/O, and
-per-block IDCT. What remains genuinely out of scope with no codec
-library: VIDEO (inter-frame prediction + entropy arithmetic far beyond
-a prefix code) and arithmetic-coded JPEG.
+per-block IDCT. Arithmetic-coded streams decode too — sequential
+(SOF9) via jpeg_arithmetic.py (T.81 Annex D QM coder + Annex F
+statistical models, also from scratch) and progressive (SOF10) via
+jpeg_arith_progressive.py — as do lossless (SOF3) streams via
+jpeg_lossless.py (Annex H DPCM prediction, exactly lossless). What
+remains genuinely out of scope with no codec library:
+inter-frame-predictive VIDEO (motion compensation, H.26x-class
+entropy layers); the untaken JPEG frames (hierarchical,
+arithmetic-lossless SOF11) stay documented gates.
 """
 
 from __future__ import annotations
@@ -713,13 +719,14 @@ def encode_jpeg_color(
 # Decoder
 # --------------------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a Huffman JPEG — baseline here, progressive (SOF2) via
-    jpeg_progressive.decode_progressive: single-component -> uint8
+    """Decode a JPEG — baseline here, progressive (SOF2) via
+    jpeg_progressive.decode_progressive, arithmetic sequential (SOF9)
+    via jpeg_arithmetic.decode_arithmetic: single-component -> uint8
     (h, w); 3-component YCbCr (4:4:4, 4:2:0, 4:2:2, 4:4:0) -> uint8
     (h, w, 3) RGB; DRI/RSTn restart intervals consumed with DC reset.
     Raises ValueError on malformed bytes and NotImplementedError on
-    the remaining capability gates (arithmetic coding, 4:1:1-class
-    sampling layouts)."""
+    the remaining capability gates (lossless/hierarchical/SOF10
+    frames, 4:1:1-class sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -759,12 +766,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
 
             return decode_progressive(payload)
+        elif marker == 0xC9:
+            # sequential DCT, arithmetic coding (SOF9): QM-coder path
+            # with its own parse loop
+            from economic_data_etl_spark.operators.jpeg_arithmetic import (
+                decode_arithmetic,
+            )
+
+            return decode_arithmetic(payload)
+        elif marker == 0xC3:
+            # lossless (SOF3): DPCM prediction + DC-style Huffman
+            from economic_data_etl_spark.operators.jpeg_lossless import (
+                decode_lossless,
+            )
+
+            return decode_lossless(payload)
+        elif marker == 0xCA:
+            # progressive DCT, arithmetic coding (SOF10)
+            from economic_data_etl_spark.operators import (
+                jpeg_arith_progressive as _jap,
+            )
+
+            return _jap.decode_arith_progressive(payload)
         elif marker in (
-            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            0xC1, 0xC5, 0xC6, 0xC7,
+            0xCB, 0xCD, 0xCE, 0xCF,
         ):
-            # every remaining non-SOF0 frame marker (extended/lossless,
-            # arithmetic-coded) is a CAPABILITY gate, not corrupt
+            # every remaining non-SOF0 frame marker (hierarchical,
+            # arithmetic-lossless) is a CAPABILITY gate, not corrupt
             # data — NotImplementedError by contract
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xC0:

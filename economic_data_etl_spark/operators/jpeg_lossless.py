@@ -1,0 +1,303 @@
+"""Lossless JPEG (ITU-T T.81 SOF3) codec from scratch.
+
+The third and last Huffman-entropy JPEG process: no DCT, no
+quantization — each sample is DPCM-predicted from already-decoded
+neighbors (T.81 Annex H's seven predictors) and the prediction error
+is coded with the SAME magnitude-category + appended-bits scheme the
+DC coefficients of the DCT modes use (SSSS 0..16, canonical Huffman
+table transmitted in DHT). Because the mode is exactly lossless, the
+certification story is the strongest of the codec family: decode must
+reproduce EVERY input image bit-for-bit, and the catalog query's
+DuckDB oracle computes pixel statistics of the closed-form input
+pattern directly — no rounding pins, no tie analysis, any single-bit
+defect anywhere in the pipeline changes the hash.
+
+Scope: 8-bit precision, point transform 0 (true lossless), grayscale
+and 3-component images (components coded independently in interleaved
+1x1 MCUs — lossless JPEG applies NO color transform, so (h, w, 3)
+arrays round-trip exactly as given), all seven predictors, restart
+intervals. Higher precisions (the mode allows 2..16-bit) and point
+transforms stay documented gates.
+
+Restart semantics (T.81 H.1.2.1): at the start of the scan and after
+each RSTn the DC-style prediction context resets — the next sample is
+predicted by 2^(P-1) = 128, the remainder of THAT line uses predictor
+Ra, and normal rules (first-of-line Rb, else the scan's selected
+predictor) resume from the next line. Encoder and decoder share this
+reading, and round-trip tests pin every (predictor, restart) pairing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from economic_data_etl_spark.operators.jpeg import (
+    _BitReader,
+    _BitWriter,
+    _canonical_codes,
+    _decode_table,
+    _JFIF_APP0,
+    _seg,
+)
+
+# 17 difference categories (SSSS 0..16). Category 16 is the special
+# "difference = 32768" symbol with no appended bits (T.81 H.1.2.2);
+# with 8-bit samples it is unreachable but kept for spec shape.
+_LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_LL_VALS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+# lengths: three 2-bit codes (0,1,2), then one code per length 3..16 —
+# Kraft sum 3/4 + sum_{3..16} 2^-k < 1, canonical-complete
+assert sum(_LL_BITS) == 17
+
+_LL_ENC = _canonical_codes(_LL_BITS, _LL_VALS)
+_LL_DEC = _decode_table(_LL_BITS, _LL_VALS)
+
+
+def _predict(
+    plane: np.ndarray,
+    y: int,
+    x: int,
+    sel: int,
+    seg_start: tuple[int, int],
+) -> int:
+    """T.81 Table H.1 prediction for sample (y, x) under selection
+    value `sel`, with the restart-segment start at seg_start (the
+    sample predicted by 128; its line continues with Ra)."""
+    sy, sx = seg_start
+    if (y, x) == (sy, sx):
+        return 128  # 2^(P-1), scan/restart start
+    if y == sy and x > sx:
+        return int(plane[y, x - 1])  # first segment line: Ra
+    if x == 0:
+        return int(plane[y - 1, x])  # first sample of a line: Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _wrap_diff(d: int) -> int:
+    """Prediction arithmetic is modulo 2^16 (T.81 H.1.2.1); keep the
+    coded difference in [-32768, 32767]."""
+    return ((d + 32768) & 0xFFFF) - 32768
+
+
+def _encode_diff(writer: _BitWriter, diff: int) -> None:
+    if diff == -32768:
+        code, length = _LL_ENC[16]  # category 16: no appended bits
+        writer.write(code, length)
+        return
+    if diff == 0:
+        code, length = _LL_ENC[0]
+        writer.write(code, length)
+        return
+    size = int(abs(diff)).bit_length()
+    bits = diff if diff >= 0 else diff + (1 << size) - 1
+    code, length = _LL_ENC[size]
+    writer.write(code, length)
+    writer.write(bits, size)
+
+
+def _decode_diff(reader: _BitReader, table: dict) -> int:
+    size = reader.read_symbol(table)
+    if size == 16:
+        return 32768  # == -32768 mod 2^16
+    if size == 0:
+        return 0
+    bits = reader.read_bits(size)
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) or (h, w, 3) uint8 as a lossless (SOF3) JPEG.
+    `predictor` selects T.81 Table H.1 (1..7); `restart_interval` is
+    counted in MCUs (= sample positions, all components). No color
+    transform: 3-channel input round-trips exactly as given."""
+    if predictor not in range(1, 8):
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if img.ndim == 2:
+        planes = [img.astype(np.int64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, i].astype(np.int64) for i in range(3)]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) image")
+    h, w = planes[0].shape
+    writer = _BitWriter()
+    seg_start = (0, 0)
+    mcu_index = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                writer.restart((mcu_index // restart_interval - 1) % 8)
+                seg_start = (y, x)
+            mcu_index += 1
+            for plane in planes:
+                pred = _predict(plane, y, x, predictor, seg_start)
+                _encode_diff(
+                    writer, _wrap_diff(int(plane[y, x]) - pred)
+                )
+    entropy = writer.flush()
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+    )
+    dht = bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    # SOS: every component uses DC table 0; Ss = predictor selection,
+    # Se = 0, Ah/Al = 0 (no point transform)
+    sos = (
+        bytes([ncomp])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+        + bytes([predictor, 0, 0])
+    )
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _JFIF_APP0)
+        + _seg(0xFFC3, sof)
+        + _seg(0xFFC4, dht)
+        + dri
+        + _seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def decode_lossless(payload: bytes) -> np.ndarray:
+    """Decode a lossless (SOF3) JPEG: (h, w) uint8 for one component,
+    (h, w, 3) for three (no color transform — exact sample recovery).
+    Raises ValueError on malformed bytes and NotImplementedError on
+    the documented gates (non-8-bit precision, point transform,
+    subsampled components)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    huff: dict[int, dict] = {}
+    comps = None
+    dims = None
+    entropy = None
+    predictor = None
+    scan_tables = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xC3:
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    "non-8-bit lossless precision"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, samp, _tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless components"
+                    )
+                comps.append(cid)
+            dims = (h, w)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                if (tc_th >> 4) == 0:  # lossless scans use DC-class
+                    huff[tc_th & 0x0F] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cid] = tsel >> 4
+            predictor = body[1 + 2 * ns]
+            al = body[3 + 2 * ns] & 0x0F
+            if al != 0:
+                raise NotImplementedError("lossless point transform")
+            entropy_start = pos + 2 + ln
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            entropy = payload[entropy_start:end]
+            break
+        pos += 2 + ln
+    if comps is None or dims is None or scan_tables is None:
+        raise ValueError("missing SOF/SOS")
+    if entropy is None:
+        raise ValueError("missing entropy data")
+    if predictor not in range(1, 8):
+        raise ValueError("invalid lossless predictor selection")
+    h, w = dims
+    from economic_data_etl_spark.operators.codecs import (
+        _check_pixel_budget,
+    )
+
+    _check_pixel_budget(w, h, frames=len(comps))
+    tables = []
+    for cid in comps:
+        sel = scan_tables.get(cid)
+        if sel is None or sel not in huff:
+            raise ValueError("missing Huffman table")
+        tables.append(huff[sel])
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    reader = _BitReader(entropy)
+    seg_start = (0, 0)
+    mcu_index = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                reader.sync_restart(
+                    (mcu_index // restart_interval - 1) % 8
+                )
+                seg_start = (y, x)
+            mcu_index += 1
+            for plane, table in zip(planes, tables):
+                pred = _predict(plane, y, x, predictor, seg_start)
+                diff = _decode_diff(reader, table)
+                plane[y, x] = (pred + diff) & 0xFF
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    return np.stack(planes, axis=2).astype(np.uint8)

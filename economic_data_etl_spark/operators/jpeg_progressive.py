@@ -43,8 +43,10 @@ DuckDB oracle computes (catalog query multimodal_progressive_jpeg).
 Reference scope note: the reference repo (pandas/requests ETL) has no
 codecs at all — this module exists for the multimodal corpus-decode
 surface, where progressive JPEGs are common in web-crawled images.
-What remains genuinely out of scope without a codec library:
-arithmetic-coded JPEG and inter-frame-predictive video.
+The arithmetic-coded sibling processes live in jpeg_arithmetic.py
+(SOF9) and jpeg_arith_progressive.py (SOF10, which reuses this
+module's scan orchestration); what remains genuinely out of scope
+without a codec library is inter-frame-predictive video.
 """
 
 from __future__ import annotations

@@ -496,6 +496,234 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_arithmetic_jpeg",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h
+            FROM documents
+        ), px AS (
+            -- identical closed form to multimodal_jpeg_decode: the
+            -- arithmetic codec shares the baseline's quantization and
+            -- IDCT, so on block-constant images the decoded pixels
+            -- are the same DC chain — what this row adds under the
+            -- value hash is the ENTIRE SOF9 entropy layer (QM coder,
+            -- Annex F statistical models, conditioning contexts,
+            -- byte stuffing, arithmetic restart re-initialization).
+            SELECT b.doc_id, b.w,
+                   y.y * b.w + x.x AS p,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR(
+                           FLOOR(8 * (((x.x // 8) + 2 * (y.y // 8)
+                                       + b.doc_id) % 256 - 128)
+                                 / 17 + 0.5 + 1e-6)
+                           * 17 / 8.0 + 0.5 + 1e-6) AS BIGINT)
+                       + 128)) AS v
+            FROM base b,
+                 UNNEST(range(0, b.w)) AS x(x),
+                 UNNEST(range(0, b.h)) AS y(y)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM(p * v) AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL arithmetic-coded JPEG decode — BOTH processes — "
+    "certified cross-engine with no codec library: even doc_ids get "
+    "a sequential SOF9 file (operators/jpeg_arithmetic.py — T.81 "
+    "Annex D QM coder with its 113-state probability estimator, "
+    "Annex F DC/AC statistical models with adaptive context bins, "
+    "DAC conditioning, 0xFF byte stuffing), odd doc_ids a "
+    "PROGRESSIVE SOF10 file (operators/jpeg_arith_progressive.py — "
+    "spectral-selection bands + successive-approximation ladders "
+    "Al 0-3 re-entropy-coded through the same QM coder, per-scan "
+    "statistics resets). Both share the baseline codec's "
+    "quantization/IDCT, so the oracle is the identical DC closed "
+    "form of multimodal_jpeg_decode and every decoded pixel "
+    "difference would be an entropy-layer bug. The restart cycle "
+    "additionally pins arithmetic restart handling: coder flush + "
+    "RSTn + full statistics re-initialization, in every scan of the "
+    "progressive script. The general paths are certified by bitwise "
+    "round-trip equality with the baseline decode on random images "
+    "(tests/test_jpeg_arithmetic.py, "
+    "tests/test_jpeg_arith_progressive.py).",
+)
+def multimodal_arithmetic_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.jpeg import (
+        block_constant_pattern,
+        decode_jpeg_gray,
+    )
+    from economic_data_etl_spark.operators.jpeg_arith_progressive import (
+        encode_jpeg_arith_progressive,
+    )
+    from economic_data_etl_spark.operators.jpeg_arithmetic import (
+        encode_jpeg_arith_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_arith_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 64, 16 + (d // 64) % 64
+                img = block_constant_pattern(d, w, h)
+                if d % 2 == 0:  # sequential SOF9
+                    payload = encode_jpeg_arith_gray(
+                        img, restart_interval=d % 4
+                    )
+                else:  # progressive SOF10, Al ladder cycles 0..3
+                    payload = encode_jpeg_arith_progressive(
+                        img,
+                        al=(d // 2) % 4,
+                        restart_interval=d % 4,
+                    )
+                arr = decode_jpeg_gray(payload).astype(np.int64)
+                flat = arr.ravel()
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_arith_reduce, schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_lossless_jpeg",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS w,
+                   16 + (doc_id // 64) % 64 AS h
+            FROM documents
+        ), px AS (
+            -- SOF3 is EXACTLY lossless, so the oracle is simply the
+            -- input pattern itself: v = (x + 2y + d) % 256. No
+            -- rounding pins, no tie analysis — any single-bit defect
+            -- in prediction, the mod-2^16 difference wrap, Huffman
+            -- coding, or restart resynchronization changes the sums.
+            SELECT b.doc_id, b.w,
+                   y.y * b.w + x.x AS p,
+                   (x.x + 2 * y.y + b.doc_id) % 256 AS v
+            FROM base b,
+                 UNNEST(range(0, b.w)) AS x(x),
+                 UNNEST(range(0, b.h)) AS y(y)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(v) AS BIGINT) AS val_sum,
+               CAST(SUM(v * v) AS BIGINT) AS val_sumsq,
+               CAST(SUM(p * v) AS BIGINT) AS val_possum
+        FROM px
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="REAL lossless JPEG (SOF3) decode certified cross-engine "
+    "(operators/jpeg_lossless.py — T.81 Annex H DPCM prediction with "
+    "all seven predictors, mod-2^16 difference arithmetic, DC-style "
+    "magnitude-category Huffman, restart context resets, no codec "
+    "library): each doc's gradient pattern is encoded with predictor "
+    "1 + doc_id % 7 and restart interval doc_id % 3, then decoded. "
+    "Because the mode is exactly lossless the oracle needs no "
+    "closed-form rounding analysis at all — it is the input pattern "
+    "itself — so the value hash certifies bit-exact recovery through "
+    "every predictor and the restart machinery across the corpus.",
+)
+def multimodal_lossless_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.codecs import gray_pattern
+    from economic_data_etl_spark.operators.jpeg import decode_jpeg
+    from economic_data_etl_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = (
+        "doc_id long, n_values long, val_sum long, "
+        "val_sumsq long, val_possum long"
+    )
+
+    def synth_lossless_reduce(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                arr = decode_jpeg(
+                    encode_jpeg_lossless(
+                        gray_pattern(d),
+                        predictor=1 + d % 7,
+                        restart_interval=d % 3,
+                    )
+                ).astype(np.int64)
+                flat = arr.ravel()
+                rows.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "val_sum",
+                    "val_sumsq", "val_possum",
+                ],
+            )
+
+    return docs.mapInPandas(synth_lossless_reduce, schema).orderBy("doc_id")
+
+
+@register(
     "multimodal_progressive_jpeg",
     oracle="""
         WITH base AS (

@@ -204,11 +204,12 @@ class TestJpegColor:
 class TestJpegRobustness:
     def test_profile_gates_raise_not_implemented(self):
         payload = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
-        # flip SOF0 (0xC0) to SOF9 (0xC9, arithmetic-coded sequential)
-        # — the remaining capability gate now that SOF2 (progressive)
-        # decodes for real (jpeg_progressive.py)
+        # flip SOF0 (0xC0) to SOF5 (0xC5, hierarchical) — the
+        # remaining capability gate now that SOF2 (progressive),
+        # SOF9 (arithmetic sequential) and SOF3 (lossless) decode
+        # for real
         idx = bytes(payload).find(b"\xff\xc0")
-        payload[idx + 1] = 0xC9
+        payload[idx + 1] = 0xC5
         with pytest.raises(NotImplementedError):
             decode_jpeg_gray(bytes(payload))
 

@@ -1,0 +1,151 @@
+"""Lossless JPEG (SOF3) certification tests.
+
+SOF3 is exactly lossless, so the contract is the strongest of the
+codec family: decode(encode(img)) must equal img BIT-FOR-BIT for
+arbitrary inputs, across all seven T.81 Annex H predictors, restart
+intervals, gray and 3-channel images. Hypothesis drives random images
+through random (predictor, restart) pairings; corrupt bytes must stay
+inside the ValueError/NotImplementedError contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from economic_data_etl_spark.operators.jpeg import decode_jpeg
+from economic_data_etl_spark.operators.jpeg_lossless import (
+    _LL_BITS,
+    decode_lossless,
+    encode_jpeg_lossless,
+)
+
+
+class TestTable:
+    def test_kraft_complete_prefix_code(self):
+        assert sum(_LL_BITS) == 17  # SSSS 0..16
+        kraft = sum(
+            n / (1 << (length + 1))
+            for length, n in enumerate(_LL_BITS)
+        )
+        assert kraft <= 1
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("predictor", range(1, 8))
+    def test_every_predictor_is_exact(self, predictor):
+        rng = np.random.default_rng(predictor)
+        img = rng.integers(0, 256, (21, 34), np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor))
+        assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize("ri", [1, 2, 5, 16])
+    def test_restart_intervals_are_exact(self, ri):
+        rng = np.random.default_rng(ri)
+        img = rng.integers(0, 256, (19, 23), np.uint8)
+        out = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=4, restart_interval=ri)
+        )
+        assert np.array_equal(out, img)
+
+    def test_color_has_no_color_transform(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (14, 15, 3), np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=7))
+        assert np.array_equal(out, img)  # exact, unlike any DCT mode
+
+    def test_extreme_values_and_single_pixel(self):
+        for c in (0, 255):
+            img = np.full((9, 9), c, np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_lossless(img, 4)), img
+            )
+        one = np.array([[173]], np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(one, 1)), one
+        )
+
+    def test_adversarial_alternating_extremes(self):
+        # maximal |diff| stresses the top magnitude categories
+        img = np.zeros((16, 16), np.uint8)
+        img[::2, :] = 255
+        img[:, ::2] ^= 255
+        for p in (1, 2, 4, 6):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg_lossless(img, p)), img
+            )
+
+    @given(
+        st.integers(1, 7),
+        st.integers(0, 6),
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_random_images_round_trip(self, pred, ri, h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        out = decode_lossless(
+            encode_jpeg_lossless(img, pred, restart_interval=ri)
+        )
+        assert np.array_equal(out, img)
+
+    def test_smooth_content_compresses(self):
+        x = np.arange(64)[None, :]
+        y = np.arange(64)[:, None]
+        smooth = ((x + y) // 2 % 256).astype(np.uint8)
+        assert len(encode_jpeg_lossless(smooth, predictor=4)) < 64 * 64
+
+
+class TestRobustness:
+    def test_bad_predictor_rejected(self):
+        img = np.zeros((8, 8), np.uint8)
+        with pytest.raises(ValueError):
+            encode_jpeg_lossless(img, predictor=0)
+        with pytest.raises(ValueError):
+            encode_jpeg_lossless(img, predictor=8)
+        payload = bytearray(encode_jpeg_lossless(img, predictor=3))
+        # SOS predictor byte = Ss field; zero it -> invalid selection
+        sos = bytes(payload).find(b"\xff\xda")
+        payload[sos + 7] = 0
+        with pytest.raises(ValueError):
+            decode_lossless(bytes(payload))
+
+    def test_point_transform_is_gated(self):
+        img = np.zeros((8, 8), np.uint8)
+        payload = bytearray(encode_jpeg_lossless(img, predictor=1))
+        sos = bytes(payload).find(b"\xff\xda")
+        payload[sos + 9] = 2  # Al = 2
+        with pytest.raises(NotImplementedError):
+            decode_lossless(bytes(payload))
+
+    def test_truncation_raises_value_error(self):
+        good = encode_jpeg_lossless(
+            np.arange(256, dtype=np.uint8).reshape(16, 16), 4
+        )
+        with pytest.raises(ValueError):
+            decode_lossless(good[: len(good) - 8])
+
+    def test_mutations_never_escape_try_decode(self):
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
+        rng = np.random.default_rng(2)
+        base = bytearray(
+            encode_jpeg_lossless(
+                rng.integers(0, 256, (20, 20), np.uint8),
+                predictor=5,
+                restart_interval=3,
+            )
+        )
+        for _ in range(400):
+            mutated = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                mutated[int(rng.integers(0, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+            try_decode_media(bytes(mutated))  # must not raise
