@@ -61,6 +61,9 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_color_jpeg_decode",
     "multimodal_progressive_jpeg",
+    "multimodal_arithmetic_jpeg",
+    "multimodal_lossless_jpeg",
+    "inv_bpe_conservation",
     "multimodal_video_frames",
     "multimodal_gif_animation",
     "multimodal_g711_audio_decode",
