@@ -1,0 +1,147 @@
+"""Perceptual-hash image near-dup catalog query (operators/phash.py).
+
+The corpus carries no real images, so the query PLANTS a controlled
+image universe from doc_id: every doc gets a deterministic blocky
+texture (unique per doc — measured cross-doc hamming >= 20); docs
+divisible by 3 additionally get a JPEG-recompressed TWIN of their
+texture (a true near-duplicate: measured hamming <= 2); other docs
+divisible by 7 get an UNRELATED texture as a decoy twin. The pHash
+banded detector must then find exactly the planted recompression
+pairs: the output reports, per planted doc, how many near-dup
+partners its original and its twin found — (1, 1) for a JPEG twin,
+(0, 0) for a decoy — so both a miss (recall) and any false positive
+touching these images (precision) flips the driver's value hash,
+while DuckDB reconstructs the expected outcome arithmetically from
+the planting rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import register
+from economic_data_etl_spark.sources.tables import load_table
+
+_TWIN_OFFSET = 1 << 40
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'noise' END
+                   AS planted_kind,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS partners_orig,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS partners_twin
+        FROM documents
+        WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+        ORDER BY doc_id
+    """,
+    doc="Image near-duplicate detection via DCT perceptual hashing "
+    "(operators/phash.py): per-doc deterministic textures, "
+    "JPEG-recompressed twins planted for doc_id % 3 = 0 (through the "
+    "repo's own from-scratch JPEG codec), unrelated decoy twins for "
+    "other doc_id % 7 = 0. Hashing is Arrow-batched and per-row "
+    "independent; the match is a banded (8 x 8-bit, pigeonhole-"
+    "complete to hamming 7) self-join plus a codegen bit_count "
+    "verify, never all-pairs. The oracle reconstructs the expected "
+    "detection outcome from the planting rule, so a recall miss OR "
+    "any false-positive pair touching these images fails the hash.",
+)
+def multimodal_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.phash import (
+        near_dup_pairs_by_phash,
+        phash64,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def texture(seed: int) -> "np.ndarray":
+        rng = np.random.default_rng(seed)
+        return np.repeat(
+            np.repeat(rng.integers(0, 256, (8, 8)), 8, axis=0),
+            8,
+            axis=1,
+        ).astype(np.uint8)
+
+    def hash_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = texture(d)
+                rows.append((d, phash64(base)))
+                if d % 3 == 0:  # true near-dup: recompressed twin
+                    twin = decode_jpeg(encode_jpeg_gray(base))
+                    rows.append((d + _TWIN_OFFSET, phash64(twin)))
+                elif d % 7 == 0:  # decoy: unrelated texture
+                    rows.append(
+                        (
+                            d + _TWIN_OFFSET,
+                            phash64(texture(d + 777_000_003)),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    hashes = docs.mapInPandas(hash_batch, "id long, phash long")
+    pairs = near_dup_pairs_by_phash(hashes, "id", "phash")
+    touch = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).groupBy("id").agg(F.count(F.lit(1)).alias("n_partners"))
+    planted = docs.where(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("noise"))
+        .alias("planted_kind"),
+    )
+    return (
+        planted.join(
+            touch.withColumnRenamed("id", "doc_id").withColumnRenamed(
+                "n_partners", "po"
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            touch.select(
+                (F.col("id") - F.lit(_TWIN_OFFSET)).alias("doc_id"),
+                F.col("n_partners").alias("pt"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "planted_kind",
+            F.coalesce(F.col("po"), F.lit(0))
+            .cast("long")
+            .alias("partners_orig"),
+            F.coalesce(F.col("pt"), F.lit(0))
+            .cast("long")
+            .alias("partners_twin"),
+        )
+        .orderBy("doc_id")
+    )
