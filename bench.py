@@ -64,6 +64,9 @@ HEADLINE = [
     "multimodal_arithmetic_jpeg",
     "multimodal_lossless_jpeg",
     "inv_bpe_conservation",
+    "curation_pii_redaction",
+    "multimodal_phash_near_dup",
+    "multimodal_audio_spectral",
     "multimodal_video_frames",
     "multimodal_gif_animation",
     "multimodal_g711_audio_decode",

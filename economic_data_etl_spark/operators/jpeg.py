@@ -789,14 +789,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
             return _jap.decode_arith_progressive(payload)
         elif marker in (
-            0xC1, 0xC5, 0xC6, 0xC7,
+            0xC5, 0xC6, 0xC7,
             0xCB, 0xCD, 0xCE, 0xCF,
         ):
-            # every remaining non-SOF0 frame marker (hierarchical,
+            # every remaining frame marker (hierarchical,
             # arithmetic-lossless) is a CAPABILITY gate, not corrupt
             # data — NotImplementedError by contract
             raise NotImplementedError("non-baseline JPEG mode")
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
+            # SOF1 (extended sequential, Huffman) at 8-bit precision is
+            # structurally identical to baseline — same scan layout,
+            # same entropy coding; its extensions (12-bit precision,
+            # 3rd/4th table pairs) fall out through the existing
+            # precision gate and table-id indirection
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("non-8-bit precision")

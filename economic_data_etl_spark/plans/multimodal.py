@@ -695,11 +695,15 @@ def multimodal_lossless_jpeg(
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                w = 16 + d % 64
+                # restart every 0 / 1 / 2 rows — realistic segment
+                # sizes (a 1-sample restart interval is legal but
+                # degenerates the stream to mostly RSTn markers)
                 arr = decode_jpeg(
                     encode_jpeg_lossless(
                         gray_pattern(d),
                         predictor=1 + d % 7,
-                        restart_interval=d % 3,
+                        restart_interval=(d % 3) * w,
                     )
                 ).astype(np.int64)
                 flat = arr.ravel()

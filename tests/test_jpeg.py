@@ -213,6 +213,17 @@ class TestJpegRobustness:
         with pytest.raises(NotImplementedError):
             decode_jpeg_gray(bytes(payload))
 
+    def test_sof1_extended_sequential_decodes_as_baseline(self):
+        # SOF1 at 8-bit precision is structurally identical to SOF0;
+        # real-world encoders emit it, so the decoder must accept it
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (19, 27), np.uint8)
+        payload = bytearray(encode_jpeg_gray(img))
+        base = decode_jpeg_gray(bytes(payload))
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 1] = 0xC1
+        assert np.array_equal(decode_jpeg_gray(bytes(payload)), base)
+
     def test_truncation_and_garbage_raise_value_error(self):
         good = encode_jpeg_gray(np.zeros((16, 16), np.uint8))
         with pytest.raises(ValueError):
