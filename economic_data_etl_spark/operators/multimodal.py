@@ -247,6 +247,7 @@ RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("resized", BinaryType(), False),
+        StructField("media_kind", StringType(), False),
         StructField("orig_bytes", LongType(), False),
         StructField("resized_bytes", LongType(), False),
     ]
@@ -256,30 +257,117 @@ RESIZED_SCHEMA = StructType(
 def resize_media(
     df: DataFrame, factor: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Resize/downsample stub: average every `factor` payload bytes into
-    one output byte (the real version calls the codec's scaler). Exercises
-    the binary→binary mapInPandas shape: payload in, smaller payload out,
-    sizes recorded for skew/size accounting downstream."""
+    """REAL media resize (binary→binary): payloads that decode as
+    IMAGES (PNG/BMP/GIF/JPEG, any profile the codecs support) are
+    box-mean downsampled by `factor` in exact integer pixel space
+    (operators/resize.py) and re-encoded as PNG; WAV AUDIO is
+    group-average decimated by `factor` (crude low-pass + decimate)
+    and re-encoded at rate//factor; MJPEG VIDEO resizes every frame
+    and re-encodes the container. Payloads that do not decode as
+    media fall back to the original byte-block average — kept as the
+    documented degraded lane for opaque formats — with media_kind
+    'opaque' so callers can audit which lane fired. Per-row
+    independent, Arrow-batched, no driver involvement."""
     import numpy as np
 
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _shrunk(n: int) -> int:
+        return max(1, n // factor)
+
+    def _decimate(samples: "np.ndarray") -> "np.ndarray":
+        # exact group means (floor), groups of `factor` samples
+        n = samples.shape[0]
+        starts = np.arange(0, n, factor)
+        sums = np.add.reduceat(samples.astype(np.int64), starts, axis=0)
+        counts = np.minimum(starts + factor, n) - starts
+        return (sums // counts[:, None]).astype(np.int16)
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            decode_wav,
+            encode_mjpeg_avi,
+            encode_png,
+            encode_wav,
+            try_decode_media,
+        )
+        from economic_data_etl_spark.operators.resize import (
+            box_resize_exact,
+        )
+
         for pdf in batches:
-            out, orig_n, new_n = [], [], []
+            out, kinds, orig_n, new_n = [], [], [], []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                pad = (-len(arr)) % factor
-                if pad:
-                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
-                small = (
-                    arr.reshape(-1, factor).mean(axis=1).astype(np.uint8).tobytes()
-                )
+                raw = bytes(payload)
+                small = None
+                kind = "opaque"
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    try:
+                        frames = decode_mjpeg_avi(raw)
+                        resized = [
+                            box_resize_exact(
+                                f,
+                                _shrunk(f.shape[0]),
+                                _shrunk(f.shape[1]),
+                            )
+                            for f in frames
+                        ]
+                        small = encode_mjpeg_avi(resized)
+                        kind = "video"
+                    except (ValueError, NotImplementedError):
+                        small = None
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    try:
+                        rate, samples = decode_wav(raw)
+                        dec = _decimate(np.atleast_2d(samples.T).T)
+                        small = encode_wav(
+                            dec[:, 0] if dec.shape[1] == 1 else dec,
+                            max(1, rate // factor),
+                            channels=dec.shape[1],
+                        )
+                        kind = "audio"
+                    except (ValueError, NotImplementedError):
+                        small = None
+                else:
+                    media = try_decode_media(raw)
+                    if media is not None and getattr(
+                        media["data"], "ndim", 0
+                    ) in (2, 3):
+                        img = media["data"]
+                        small = encode_png(
+                            box_resize_exact(
+                                img,
+                                _shrunk(img.shape[0]),
+                                _shrunk(img.shape[1]),
+                            )
+                        )
+                        kind = "image"
+                if small is None:
+                    # opaque byte-block average (degraded lane)
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    pad = (-len(arr)) % factor
+                    if pad:
+                        arr = np.concatenate(
+                            [arr, np.zeros(pad, dtype=np.uint8)]
+                        )
+                    small = (
+                        arr.reshape(-1, factor)
+                        .mean(axis=1)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                    kind = "opaque"
                 out.append(small)
-                orig_n.append(len(payload))
+                kinds.append(kind)
+                orig_n.append(len(raw))
                 new_n.append(len(small))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "resized": out,
+                    "media_kind": kinds,
                     "orig_bytes": pd.Series(orig_n, dtype="int64"),
                     "resized_bytes": pd.Series(new_n, dtype="int64"),
                 }

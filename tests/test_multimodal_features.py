@@ -27,7 +27,9 @@ class TestFeatureExtraction:
         assert r1 == r2
         assert all(len(v) == 16 for v in r1.values())
 
-    def test_resize_shrinks_by_factor(self, spark):
+    def test_resize_opaque_lane_shrinks_by_factor(self, spark):
+        # text payloads are not decodable media: the documented
+        # degraded lane byte-block-averages them
         from economic_data_etl_spark.operators.multimodal import resize_media
 
         docs = load_table(spark, SF_DIR, "documents").limit(30)
@@ -35,8 +37,66 @@ class TestFeatureExtraction:
         rows = resized.collect()
         assert rows
         for r in rows:
+            assert r["media_kind"] == "opaque"
             assert r["resized_bytes"] == -(-r["orig_bytes"] // 4)  # ceil div
             assert len(r["resized"]) == r["resized_bytes"]
+
+    def test_resize_image_lane_is_exact_pixel_space(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+        from economic_data_etl_spark.operators.multimodal import resize_media
+        from economic_data_etl_spark.operators.resize import box_resize_exact
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (40, 28)).astype(np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(img)))], "doc_id long, payload binary"
+        ).withColumn("payload", F.col("payload").cast("binary"))
+        row = resize_media(df, factor=4).first()
+        assert row["media_kind"] == "image"
+        out = decode_png(bytes(row["resized"]))
+        assert np.array_equal(out, box_resize_exact(img, 10, 7))
+
+    def test_resize_audio_and_video_lanes(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.codecs import (
+            decode_mjpeg_avi,
+            decode_wav,
+            encode_mjpeg_avi,
+            encode_wav,
+        )
+        from economic_data_etl_spark.operators.multimodal import resize_media
+
+        samples = np.arange(-100, 100, dtype=np.int16)
+        frames = [
+            np.full((16, 24), c, np.uint8) for c in (10, 10, 200)
+        ]
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_wav(samples, 8000))),
+                (2, bytearray(encode_mjpeg_avi(frames))),
+            ],
+            "doc_id long, payload binary",
+        ).withColumn("payload", F.col("payload").cast("binary"))
+        rows = {r["doc_id"]: r for r in resize_media(df, factor=2).collect()}
+        assert rows[1]["media_kind"] == "audio"
+        rate, dec = decode_wav(bytes(rows[1]["resized"]))
+        assert rate == 4000 and dec.shape[0] == 100
+        # group means of consecutive pairs (floor)
+        want = (
+            samples.astype(np.int64).reshape(-1, 2).sum(axis=1) // 2
+        ).astype(np.int16)
+        assert np.array_equal(dec[:, 0], want)
+        assert rows[2]["media_kind"] == "video"
+        small = decode_mjpeg_avi(bytes(rows[2]["resized"]))
+        assert len(small) == 3 and small[0].shape == (8, 12)
 
     def test_features_feed_ann_search(self, spark):
         docs = load_table(spark, SF_DIR, "documents").limit(100)
