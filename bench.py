@@ -67,6 +67,8 @@ HEADLINE = [
     "curation_pii_redaction",
     "multimodal_phash_near_dup",
     "multimodal_audio_spectral",
+    "multimodal_video_scene_cuts",
+    "multimodal_image_resize",
     "multimodal_video_frames",
     "multimodal_gif_animation",
     "multimodal_g711_audio_decode",
