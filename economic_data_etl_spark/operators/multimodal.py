@@ -379,13 +379,19 @@ def resize_media(
 def extract_features(
     df: DataFrame, dim: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Feature-extraction stub: payload bytes → fixed-dim float vector.
-
-    The real version would run an image/audio encoder per Arrow batch;
-    the stub derives a deterministic unit-normalized vector from byte
-    statistics so downstream ANN search (operators/similarity.py) can be
-    exercised end-to-end: decode → embed → index → search.
-    """
+    """REAL content features: payload → fixed-dim unit-normalized
+    float vector, by media lane. IMAGES (any decodable profile):
+    the sqrt(dim) x sqrt(dim) exact box-mean grid of the grayscale
+    pixels — the downsampled-luminance embedding perceptual search
+    uses (re-encoded copies land near their originals in cosine
+    space). WAV AUDIO: `dim` equal-width frequency-band energies of
+    the whole signal's rFFT (a coarse spectrum embedding). MJPEG
+    VIDEO: the first frame's image features (keyframe convention).
+    Payloads that do not decode as media keep the original
+    byte-statistics vector — the documented degraded lane, unchanged
+    so opaque/text corpora embed exactly as before. Deterministic,
+    per-row independent, Arrow-batched; feeds the ANN operators
+    (operators/similarity.py): decode → embed → index → search."""
     import numpy as np
     from pyspark.sql.types import ArrayType, FloatType
 
@@ -395,18 +401,68 @@ def extract_features(
             StructField("features", ArrayType(FloatType()), False),
         ]
     )
+    side = int(np.sqrt(dim))
+    grid_dim = side * side  # image grid uses the square part of dim
+
+    def _unit(v: "np.ndarray") -> list[float]:
+        n = np.linalg.norm(v)
+        return (v / n if n else v).astype(np.float32).tolist()
+
+    def _byte_features(raw: bytes) -> list[float]:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        pad = (-len(arr)) % dim
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+        return _unit(arr.reshape(-1, dim).mean(axis=0).astype(np.float64))
+
+    def _image_features(img: "np.ndarray") -> list[float]:
+        from economic_data_etl_spark.operators.resize import (
+            box_resize_exact,
+        )
+
+        a = img
+        if a.ndim == 3:
+            a = a.astype(np.int64).mean(axis=2).astype(np.uint8)
+        grid = box_resize_exact(a, side, side).astype(np.float64)
+        v = np.zeros(dim, dtype=np.float64)
+        v[:grid_dim] = grid.ravel()
+        return _unit(v)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.codecs import (
+            try_decode_media,
+        )
+
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                pad = (-len(arr)) % dim
-                if pad:
-                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
-                v = arr.reshape(-1, dim).mean(axis=0).astype(np.float64)
-                n = np.linalg.norm(v)
-                feats.append((v / n if n else v).astype(np.float32).tolist())
+                raw = bytes(payload)
+                media = try_decode_media(raw)
+                if media is None:
+                    feats.append(_byte_features(raw))
+                    continue
+                data = media["data"]
+                if media["format"] == "avi":
+                    feats.append(
+                        _image_features(data[0])
+                        if len(data)
+                        else _byte_features(raw)
+                    )
+                elif media["format"] == "wav":
+                    samples = np.asarray(data, dtype=np.float64)
+                    if samples.ndim == 2:
+                        samples = samples.mean(axis=1)
+                    spec = np.abs(np.fft.rfft(samples))
+                    bands = np.array_split(spec, dim)
+                    v = np.array(
+                        [
+                            float((b * b).sum()) if b.size else 0.0
+                            for b in bands
+                        ]
+                    )
+                    feats.append(_unit(np.sqrt(v)))
+                else:
+                    feats.append(_image_features(data))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "features": feats}
             )

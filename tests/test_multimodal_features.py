@@ -98,6 +98,62 @@ class TestFeatureExtraction:
         small = decode_mjpeg_avi(bytes(rows[2]["resized"]))
         assert len(small) == 3 and small[0].shape == (8, 12)
 
+    def test_feature_lanes_are_content_features(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.codecs import (
+            encode_mjpeg_avi,
+            encode_png,
+            encode_wav,
+        )
+        from economic_data_etl_spark.operators.jpeg import (
+            encode_jpeg_gray,
+        )
+        from economic_data_etl_spark.operators.audiofeat import (
+            bin_centered_tone,
+        )
+        from economic_data_etl_spark.operators.multimodal import (
+            extract_features,
+        )
+
+        rng = np.random.default_rng(0)
+        img = np.repeat(
+            np.repeat(rng.integers(0, 256, (8, 8)), 8, 0), 8, 1
+        ).astype(np.uint8)
+        other = np.repeat(
+            np.repeat(rng.integers(0, 256, (8, 8)), 8, 0), 8, 1
+        ).astype(np.uint8)
+        rows = [
+            (1, bytearray(encode_png(img))),
+            (2, bytearray(encode_jpeg_gray(img))),  # re-encoded copy
+            (3, bytearray(encode_png(other))),
+            (4, bytearray(encode_wav(bin_centered_tone(5, 64, 4), 8000))),
+            (5, bytearray(encode_wav(bin_centered_tone(29, 64, 4), 8000))),
+            (6, bytearray(encode_mjpeg_avi([img, other]))),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary"
+        ).withColumn("payload", F.col("payload").cast("binary"))
+        feats = {
+            r["doc_id"]: np.array(r["features"])
+            for r in extract_features(df, dim=16).collect()
+        }
+
+        def cos(a, b):
+            return float(np.dot(a, b))
+
+        # a re-encoded copy of the SAME image embeds almost on top of
+        # the original; a different texture lands measurably away
+        assert cos(feats[1], feats[2]) > 0.999
+        assert cos(feats[1], feats[3]) < cos(feats[1], feats[2])
+        # distinct tones produce distinct spectral embeddings
+        assert cos(feats[4], feats[5]) < 0.9
+        # video embeds by its first frame — which passed through the
+        # lossy MJPEG path, so near-identical to the PNG lane, not
+        # bit-equal
+        assert cos(feats[6], feats[1]) > 0.999
+
     def test_features_feed_ann_search(self, spark):
         docs = load_table(spark, SF_DIR, "documents").limit(100)
         feats = extract_features(attach_binary_payload(docs), dim=16)
