@@ -46,14 +46,34 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+# One EXPLICIT whitespace class shared by every tokenization pass.
+# The three engines' \s dialects disagree on the margins — Java \s is
+# ASCII incl. \x0B, DuckDB's RE2 \s excludes \x0B, and Python
+# str.split() is full Unicode whitespace — so any corpus text with
+# \x0B or e.g. \xa0 would make the histogram, the DuckDB oracle, and
+# the per-doc symbol counts diverge. [ \t\n\r]+ parses identically in
+# Java regex, RE2, and Python re.
+WORD_SPLIT_RE = "[ \\t\\n\\r]+"
+
+
+def split_words(text: str) -> list[str]:
+    """Python-side twin of WORD_SPLIT_RE (NOT str.split(), whose full-
+    Unicode whitespace class diverges from the Spark/DuckDB passes)."""
+    import re
+
+    return [w for w in re.split(WORD_SPLIT_RE, text) if w]
+
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distributed word-frequency table: split on whitespace (the
-    corpus's own tokenization, shared with the DuckDB oracles),
-    explode, groupBy. One shuffle, output size = distinct words."""
+    """Distributed word-frequency table: split on the explicit
+    whitespace class (the corpus's own tokenization, shared with the
+    DuckDB oracles), explode, groupBy. One shuffle, output size =
+    distinct words."""
     return (
         docs.select(
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+            F.explode(
+                F.split(F.col(text_col), WORD_SPLIT_RE)
+            ).alias("word")
         )
         .where(F.col("word") != "")
         .groupBy("word")
@@ -167,7 +187,7 @@ def tokenize_stats(
         for pdf in iterator:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in str(text).split() if w]
+                words = split_words(str(text))
                 initial = sum(len(w) + 1 for w in words)
                 total_tokens = 0
                 ok = True

@@ -1227,6 +1227,23 @@ def encode_gif_animated(
     return bytes(out)
 
 
+def _gif_byte(payload: bytes, pos: int) -> int:
+    """Bounds-checked byte read for the GIF block walks: a truncated
+    stream raises the documented ValueError instead of letting
+    IndexError escape to decode_media callers."""
+    if pos >= len(payload):
+        raise ValueError("truncated GIF")
+    return payload[pos]
+
+
+def _gif_unpack(fmt: str, payload: bytes, start: int, end: int):
+    """Bounds-checked struct.unpack over payload[start:end] (a short
+    slice would raise struct.error, not the documented ValueError)."""
+    if end > len(payload):
+        raise ValueError("truncated GIF")
+    return struct.unpack(fmt, payload[start:end])
+
+
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """Decode ALL frames of a (possibly animated) GIF with real
     compositing — sub-rectangle placement, per-frame local palettes,
@@ -1236,7 +1253,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     (restore-to-previous) raises NotImplementedError."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, bg, _aspect = _gif_unpack("<HHBBB", payload, 6, 13)
     _check_pixel_budget(sw, sh)
     pos = 13
     gpal = None
@@ -1256,19 +1273,19 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:  # extension
-            label = payload[pos + 1]
+            label = _gif_byte(payload, pos + 1)
             pos += 2
-            if label == 0xF9 and payload[pos] >= 4:  # GCE
-                gflags = payload[pos + 1]
+            if label == 0xF9 and _gif_byte(payload, pos) >= 4:  # GCE
+                gflags = _gif_byte(payload, pos + 1)
                 disposal = (gflags >> 2) & 0x07
                 tflag = gflags & 0x01
-                tindex = payload[pos + 4]
-            while payload[pos]:
+                tindex = _gif_byte(payload, pos + 4)
+            while _gif_byte(payload, pos):
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", payload[pos + 1 : pos + 10]
+            left, top, w, h, iflags = _gif_unpack(
+                "<HHHHB", payload, pos + 1, pos + 10
             )
             pos += 10
             pal = gpal
@@ -1278,10 +1295,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                     payload, np.uint8, count=3 * n, offset=pos
                 ).reshape(n, 3)
                 pos += 3 * n
-            min_code = payload[pos]
+            min_code = _gif_byte(payload, pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
+            while _gif_byte(payload, pos):
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
@@ -1568,7 +1585,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     extension blocks (GCE, comments, application) are skipped."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, _bg, _aspect = _gif_unpack("<HHBBB", payload, 6, 13)
     pos = 13
     palette = None
     if flags & 0x80:
@@ -1581,12 +1598,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
         block = payload[pos]
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos]:
+            while _gif_byte(payload, pos):
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", payload[pos + 1 : pos + 10]
+            left, top, w, h, iflags = _gif_unpack(
+                "<HHHHB", payload, pos + 1, pos + 10
             )
             pos += 10
             if iflags & 0x80:  # local palette overrides
@@ -1595,10 +1612,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
                     payload, np.uint8, count=3 * n, offset=pos
                 ).reshape(n, 3)
                 pos += 3 * n
-            min_code = payload[pos]
+            min_code = _gif_byte(payload, pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
+            while _gif_byte(payload, pos):
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln

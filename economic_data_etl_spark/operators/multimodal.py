@@ -321,7 +321,26 @@ def resize_media(
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                     try:
                         rate, samples = decode_wav(raw)
-                        dec = _decimate(np.atleast_2d(samples.T).T)
+                        samples = np.atleast_2d(samples.T).T
+                        if samples.dtype == np.uint8:
+                            # 8-bit PCM is offset-binary (midpoint
+                            # 128): recenter and rescale to the int16
+                            # domain before decimating, else the
+                            # 16-bit re-encode keeps a +128 DC offset
+                            # at 1/256 amplitude instead of the signal.
+                            samples = (
+                                samples.astype(np.int16) - 128
+                            ) * 256
+                        elif samples.dtype.kind == "f":
+                            # float32 WAV decodes to [-1, 1]; integer
+                            # group means would truncate every sample
+                            # to 0 — scale to int16 first.
+                            samples = np.clip(
+                                np.rint(samples * 32767.0),
+                                -32768,
+                                32767,
+                            ).astype(np.int16)
+                        dec = _decimate(samples)
                         small = encode_wav(
                             dec[:, 0] if dec.shape[1] == 1 else dec,
                             max(1, rate // factor),

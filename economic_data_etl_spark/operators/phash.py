@@ -27,7 +27,7 @@ argument as the SimHash text path in operators/dedup.py), and the
 verify step is a JVM `bit_count(a ^ b) <= max_hamming` on candidates
 only. Measured separation on the catalog's planted corpus:
 JPEG-recompressed twins differ by <= 2 bits, unrelated textures by
->= 20 — the default threshold 8 sits in a dead zone.
+>= 20 — the default threshold 7 sits in a dead zone.
 """
 
 from __future__ import annotations
@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BANDS = 8  # 8 bands x 8 bits: pigeonhole-complete for hamming <= 7
-DEFAULT_MAX_HAMMING = 8
+# The banded candidate step only guarantees a shared band for pairs
+# within hamming N_BANDS - 1 (pigeonhole): a pair at hamming N_BANDS
+# with exactly one differing bit per band shares no band. The default
+# threshold therefore matches the recall guarantee exactly.
+DEFAULT_MAX_HAMMING = N_BANDS - 1
 
 
 def _dct_matrix(n: int) -> np.ndarray:
@@ -105,7 +109,18 @@ def near_dup_pairs_by_phash(
 ) -> DataFrame:
     """(id, phash) -> distinct candidate-verified near-dup pairs
     (id_a < id_b, hamming). Banded self-join (8 x 8-bit bands), then a
-    codegen bit_count verify — never an all-pairs comparison."""
+    codegen bit_count verify — never an all-pairs comparison.
+
+    The banding is complete only for max_hamming <= N_BANDS - 1; a
+    larger threshold would silently return a subset of the pairs its
+    predicate promises, so it is rejected rather than approximated.
+    """
+    if max_hamming >= N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banded recall "
+            f"guarantee: {N_BANDS} bands are pigeonhole-complete only "
+            f"for hamming <= {N_BANDS - 1}"
+        )
     bands = hashes.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),

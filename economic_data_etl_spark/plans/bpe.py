@@ -58,8 +58,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inv_bpe_conservation",
     oracle="""
         WITH words AS (
+            -- the explicit class mirrors operators/bpe.py's
+            -- WORD_SPLIT_RE: Java/RE2/Python \\s dialects disagree on
+            -- \\x0B and Unicode whitespace, [ \\t\\n\\r]+ does not
             SELECT unnest(list_filter(
-                       string_split_regex(text, '\\s+'), x -> x <> ''
+                       string_split_regex(text, '[ \\t\\n\\r]+'),
+                       x -> x <> ''
                    )) AS w
             FROM documents
         ),

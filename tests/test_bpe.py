@@ -129,3 +129,61 @@ class TestEncoder:
         ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
         toks = encode_word("zzz", ranks)
         assert "".join(toks) == "zzz" + END
+
+
+class TestWhitespaceDialectParity:
+    """ADVICE r7 (plans/bpe.py:60): Java \\s (ASCII incl. \\x0B), RE2
+    \\s (excludes \\x0B), and Python str.split() (full Unicode
+    whitespace) disagree — every pass now splits on the one explicit
+    class WORD_SPLIT_RE. Nasty corpus: \\x0B, \\xa0, \\f, \\u2028 must
+    tokenize identically in all three engines."""
+
+    NASTY = "alpha\x0bbeta gamma\xa0delta\teps\fzeta" "\u2028" "eta\nlast"
+
+    def test_three_engines_agree_on_nasty_whitespace(self, spark):
+        import duckdb
+
+        from economic_data_etl_spark.operators.bpe import (
+            split_words,
+            word_histogram,
+        )
+
+        py = split_words(self.NASTY)
+        # \x0B, \xa0, \f, U+2028 are NOT separators under the explicit
+        # class — they stay inside words
+        assert py == [
+            "alpha\x0bbeta",
+            "gamma\xa0delta",
+            "eps\fzeta" "\u2028" "eta",
+            "last",
+        ]
+        docs = spark.createDataFrame(
+            [(1, self.NASTY)], "doc_id long, text string"
+        )
+        spark_words = sorted(
+            (r["word"], r["cnt"])
+            for r in word_histogram(docs).collect()
+        )
+        assert spark_words == sorted((w, 1) for w in py)
+        duck = duckdb.sql(
+            "SELECT unnest(list_filter(string_split_regex("
+            "?, '[ \\t\\n\\r]+'), x -> x <> ''))",
+            params=[self.NASTY],
+        ).fetchall()
+        assert sorted(r[0] for r in duck) == sorted(py)
+
+    def test_tokenize_stats_uses_the_same_split(self, spark):
+        from economic_data_etl_spark.operators.bpe import (
+            split_words,
+            tokenize_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, self.NASTY)], "doc_id long, text string"
+        )
+        row = tokenize_stats(docs, []).first()
+        words = split_words(self.NASTY)
+        assert row["n_words"] == len(words)
+        assert row["initial_symbols"] == sum(
+            len(w) + 1 for w in words
+        )

@@ -188,6 +188,37 @@ class TestUntrustedBytesProperties:
             try_decode_media(magic + junk)
 
 
+class TestGifTruncation:
+    def test_every_prefix_raises_valueerror_or_decodes(self):
+        # ADVICE r7 (codecs.py:1243): the GIF block walks indexed
+        # payload[pos] without bounds checks, so truncation leaked
+        # IndexError (and short struct slices leaked struct.error)
+        # through decode_media's documented ValueError contract.
+        # Exhaustive: EVERY proper prefix of a valid animated GIF must
+        # either raise ValueError or decode (a prefix that ends exactly
+        # at a complete image block is a legal single-image stream).
+        import numpy as np
+
+        from economic_data_etl_spark.operators.codecs import (
+            decode_gif,
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        rng = np.random.default_rng(7)
+        frames = [
+            (rng.integers(1, 256, (9, 11))).astype(np.uint8)
+            for _ in range(3)
+        ]
+        payload = encode_gif_animated(frames)
+        for cut in range(len(payload)):
+            for fn in (decode_gif_frames, decode_gif):
+                try:
+                    fn(payload[:cut])
+                except ValueError:
+                    pass
+
+
 class TestJpegProperties:
     @settings(max_examples=15, deadline=None)
     @given(data=st.data())

@@ -98,6 +98,62 @@ class TestFeatureExtraction:
         small = decode_mjpeg_avi(bytes(rows[2]["resized"]))
         assert len(small) == 3 and small[0].shape == (8, 12)
 
+    def test_resize_audio_8bit_and_float_lanes(self, spark):
+        # 8-bit PCM decodes to offset-binary uint8 (midpoint 128) and
+        # float32 decodes to [-1, 1]: both must be rescaled into the
+        # int16 domain before decimation. The old path kept the raw
+        # 0..255 values (DC-offset, 1/256-amplitude output) and would
+        # integer-truncate every float sample to zero.
+        import struct
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.codecs import decode_wav
+        from economic_data_etl_spark.operators.multimodal import (
+            resize_media,
+        )
+
+        def wav_raw(data: bytes, fmt_tag: int, bits: int, rate: int):
+            fmt = struct.pack(
+                "<IHHIIHH", 16, fmt_tag, 1, rate,
+                rate * (bits // 8), bits // 8, bits,
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        u8 = np.arange(0, 200, dtype=np.uint8)
+        f32 = (np.sin(np.arange(200) * 0.1) * 0.5).astype("<f4")
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(wav_raw(u8.tobytes(), 1, 8, 8000))),
+                (2, bytearray(wav_raw(f32.tobytes(), 3, 32, 8000))),
+            ],
+            "doc_id long, payload binary",
+        ).withColumn("payload", F.col("payload").cast("binary"))
+        rows = {
+            r["doc_id"]: r for r in resize_media(df, factor=2).collect()
+        }
+        assert rows[1]["media_kind"] == "audio"
+        _, dec8 = decode_wav(bytes(rows[1]["resized"]))
+        want8 = (
+            ((u8.astype(np.int64) - 128) * 256).reshape(-1, 2).sum(1)
+            // 2
+        ).astype(np.int16)
+        assert np.array_equal(dec8[:, 0], want8)
+        assert rows[2]["media_kind"] == "audio"
+        _, decf = decode_wav(bytes(rows[2]["resized"]))
+        scaled = np.clip(
+            np.rint(f32.astype(np.float64) * 32767.0), -32768, 32767
+        ).astype(np.int64)
+        wantf = (scaled.reshape(-1, 2).sum(1) // 2).astype(np.int16)
+        assert np.array_equal(decf[:, 0], wantf)
+        # the old float path truncated everything to zero
+        assert np.abs(decf[:, 0].astype(np.int64)).max() > 10000
+
     def test_feature_lanes_are_content_features(self, spark):
         import numpy as np
         from pyspark.sql import functions as F
