@@ -1,18 +1,22 @@
 """Perceptual-hash image near-dup catalog query (operators/phash.py).
 
 The corpus carries no real images, so the query PLANTS a controlled
-image universe from doc_id: every doc gets a deterministic blocky
-texture (unique per doc — measured cross-doc hamming >= 20); docs
-divisible by 3 additionally get a JPEG-recompressed TWIN of their
-texture (a true near-duplicate: measured hamming <= 2); other docs
-divisible by 7 get an UNRELATED texture as a decoy twin. The pHash
-banded detector must then find exactly the planted recompression
-pairs: the output reports, per planted doc, how many near-dup
-partners its original and its twin found — (1, 1) for a JPEG twin,
-(0, 0) for a decoy — so both a miss (recall) and any false positive
-touching these images (precision) flips the driver's value hash,
-while DuckDB reconstructs the expected outcome arithmetically from
-the planting rule.
+image universe from doc_id (operators/planted.py): every doc gets a
+texture whose pHash PROVABLY equals a BCH(31,16)-coded bit pattern,
+so any two planted indices sit at hamming >= 14 — chance pairs are
+impossible by the code's minimum distance (exhaustively verified in
+tests/test_planted.py), not merely improbable, at any corpus size up
+to the certified 32768-doc bound. Docs divisible by 3 additionally
+get a JPEG-recompressed TWIN of their texture (a true near-duplicate:
+drift measured 0 bits, certified tolerance <= 3); other docs
+divisible by 7 get an UNRELATED planted texture as a decoy twin. The
+pHash banded detector must then find exactly the planted
+recompression pairs: the output reports, per planted doc, how many
+near-dup partners its original and its twin found — (1, 1) for a
+JPEG twin, (0, 0) for a decoy — so both a miss (recall) and any
+false positive touching these images (precision) flips the driver's
+value hash, while DuckDB reconstructs the expected outcome
+arithmetically from the planting rule.
 """
 
 from __future__ import annotations
@@ -41,7 +45,9 @@ _TWIN_OFFSET = 1 << 40
         ORDER BY doc_id
     """,
     doc="Image near-duplicate detection via DCT perceptual hashing "
-    "(operators/phash.py): per-doc deterministic textures, "
+    "(operators/phash.py): per-doc BCH-coded textures with PROVABLE "
+    "pairwise hash distance >= 14 (operators/planted.py — no chance "
+    "pairs at any corpus size up to the 32768-doc bound), "
     "JPEG-recompressed twins planted for doc_id % 3 = 0 (through the "
     "repo's own from-scratch JPEG codec), unrelated decoy twins for "
     "other doc_id % 7 = 0. Hashing is Arrow-batched and per-row "
@@ -70,14 +76,6 @@ def multimodal_phash_near_dup(
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def texture(seed: int) -> "np.ndarray":
-        rng = np.random.default_rng(seed)
-        return np.repeat(
-            np.repeat(rng.integers(0, 256, (8, 8)), 8, axis=0),
-            8,
-            axis=1,
-        ).astype(np.uint8)
-
     def hash_batch(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -85,21 +83,28 @@ def multimodal_phash_near_dup(
             decode_jpeg,
             encode_jpeg_gray,
         )
+        from economic_data_etl_spark.operators.planted import (
+            planted_texture,
+        )
 
+        # index = 2*doc_id for originals, 2*doc_id + 1 for decoys:
+        # injective into the BCH(31,16) message space for corpora up
+        # to 32768 docs (every driver SF), so EVERY planted pair sits
+        # at provable hamming >= 14 — no chance pairs at any scale
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                base = texture(d)
+                base = planted_texture(2 * d)
                 rows.append((d, phash64(base)))
                 if d % 3 == 0:  # true near-dup: recompressed twin
                     twin = decode_jpeg(encode_jpeg_gray(base))
                     rows.append((d + _TWIN_OFFSET, phash64(twin)))
-                elif d % 7 == 0:  # decoy: unrelated texture
+                elif d % 7 == 0:  # decoy: unrelated planted texture
                     rows.append(
                         (
                             d + _TWIN_OFFSET,
-                            phash64(texture(d + 777_000_003)),
+                            phash64(planted_texture(2 * d + 1)),
                         )
                     )
             yield pd.DataFrame(rows, columns=["id", "phash"])
