@@ -129,6 +129,16 @@ ISOLATED = {
 REPEATS_ISOLATED = 3
 
 
+def _is_codec(name: str) -> bool:
+    """Split the headline into the two workload families for the
+    summary line: the from-scratch codec decode lanes (multimodal_*)
+    now account for ~10 of the 12 slowest entries, and a regression in
+    a TPC-H-shape query was getting visually buried under them. One
+    total is still reported; the per-group subtotals make a relational
+    regression visible at a glance."""
+    return name.startswith("multimodal_")
+
+
 def run_batch(names: list[str], sf_dir: str) -> None:
     """Child entry: time each query in a fresh session, one JSON line per
     query on stdout (Spark logs go to stderr)."""
@@ -242,6 +252,9 @@ def main() -> None:
             }
         )
     )
+    codec = round(
+        sum(t for n, t in timings.items() if t > 0 and _is_codec(n)), 3
+    )
     print(
         json.dumps(
             {
@@ -250,6 +263,9 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                "relational": round(total - codec, 3),
+                "codec": codec,
+                "total": total,
                 "sf": float(sf),
             }
         )
