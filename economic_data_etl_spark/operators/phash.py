@@ -162,3 +162,107 @@ def near_dup_pairs_by_phash(
             F.col("h_a").bitwiseXOR(F.col("h_b"))
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def near_dup_videos_by_phash(
+    keyframes: DataFrame,
+    id_col: str = "video_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "phash",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    min_match_frac: float = 0.5,
+) -> DataFrame:
+    """Video-level near-duplicate detection by composing the banded
+    pHash join over sampled keyframes: input is one row per
+    (video_id, frame_idx, keyframe pHash); two videos are near-dups
+    when MORE THAN min_match_frac of the shorter video's keyframes
+    match at the SAME frame index within `max_hamming` (the
+    majority-of-aligned-keyframes rule — the standard media-dedup
+    shape for re-encoded/transcoded copies).
+
+    Scale design: candidates must share (frame_idx, band) — the
+    banded self-join from near_dup_pairs_by_phash with the frame
+    index added to the key, so the pigeonhole recall guarantee holds
+    per frame and cross-position frame pairs are never generated.
+    The verify step and the per-pair majority count are plain
+    codegen aggregations; no all-pairs comparison at any level.
+
+    Returns (id_a, id_b, n_matched, n_frames_a, n_frames_b) with
+    id_a < id_b.
+    """
+    if max_hamming >= N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banded recall "
+            f"guarantee: {N_BANDS} bands are pigeonhole-complete only "
+            f"for hamming <= {N_BANDS - 1}"
+        )
+    counts = keyframes.groupBy(
+        F.col(id_col).alias("vid")
+    ).agg(F.count(F.lit(1)).alias("n_frames"))
+    bands = keyframes.select(
+        F.col(id_col).alias("vid"),
+        F.col(frame_col).alias("fidx"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vid", "fidx", "h", "band.band_idx", "band.band_val")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    matched = (
+        left.join(
+            right,
+            (F.col("a.fidx") == F.col("b.fidx"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.fidx").alias("fidx"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b", "fidx"])
+        .where(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= max_hamming
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.join(
+            counts.select(
+                F.col("vid").alias("id_a"),
+                F.col("n_frames").alias("n_frames_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("vid").alias("id_b"),
+                F.col("n_frames").alias("n_frames_b"),
+            ),
+            "id_b",
+        )
+        .where(
+            F.col("n_matched")
+            > F.lit(min_match_frac)
+            * F.least("n_frames_a", "n_frames_b")
+        )
+        .select(
+            "id_a", "id_b", "n_matched", "n_frames_a", "n_frames_b"
+        )
+    )
