@@ -66,6 +66,8 @@ HEADLINE = [
     "inv_bpe_conservation",
     "curation_pii_redaction",
     "multimodal_phash_near_dup",
+    "multimodal_video_near_dup",
+    "multimodal_audio_near_dup",
     "multimodal_audio_spectral",
     "multimodal_video_scene_cuts",
     "multimodal_image_resize",
@@ -121,6 +123,7 @@ ISOLATED = {
     "graph_triangle_census",
     "join_market_basket_pairs",
     "text_lm_quality_score",
+    "multimodal_video_near_dup",
 }
 
 
