@@ -605,3 +605,176 @@ class TestSemanticDedup:
             ).collect()
         }
         assert got == want
+
+
+def test_compaction_crash_at_any_offset_recovers(spark, sf_dir):
+    """Property over the WHOLE compaction crash window (round-7 advice:
+    mirror the trending sink's test_crash_at_any_offset_recovers). The
+    compaction sequence is write(table->stage) -> write(stage->target,
+    which internally DROPS the target first) -> DROP stage. A crash
+    after ANY of those steps — including mid-rewrite of the target,
+    which leaves the table dropped and an orphaned partial directory —
+    followed by a retry of compact_assignment_bucketed, must converge
+    to the compacted layout with the identical pair set. The single
+    offset pinned by test_compaction_interrupted_swap_recovers is
+    'mid_write2' here; this covers every other offset, with appends
+    interleaved between cycles so recovery is tested against a
+    GROWING table, not just the build."""
+    import itertools
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from economic_data_etl_spark.operators import skew
+    from economic_data_etl_spark.operators.semantic import (
+        append_assignment_bucketed,
+        compact_assignment_bucketed,
+        semantic_near_dup_pairs_from_bucketed,
+        write_assignment_bucketed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    nb = 8
+    counter = itertools.count()
+
+    class Killed(RuntimeError):
+        pass
+
+    def table_dir(tbl: str) -> str:
+        db = spark.catalog.currentDatabase()
+        for r in spark.sql(f"DESCRIBE DATABASE `{db}`").collect():
+            if r[0].strip().lower().startswith("location"):
+                loc = r[1]
+                return os.path.join(
+                    urlparse(loc).path or loc, tbl.lower()
+                )
+        raise AssertionError("no database location")
+
+    real_write = skew.write_bucketed
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        tbl = f"t_sem_crash_fuzz_{next(counter)}"
+        cuts = [0, 150, 300, 500]
+        write_assignment_bucketed(
+            emb.filter(F.col("vec_id") < cuts[1]),
+            cents, tbl, probes=3, num_buckets=nb,
+        )
+        n_rounds = data.draw(st.integers(1, 2))
+        hi = cuts[1]
+        for rnd in range(n_rounds):
+            lo, hi = cuts[rnd + 1], cuts[rnd + 2]
+            append_assignment_bucketed(
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                cents, tbl, probes=3, num_buckets=nb,
+            )
+            crash = data.draw(
+                st.sampled_from(
+                    [
+                        "none",
+                        "before_write1",
+                        "before_write2",
+                        "mid_write2",
+                        "before_stage_drop",
+                    ]
+                )
+            )
+            calls = {"n": 0}
+
+            def hooked_write(df, table_name, bucket_col, num_buckets=16,
+                             sort_col=None, _crash=crash, _calls=calls):
+                if _crash == "before_write1" and _calls["n"] == 0:
+                    raise Killed()
+                if _crash in ("before_write2", "mid_write2") and (
+                    _calls["n"] == 1
+                ):
+                    if _crash == "mid_write2":
+                        # reproduce a die mid-saveAsTable: target
+                        # dropped, partial orphan directory on disk
+                        parts = [
+                            p.strip("`")
+                            for p in table_name.split(".")
+                        ]
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS `{parts[-1]}`"
+                        )
+                        d = table_dir(parts[-1])
+                        os.makedirs(d, exist_ok=True)
+                        with open(
+                            os.path.join(d, "part-junk.parquet"), "wb"
+                        ) as f:
+                            f.write(b"not parquet")
+                    raise Killed()
+                real_write(
+                    df, table_name, bucket_col, num_buckets, sort_col
+                )
+                _calls["n"] += 1
+
+            real_sql = spark.sql
+
+            def hooked_sql(q, *a, _crash=crash, _calls=calls, **kw):
+                if (
+                    _crash == "before_stage_drop"
+                    and _calls["n"] >= 2
+                    and q.lstrip().upper().startswith("DROP TABLE")
+                    and "compacting" in q
+                ):
+                    raise Killed()
+                return real_sql(q, *a, **kw)
+
+            skew.write_bucketed = hooked_write
+            spark.sql = hooked_sql
+            try:
+                compact_assignment_bucketed(spark, tbl, num_buckets=nb)
+                assert crash == "none"
+            except Killed:
+                assert crash != "none"
+            finally:
+                skew.write_bucketed = real_write
+                del spark.sql  # restore the class-bound method
+
+            # the conf toggled inside compact must be restored even on
+            # a crash (finally-block contract)
+            assert (
+                spark.conf.get(
+                    "spark.sql.sources.bucketing."
+                    "autoBucketedScan.enabled"
+                )
+                == "true"
+            )
+            # retry (the recovery path the next maintenance run takes)
+            compact_assignment_bucketed(spark, tbl, num_buckets=nb)
+            assert spark.catalog.tableExists(tbl)
+            assert not spark.catalog.tableExists(f"{tbl}_compacting")
+            assert len(spark.table(tbl).inputFiles()) <= nb
+            want = {
+                (r["id_a"], r["id_b"])
+                for r in semantic_near_dup_pairs(
+                    emb.filter(F.col("vec_id") < hi),
+                    cents, TAU, probes=3,
+                ).collect()
+            }
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in semantic_near_dup_pairs_from_bucketed(
+                    spark, tbl, threshold=TAU
+                ).collect()
+            }
+            assert got == want
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        loc = table_dir(tbl)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+    run()
