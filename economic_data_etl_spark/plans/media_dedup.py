@@ -177,6 +177,13 @@ def multimodal_video_near_dup(
     keyframes = docs.mapInPandas(
         hash_batch, "video_id long, frame_idx long, phash long"
     )
+    # Materialize the fingerprint table ONCE: the banded self-join,
+    # the per-video counts, and the outcome assembly all scan it, and
+    # without a checkpoint each scan re-runs the full video decode
+    # (measured 8 MapInPandas executions in the plan, ~21 s at sf0.1).
+    # The hash table is tiny (3 longs per keyframe) next to the media
+    # bytes — decode-once-then-join is THE scale shape for media dedup.
+    keyframes = keyframes.localCheckpoint(eager=True)
     pairs = near_dup_videos_by_phash(keyframes)
     touching = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
@@ -200,11 +207,12 @@ def multimodal_video_near_dup(
     "tokens, below the match threshold 4, so chance pairs are "
     "impossible by polynomial interpolation at any corpus size up "
     "to the certified 353640-doc bound. Docs divisible by 3 get a "
-    "twin RE-ENCODED through the repo's own G.711 codec (mu-law / "
-    "A-law by doc parity — companding preserves each segment's "
-    "dominant bin, so twins share all 7 tokens); other docs "
-    "divisible by 7 get an unrelated decoy signal. The shared-token "
-    "join is candidates-only (token equality), never all-pairs.",
+    "twin RE-ENCODED through the repo's own lossy audio codecs "
+    "(cycling mu-law / A-law / IMA ADPCM — companding and adaptive "
+    "prediction both preserve each segment's dominant bin, so twins "
+    "share all 7 tokens); other docs divisible by 7 get an unrelated "
+    "decoy signal. The shared-token join is candidates-only (token "
+    "equality), never all-pairs.",
 )
 def multimodal_audio_near_dup(
     spark: SparkSession, sf_dir: str
@@ -228,6 +236,7 @@ def multimodal_audio_near_dup(
         )
         from economic_data_etl_spark.operators.codecs import (
             decode_wav,
+            encode_wav_adpcm,
             encode_wav_g711,
         )
 
@@ -242,11 +251,18 @@ def multimodal_audio_near_dup(
                 d = int(d)
                 orig = planted_tone_signal(2 * d)
                 rows += rows_for(d, orig)
-                if d % 3 == 0:  # twin: G.711 re-encode round-trip
-                    law = "mulaw" if d % 2 == 0 else "alaw"
-                    _, dec = decode_wav(
-                        encode_wav_g711(orig, 8000, law=law)
-                    )
+                if d % 3 == 0:  # twin: lossy re-encode round-trip,
+                    # cycling all three audio codecs so every
+                    # companding/prediction path sits under the hash
+                    v = (d // 3) % 3
+                    if v == 2:
+                        enc = encode_wav_adpcm(orig, 8000)
+                    else:
+                        enc = encode_wav_g711(
+                            orig, 8000,
+                            law="mulaw" if v == 0 else "alaw",
+                        )
+                    _, dec = decode_wav(enc)
                     rows += rows_for(d + _TWIN_OFFSET, dec[:, 0])
                 elif d % 7 == 0:  # decoy: unrelated planted signal
                     rows += rows_for(
@@ -256,6 +272,9 @@ def multimodal_audio_near_dup(
             yield pd.DataFrame(rows, columns=["audio_id", "token"])
 
     tokens = docs.mapInPandas(token_batch, "audio_id long, token long")
+    # decode/FFT once — same multi-scan materialization as the video
+    # query (the token table is 2 longs per landmark)
+    tokens = tokens.localCheckpoint(eager=True)
     from economic_data_etl_spark.operators.audiofp import (
         near_dup_audio_by_tokens,
     )

@@ -110,6 +110,11 @@ def multimodal_phash_near_dup(
             yield pd.DataFrame(rows, columns=["id", "phash"])
 
     hashes = docs.mapInPandas(hash_batch, "id long, phash long")
+    # hash once: the banded self-join scans this twice and the outcome
+    # assembly again — without a checkpoint each scan re-runs the
+    # texture synthesis + JPEG recompression (same fix as the video
+    # near-dup query; the hash table is 2 longs per image)
+    hashes = hashes.localCheckpoint(eager=True)
     pairs = near_dup_pairs_by_phash(hashes, "id", "phash")
     touch = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("id")

@@ -166,6 +166,7 @@ class TestAudioFingerprint:
         )
         from economic_data_etl_spark.operators.codecs import (
             decode_wav,
+            encode_wav_adpcm,
             encode_wav_g711,
         )
 
@@ -181,13 +182,18 @@ class TestAudioFingerprint:
         assert worst <= 2 < MIN_SHARED_TOKENS
         for i in range(0, 40):
             s = planted_tone_signal(i)
-            for law in ("mulaw", "alaw"):
-                _, dec = decode_wav(encode_wav_g711(s, 8000, law=law))
+            encs = [
+                encode_wav_g711(s, 8000, law="mulaw"),
+                encode_wav_g711(s, 8000, law="alaw"),
+                encode_wav_adpcm(s, 8000),
+            ]
+            for li, enc in enumerate(encs):
+                _, dec = decode_wav(enc)
                 shared = len(
                     toks[i]
                     & set(fingerprint_tokens(dec[:, 0]).tolist())
                 )
-                assert shared >= MIN_SHARED_TOKENS, (i, law, shared)
+                assert shared >= MIN_SHARED_TOKENS, (i, li, shared)
 
     def test_segment_bins_edge_cases(self):
         from economic_data_etl_spark.operators.audiofp import (
