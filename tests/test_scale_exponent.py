@@ -81,3 +81,34 @@ def test_cluster_components_scale_exponent(spark):
         f"components grew {ratio:.1f}x for 10x data "
         f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
     )
+
+
+@pytest.mark.slow
+def test_media_near_dup_scale_exponents(spark):
+    """The round-8 media near-dup compositions: fixture synthesis +
+    decode is per-row (linear), the banded keyframe join and the
+    shared-token join generate candidates only where bands/tokens
+    collide — planted separation means candidate count grows linearly
+    with the corpus, so the whole query must stay near-linear. A
+    superlinear escape here would mean the banding degenerated into an
+    all-pairs comparison."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "multimodal_video_near_dup",
+        "multimodal_audio_near_dup",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
