@@ -66,6 +66,7 @@ HEADLINE = [
     "inv_bpe_conservation",
     "curation_pii_redaction",
     "multimodal_phash_near_dup",
+    "dedup_incremental_phash",
     "multimodal_video_near_dup",
     "multimodal_audio_near_dup",
     "multimodal_audio_spectral",

@@ -164,6 +164,69 @@ def near_dup_pairs_by_phash(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def near_dup_pairs_by_phash_vs_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "phash",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch's hashes
+    against an EXISTING fingerprint index without ever comparing the
+    index to itself — the maintenance shape of media dedup at corpus
+    scale (the index is written once and appended to; each ingest
+    increment pays O(batch), not O(corpus), exactly like the
+    incremental MinHash and incremental semantic operators).
+
+    Banding is identical to the self-join path (8 x 8-bit bands,
+    pigeonhole-complete for hamming <= N_BANDS - 1), but the join is
+    batch-vs-index, so candidates are only generated where a batch
+    band collides with an index band. Returns
+    (batch_id, index_id, hamming) distinct pairs.
+    """
+    if max_hamming >= N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banded recall "
+            f"guarantee: {N_BANDS} bands are pigeonhole-complete only "
+            f"for hamming <= {N_BANDS - 1}"
+        )
+
+    def explode_bands(df: DataFrame, bid: str, bh: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(bid),
+            F.col(hash_col).alias(bh),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                            .bitwiseAND(F.lit(255))
+                            .alias("band_val"),
+                        )
+                        for i in range(N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(bid, bh, "band.band_idx", "band.band_val")
+
+    b = explode_bands(batch, "batch_id", "h_b")
+    x = explode_bands(index, "index_id", "h_x")
+    return (
+        b.join(x, ["band_idx", "band_val"])
+        .select("batch_id", "index_id", "h_b", "h_x")
+        .dropDuplicates(["batch_id", "index_id"])
+        .select(
+            "batch_id",
+            "index_id",
+            F.bit_count(
+                F.col("h_b").bitwiseXOR(F.col("h_x"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def near_dup_videos_by_phash(
     keyframes: DataFrame,
     id_col: str = "video_id",

@@ -215,3 +215,57 @@ class TestAudioFingerprint:
 
         with pytest.raises(ValueError):
             planted_tone_signal(29**4)
+
+
+class TestIncrementalPhash:
+    def test_batch_vs_index_equals_brute_force(self, spark):
+        # banded batch-vs-index join == all-pairs evaluation of the
+        # same predicate, and NEVER emits batch-batch or index-index
+        # pairs (the O(batch) incremental contract)
+        import numpy as np
+
+        from economic_data_etl_spark.operators.phash import (
+            near_dup_pairs_by_phash_vs_index,
+        )
+
+        rng = np.random.default_rng(11)
+        index = [(i, int(rng.integers(0, 1 << 62))) for i in range(30)]
+        batch = []
+        for b in range(12):
+            if b % 3 == 0:  # drifted copy of index member b
+                flip = 0
+                for bit in rng.choice(63, size=b % 8, replace=False):
+                    flip |= 1 << int(bit)
+                batch.append((100 + b, index[b][1] ^ flip))
+            else:
+                batch.append((100 + b, int(rng.integers(0, 1 << 62))))
+        # duplicate hash INSIDE the batch: must not produce a pair
+        batch.append((200, batch[0][1]))
+        bdf = spark.createDataFrame(batch, "id long, phash long")
+        xdf = spark.createDataFrame(index, "id long, phash long")
+        got = {
+            (r["batch_id"], r["index_id"], r["hamming"])
+            for r in near_dup_pairs_by_phash_vs_index(
+                bdf, xdf
+            ).collect()
+        }
+        want = {
+            (bi, xi, bin(bh ^ xh).count("1"))
+            for bi, bh in batch
+            for xi, xh in index
+            if bin(bh ^ xh).count("1") <= 7
+        }
+        assert got == want
+        assert all(g[0] >= 100 and g[1] < 100 for g in got)
+        assert got, "fixture must produce matches"
+
+    def test_threshold_guard(self, spark):
+        import pytest
+
+        from economic_data_etl_spark.operators.phash import (
+            near_dup_pairs_by_phash_vs_index,
+        )
+
+        df = spark.createDataFrame([(1, 5)], "id long, phash long")
+        with pytest.raises(ValueError):
+            near_dup_pairs_by_phash_vs_index(df, df, max_hamming=8)
