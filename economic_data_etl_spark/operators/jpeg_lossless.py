@@ -124,6 +124,73 @@ def _decode_diff(reader: _BitReader, table: dict) -> int:
     return bits
 
 
+_LL_CODE_ARR = np.array([_LL_ENC[s][0] for s in range(17)], np.int64)
+_LL_LEN_ARR = np.array([_LL_ENC[s][1] for s in range(17)], np.int64)
+
+
+def _predictions_vec(
+    plane: np.ndarray, predictor: int, segments: list[tuple[int, int]]
+) -> np.ndarray:
+    """Vectorized T.81 Table H.1 predictions for a WHOLE plane — legal
+    only because the mode is lossless, so the decoder's reconstructed
+    neighbors equal the original samples and every prediction is a
+    pure shift of the input array. Bitwise-identical to the
+    per-sample _predict walk (pinned in tests/test_jpeg_lossless.py).
+    `segments` are the flat [start, end) restart segments."""
+    h, w = plane.shape
+    ra = np.zeros_like(plane)
+    ra[:, 1:] = plane[:, :-1]
+    rb = np.zeros_like(plane)
+    rb[1:, :] = plane[:-1, :]
+    rc = np.zeros_like(plane)
+    rc[1:, 1:] = plane[:-1, :-1]
+    if predictor == 1:
+        pred = ra.copy()
+    elif predictor == 2:
+        pred = rb.copy()
+    elif predictor == 3:
+        pred = rc.copy()
+    elif predictor == 4:
+        pred = ra + rb - rc
+    elif predictor == 5:
+        pred = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        pred = rb + ((ra - rc) >> 1)
+    else:  # predictor == 7
+        pred = (ra + rb) >> 1
+    pred[:, 0] = rb[:, 0]  # first sample of a line: Rb
+    flat = pred.reshape(-1)
+    ra_flat = ra.reshape(-1)
+    for s0, s1 in segments:
+        sy = s0 // w
+        flat[s0] = 128  # 2^(P-1) at the scan/restart start
+        row_end = min(s1, (sy + 1) * w)
+        if s0 + 1 < row_end:  # remainder of the segment's first line: Ra
+            flat[s0 + 1 : row_end] = ra_flat[s0 + 1 : row_end]
+    return pred
+
+
+def _pack_tokens(values: np.ndarray, lengths: np.ndarray) -> bytearray:
+    """MSB-first bit packing of (value, length) tokens with JPEG byte
+    stuffing and 1-padding to the byte boundary — the vectorized twin
+    of _BitWriter.write/_byte_align (bitwise-pinned in tests)."""
+    k = np.arange(16)
+    shifts = lengths[:, None] - 1 - k[None, :]
+    bits_mat = (values[:, None] >> np.maximum(shifts, 0)) & 1
+    mask = shifts >= 0
+    bits = bits_mat[mask]  # row-major: token order, MSB-first
+    pad = (-bits.size) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.int64)])
+    raw = np.packbits(bits.astype(np.uint8))
+    stuffed = np.insert(
+        raw.astype(np.uint8),
+        np.flatnonzero(raw == 0xFF) + 1,
+        0,
+    )
+    return bytearray(stuffed.tobytes())
+
+
 def encode_jpeg_lossless(
     img: np.ndarray,
     predictor: int = 1,
@@ -132,7 +199,13 @@ def encode_jpeg_lossless(
     """Encode (h, w) or (h, w, 3) uint8 as a lossless (SOF3) JPEG.
     `predictor` selects T.81 Table H.1 (1..7); `restart_interval` is
     counted in MCUs (= sample positions, all components). No color
-    transform: 3-channel input round-trips exactly as given."""
+    transform: 3-channel input round-trips exactly as given.
+
+    The hot path is fully vectorized (predictions are pure array
+    shifts because reconstruction equals the input in a lossless
+    mode; magnitude categories via frexp; one bit-matrix pack per
+    restart segment) — bitwise-identical to the sequential
+    _BitWriter walk, which tests keep as the reference."""
     if predictor not in range(1, 8):
         raise ValueError(f"predictor must be 1..7, got {predictor}")
     if img.ndim == 2:
@@ -142,25 +215,44 @@ def encode_jpeg_lossless(
     else:
         raise ValueError("expected (h, w) or (h, w, 3) image")
     h, w = planes[0].shape
-    writer = _BitWriter()
-    seg_start = (0, 0)
-    mcu_index = 0
-    for y in range(h):
-        for x in range(w):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                writer.restart((mcu_index // restart_interval - 1) % 8)
-                seg_start = (y, x)
-            mcu_index += 1
-            for plane in planes:
-                pred = _predict(plane, y, x, predictor, seg_start)
-                _encode_diff(
-                    writer, _wrap_diff(int(plane[y, x]) - pred)
-                )
-    entropy = writer.flush()
+    n = h * w
+    ri = restart_interval
+    segments = (
+        [(s, min(s + ri, n)) for s in range(0, n, ri)]
+        if ri
+        else [(0, n)]
+    )
+    ncomp = len(planes)
+    # interleaved diffs: position-major, component-minor (the MCU order)
+    diffs = np.empty((n, ncomp), np.int64)
+    for ci, plane in enumerate(planes):
+        pred = _predictions_vec(plane, predictor, segments)
+        diffs[:, ci] = (
+            ((plane - pred + 32768) & 0xFFFF) - 32768
+        ).reshape(-1)
+    d = diffs.reshape(-1)
+    absd = np.abs(d)
+    size = np.frexp(absd.astype(np.float64))[1].astype(np.int64)
+    size[d == -32768] = 16  # category 16: no appended bits
+    appended = np.where(d >= 0, d, d + (1 << size) - 1)
+    app_len = np.where(size == 16, 0, size)
+    # token stream: (huff code, huff len) then (appended, app_len)
+    values = np.empty(2 * d.size, np.int64)
+    lengths = np.empty(2 * d.size, np.int64)
+    values[0::2] = _LL_CODE_ARR[size]
+    lengths[0::2] = _LL_LEN_ARR[size]
+    values[1::2] = np.where(app_len > 0, appended, 0)
+    lengths[1::2] = app_len
+    tokens_per_mcu = 2 * ncomp
+    out = bytearray()
+    for si, (s0, s1) in enumerate(segments):
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) & 7)])
+        out += _pack_tokens(
+            values[s0 * tokens_per_mcu : s1 * tokens_per_mcu],
+            lengths[s0 * tokens_per_mcu : s1 * tokens_per_mcu],
+        )
+    entropy = bytes(out)
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
         bytes([i + 1, 0x11, 0]) for i in range(ncomp)

@@ -149,3 +149,90 @@ class TestRobustness:
                     rng.integers(0, 256)
                 )
             try_decode_media(bytes(mutated))  # must not raise
+
+
+class TestVectorizedEncoderEquivalence:
+    """The vectorized encoder (array-shift predictions + frexp
+    categories + bit-matrix packing) must be BITWISE identical to the
+    sequential per-sample walk it replaced — kept here as the
+    reference implementation, built from the module's own primitives
+    (_predict / _encode_diff / _BitWriter), which the decoder still
+    uses."""
+
+    @staticmethod
+    def _reference_encode_entropy(
+        planes, predictor: int, restart_interval: int
+    ) -> bytes:
+        from economic_data_etl_spark.operators.jpeg import _BitWriter
+        from economic_data_etl_spark.operators.jpeg_lossless import (
+            _encode_diff,
+            _predict,
+            _wrap_diff,
+        )
+
+        h, w = planes[0].shape
+        writer = _BitWriter()
+        seg_start = (0, 0)
+        mcu_index = 0
+        for y in range(h):
+            for x in range(w):
+                if (
+                    restart_interval
+                    and mcu_index
+                    and mcu_index % restart_interval == 0
+                ):
+                    writer.restart(
+                        (mcu_index // restart_interval - 1) % 8
+                    )
+                    seg_start = (y, x)
+                mcu_index += 1
+                for plane in planes:
+                    pred = _predict(
+                        plane, y, x, predictor, seg_start
+                    )
+                    _encode_diff(
+                        writer, _wrap_diff(int(plane[y, x]) - pred)
+                    )
+        return writer.flush()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pred=st.integers(1, 7),
+        ri=st.sampled_from([0, 1, 3, 7, 16, 64]),
+        h=st.integers(1, 18),
+        w=st.integers(1, 18),
+        ncomp=st.sampled_from([1, 3]),
+        seed=st.integers(0, 10**6),
+    )
+    def test_bitwise_equals_sequential_reference(
+        self, pred, ri, h, w, ncomp, seed
+    ):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ncomp == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        got = encode_jpeg_lossless(
+            img, predictor=pred, restart_interval=ri
+        )
+        planes = (
+            [img.astype(np.int64)]
+            if ncomp == 1
+            else [img[:, :, i].astype(np.int64) for i in range(3)]
+        )
+        want = self._reference_encode_entropy(planes, pred, ri)
+        # compare the entropy-coded payload (headers are unchanged
+        # code): slice between SOS body end and EOI
+        assert got.endswith(b"\xff\xd9")
+        assert got[-2 - len(want) : -2] == want
+
+    def test_stuffed_and_padded_bytes_match(self):
+        # extremes that exercise byte stuffing (0xFF bytes in the
+        # stream) and the 1-padding path at every restart boundary
+        img = np.tile(
+            np.array([[0, 255], [255, 0]], np.uint8), (8, 8)
+        )
+        for ri in (0, 1, 5):
+            got = encode_jpeg_lossless(img, 4, restart_interval=ri)
+            want = self._reference_encode_entropy(
+                [img.astype(np.int64)], 4, ri
+            )
+            assert got[-2 - len(want) : -2] == want
