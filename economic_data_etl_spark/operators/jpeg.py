@@ -235,6 +235,65 @@ class _BitWriter:
         self.out.append(0xD0 + (n & 7))
 
 
+def _pack_tokens(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first bit packing of (value, length<=16) tokens with JPEG
+    byte stuffing and 1-padding to the byte boundary — one vectorized
+    numpy pass, bitwise-identical to feeding the tokens through
+    _BitWriter.write + _byte_align (pinned in tests/test_jpeg.py)."""
+    k = np.arange(16)
+    shifts = lengths[:, None] - 1 - k[None, :]
+    bits_mat = (values[:, None] >> np.maximum(shifts, 0)) & 1
+    bits = bits_mat[shifts >= 0]  # row-major: token order, MSB-first
+    pad = (-bits.size) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.int64)])
+    raw = np.packbits(bits.astype(np.uint8))
+    stuffed = np.insert(
+        raw.astype(np.uint8),
+        np.flatnonzero(raw == 0xFF) + 1,
+        0,
+    )
+    return stuffed.tobytes()
+
+
+class _TokenWriter:
+    """Drop-in replacement for _BitWriter on ENCODE paths: write()
+    buffers (value, length) tokens, and each restart()/flush()
+    boundary packs the buffered segment with one vectorized
+    _pack_tokens pass instead of the per-bit accumulator loop (the
+    encoder hot spot — ~70% of baseline-encode time). Byte
+    alignment, 1-padding, stuffing, and RSTn placement are bitwise
+    the same, which tests/test_jpeg.py pins on random token streams
+    and the full encoders."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._vals: list[int] = []
+        self._lens: list[int] = []
+
+    def write(self, value: int, length: int) -> None:
+        self._vals.append(value)
+        self._lens.append(length)
+
+    def _pack_segment(self) -> None:
+        if self._vals:
+            self.out += _pack_tokens(
+                np.array(self._vals, np.int64),
+                np.array(self._lens, np.int64),
+            )
+            self._vals.clear()
+            self._lens.clear()
+
+    def restart(self, n: int) -> None:
+        self._pack_segment()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
+    def flush(self) -> bytes:
+        self._pack_segment()
+        return bytes(self.out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -550,7 +609,7 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     h, w = img.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
     padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
-    writer = _BitWriter()
+    writer = _TokenWriter()
     prev_dc = 0
     mcu_index = 0
     for by in range(bh):
@@ -649,7 +708,7 @@ def encode_jpeg_color(
     cb_pad = _pad_to(cb, mh * 8, mw * 8)
     cr_pad = _pad_to(cr, mh * 8, mw * 8)
 
-    writer = _BitWriter()
+    writer = _TokenWriter()
     dc = [0, 0, 0]
     mcu_index = 0
     for my in range(mh):

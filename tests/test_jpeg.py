@@ -309,3 +309,79 @@ class TestRestartIntervals:
             mutated = bytearray(payload)
             mutated[pos] ^= 0xFF
             try_decode_media(bytes(mutated))  # must not raise
+
+
+class TestTokenWriterEquivalence:
+    """_TokenWriter (deferred vectorized packing) must be BITWISE
+    identical to _BitWriter on arbitrary token streams with restarts
+    interleaved — byte stuffing, 1-padding alignment, RSTn placement
+    and all."""
+
+    def test_random_token_streams_match(self):
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            _BitWriter,
+            _TokenWriter,
+        )
+
+        rng = np.random.default_rng(5)
+        for trial in range(30):
+            bw, tw = _BitWriter(), _TokenWriter()
+            for _ in range(rng.integers(1, 400)):
+                op = rng.integers(0, 12)
+                if op == 0:
+                    n = int(rng.integers(0, 8))
+                    bw.restart(n)
+                    tw.restart(n)
+                else:
+                    length = int(rng.integers(1, 17))
+                    value = int(rng.integers(0, 1 << length))
+                    bw.write(value, length)
+                    tw.write(value, length)
+            assert bw.flush() == tw.flush(), trial
+
+    def test_all_ones_stuffing_storm(self):
+        # maximal-0xFF stream: every byte needs stuffing, including
+        # the 1-padded tail
+        from economic_data_etl_spark.operators.jpeg import (
+            _BitWriter,
+            _TokenWriter,
+        )
+
+        bw, tw = _BitWriter(), _TokenWriter()
+        for _ in range(10):
+            bw.write(0xFFFF, 16)
+            tw.write(0xFFFF, 16)
+        bw.write(0x7F, 7)  # forces 1-padding into an 0xFF byte
+        tw.write(0x7F, 7)
+        assert bw.flush() == tw.flush()
+
+    def test_full_encoders_unchanged(self):
+        # the swap must not change a single byte of real encodes
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            _BitWriter,
+            encode_jpeg_color,
+            encode_jpeg_gray,
+        )
+        import economic_data_etl_spark.operators.jpeg as jm
+
+        rng = np.random.default_rng(9)
+        gray = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+        color = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        got = [
+            encode_jpeg_gray(gray, restart_interval=3),
+            encode_jpeg_color(color),
+        ]
+        saved = jm._TokenWriter
+        jm._TokenWriter = _BitWriter  # force the sequential writer
+        try:
+            want = [
+                encode_jpeg_gray(gray, restart_interval=3),
+                encode_jpeg_color(color),
+            ]
+        finally:
+            jm._TokenWriter = saved
+        assert got == want
