@@ -164,12 +164,31 @@ _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time decoder."""
-    return {
-        (length, code): sym
+class _HuffTable(dict):
+    """(length, code) -> symbol decode table, plus a 256-entry
+    first-byte lookup (`fast[prefix8] = (symbol, length)` for codes of
+    length <= 8) that lets read_symbol resolve the common case with
+    one table hit instead of a bit-at-a-time walk. Still a plain dict
+    to every existing caller."""
+
+    __slots__ = ("fast",)
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """(length, code) -> symbol, for the decoder; carries the
+    accelerated first-byte lookup as `.fast`."""
+    t = _HuffTable(
+        ((length, code), sym)
         for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
+    )
+    fast: list[tuple[int, int] | None] = [None] * 256
+    for (length, code), sym in t.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for i in range(1 << (8 - length)):
+                fast[base + i] = (sym, length)
+    t.fast = fast
+    return t
 
 
 _DC_DEC = _decode_table(_DC_BITS, _DC_VALS)
@@ -319,7 +338,41 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def _fill(self, want: int) -> int:
+        """Prefetch whole bytes into the accumulator until `want` bits
+        are buffered (or a marker / end of data is reached — then stop
+        SILENTLY: the caller's slow path reproduces the original
+        truncation/marker errors if it actually consumes past them).
+        Keeps read_bit's invariant: the next bit is acc >> (nbits-1)."""
+        # fill PAST `want` up to a 24-bit watermark: refill entry is
+        # the decoder's hottest call site, and topping up 3 bytes per
+        # entry instead of 1 cuts the call count ~3x (stopping at a
+        # marker or data end is still silent)
+        data = self.data
+        n = len(data)
+        pos, acc, nbits = self.pos, self.acc, self.nbits
+        target = want if want > 24 else 24
+        while nbits < target:
+            if pos >= n:
+                break
+            byte = data[pos]
+            if byte == 0xFF:
+                if pos + 1 >= n or data[pos + 1] != 0x00:
+                    break  # marker or truncated stuffing: don't consume
+                pos += 2
+            else:
+                pos += 1
+            acc = (acc << 8) | byte
+            nbits += 8
+        self.pos, self.acc, self.nbits = pos, acc, nbits
+        return nbits
+
     def read_bits(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -347,6 +400,17 @@ class _BitReader:
             return
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        # fast path: resolve codes of length <= 8 (the overwhelming
+        # majority under the Annex-K-style tables) with ONE lookup on
+        # the next 8 buffered bits
+        fast = getattr(table, "fast", None)
+        if fast is not None and (
+            self.nbits >= 8 or self._fill(8) >= 8
+        ):
+            hit = fast[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                self.nbits -= hit[1]
+                return hit[0]
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
