@@ -83,6 +83,8 @@ HEADLINE = [
     "dedup_semantic_bucketed",
     "dedup_semantic_bucketed_pairs_only",
     "dedup_duplicated_ngram_fraction",
+    "dedup_duplicate_spans",
+    "dedup_substring_removal",
     "text_importance_weights",
     "curation_source_quota",
     "graph_triangle_census",
@@ -121,6 +123,8 @@ ISOLATED = {
     "dedup_semantic_bucketed",
     "dedup_semantic_bucketed_pairs_only",
     "dedup_duplicated_ngram_fraction",
+    "dedup_duplicate_spans",
+    "dedup_substring_removal",
     "graph_triangle_census",
     "join_market_basket_pairs",
     "text_lm_quality_score",

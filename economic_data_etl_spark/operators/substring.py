@@ -1,0 +1,226 @@
+"""Corpus-wide duplicate-substring (k-gram span) detection and removal.
+
+Spark-native realization of exact substring deduplication in the style of
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(ACL 2022): any k-token gram that occurs more than once in the corpus
+marks its non-first occurrences (corpus order = (doc_id, pos)) as
+duplicated; overlapping or adjacent duplicated grams merge into maximal
+per-document spans, which can then be counted or excised.
+
+The published implementation is a single-node suffix-array batch job; a
+suffix array does not distribute, but the k-gram formulation is exactly
+equivalent for a FIXED minimum match length k and maps onto Spark as:
+
+  1. tokenize JVM-side on the explicit class ``[ \\t\\n\\r]+`` (shared
+     verbatim with the DuckDB oracles — see the whitespace-dialect
+     lesson pinned in tests/test_bpe.py),
+  2. build k-grams with a NARROW higher-order ``transform`` over the
+     token array (no shuffle, whole-stage codegen),
+  3. ``posexplode`` to (doc_id, pos, gram) occurrences,
+  4. shuffle 1 — ONE window partitioned by the gram string computes the
+     corpus-wide occurrence count and the (doc_id, pos) rank together;
+     rank > 1 with count > 1 marks a duplicated occurrence (see
+     duplicate_occurrences for why this beats a hash-prefilter plan),
+  5. shuffle 2 — one window per document merges duplicated gram
+     intervals [pos, pos+k) into maximal spans (classic prev-max-end
+     scan); this shuffle carries only the duplicated occurrences.
+
+Every stage is linear in corpus token count; nothing is collected to the
+driver. Reference scope: the pandas pipeline (src/transform.py) has no
+dedup surface at all — this module is part of the training-data
+extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Explicit whitespace class — IDENTICAL string in Spark (Java regex),
+# DuckDB oracles (RE2), and Python tests (re) so the three tokenizers
+# cannot desync on \x0b / \xa0 / U+2028.
+WORD_SPLIT = "[ \\t\\n\\r]+"
+
+
+def word_array(text: Column) -> Column:
+    """Token array: split on the explicit whitespace class, drop empties
+    (a leading separator yields one empty first element in both Spark
+    and DuckDB)."""
+    return F.filter(F.split(text, WORD_SPLIT), lambda t: t != "")
+
+
+def kgram_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram) for every k-token window of every document.
+
+    Narrow: the gram array is built per row with transform+slice (no
+    shuffle); docs shorter than k tokens contribute nothing. ``pos`` is
+    the 0-based index of the gram's first token.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # Materialize the token array behind a projection boundary FIRST:
+    # higher-order-function lambdas get no common-subexpression
+    # elimination, so slicing a raw filter(split(text)) expression
+    # re-splits the whole document once per gram (O(n^2) regex work per
+    # doc, measured 8x slower at sf0.1).
+    toks = docs.select(
+        F.col(id_col), word_array(F.col(text_col)).alias("w")
+    )
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def duplicate_occurrences(occ: DataFrame, id_col: str) -> DataFrame:
+    """Non-first occurrences of grams that repeat corpus-wide.
+
+    ONE shuffle: a single window partitioned by the gram string carries
+    both the corpus-wide occurrence count and the (id, pos) rank, so
+    the occurrence stream is built once and shuffled once. Corpus order
+    for "first" is (id, pos) — deterministic and engine-independent.
+
+    Scale notes: the alternative "find repeated xxhash64(gram) first,
+    join back" plan shuffles 8-byte keys for the pre-aggregation but
+    then needs EITHER a broadcast of the repeated-hash set (10^10 × 8 B
+    at corpus scale — infeasible) or a second full-row shuffle of every
+    occurrence for the join, ON TOP of recomputing the gram build for
+    the join side. Shuffle bytes here are dominated by the row payload
+    (the gram string rides along in both plans), so the single
+    window-shuffle is strictly cheaper. A skewed gram (one string
+    repeated millions of times) lands in one partition either way;
+    rank>1 only needs the first row, so a pathological partition is
+    sort-bound, and Lee et al. observe long verbatim duplicates are a
+    small corpus fraction.
+    """
+    w = Window.partitionBy("gram")
+    rn = F.row_number().over(w.orderBy(F.col(id_col), F.col("pos")))
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        occ.select(
+            id_col, "pos", rn.alias("rn"), cnt.alias("cnt")
+        )
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select(id_col, "pos")
+    )
+
+
+def merge_spans(dups: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge duplicated gram intervals [pos, pos+k) into maximal spans.
+
+    Overlapping OR adjacent intervals merge (pos <= running max end).
+    One window per document; output (id, span_start, span_end) with
+    span_end exclusive.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+    ).otherwise(0)
+    marked = dups.withColumn("new_span", new_span)
+    span_id = F.sum("new_span").over(w)
+    return (
+        marked.withColumn("span_id", span_id)
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + k).alias("span_end"),
+        )
+        .drop("span_id")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, span_start, span_end) maximal duplicated spans per doc."""
+    occ = kgram_occurrences(docs, id_col, text_col, k)
+    dups = duplicate_occurrences(occ, id_col)
+    return merge_spans(dups, id_col, k)
+
+
+def duplicate_span_stats(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-document duplication accounting over ALL docs (zeros kept):
+    (id, n_tokens, n_dup_spans, dup_tokens). ``dup_tokens`` counts
+    tokens inside merged spans — the exact number substring dedup
+    would delete from that document."""
+    spans = duplicate_spans(docs, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(word_array(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Documents with duplicated spans excised: tokens whose 0-based
+    index falls inside any merged span are dropped, survivors re-join
+    with single spaces. Adds ``clean_text`` and ``n_clean_tokens``.
+
+    The reassembly is a narrow index-aware ``filter`` over the token
+    array against the doc's (small) span list — no re-explode, no
+    order-fragile collect_list."""
+    spans = duplicate_spans(docs, id_col, text_col, k)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(span_lists, id_col, "left")
+    sp = F.coalesce(
+        "_spans",
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    # Two projection boundaries: (1) materialize the token array so the
+    # index-filter lambda doesn't re-split the text per token, then
+    # (2) materialize the kept array so join/size don't re-run the
+    # filter (no CSE inside higher-order functions).
+    with_toks = joined.select(
+        *[c for c in docs.columns],
+        word_array(F.col(text_col)).alias("_w"),
+        sp.alias("_sp"),
+    )
+    keep = F.filter(
+        F.col("_w"),
+        lambda t, i: ~F.exists(
+            F.col("_sp"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    with_keep = with_toks.select(
+        *[c for c in docs.columns], keep.alias("_keep")
+    )
+    return with_keep.select(
+        *[c for c in docs.columns],
+        F.array_join("_keep", " ").alias("clean_text"),
+        F.size("_keep").cast("long").alias("n_clean_tokens"),
+    )

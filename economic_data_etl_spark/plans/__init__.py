@@ -20,6 +20,7 @@ from economic_data_etl_spark.plans import scd2  # noqa: E402,F401
 from economic_data_etl_spark.plans import sketches  # noqa: E402,F401
 from economic_data_etl_spark.plans import skewq  # noqa: E402,F401
 from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
+from economic_data_etl_spark.plans import substring_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import audioq  # noqa: E402,F401
 from economic_data_etl_spark.plans import bpe  # noqa: E402,F401

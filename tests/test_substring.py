@@ -1,0 +1,147 @@
+"""Unit + property tests for operators/substring.py (exact substring
+dedup, Lee et al. style).
+
+The brute-force reference below re-derives the semantics independently:
+corpus-ordered first-occurrence retention over repeated k-grams, then
+per-doc overlap-or-adjacent interval merge.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators import substring
+
+
+def brute_spans(docs: list[tuple[int, str]], k: int) -> dict[int, list[list[int]]]:
+    """Independent reference: dict doc_id -> merged [start, end) spans."""
+    occ = []
+    for did, text in docs:
+        w = [t for t in re.split(r"[ \t\n\r]+", text) if t]
+        for p in range(len(w) - k + 1):
+            occ.append((did, p, " ".join(w[p : p + k])))
+    cnt = Counter(g for _, _, g in occ)
+    seen: set[str] = set()
+    dups = []
+    for did, p, g in sorted(occ):
+        if cnt[g] > 1:
+            if g in seen:
+                dups.append((did, p))
+            else:
+                seen.add(g)
+    spans: dict[int, list[list[int]]] = {}
+    for did, p in sorted(dups):
+        iv = spans.setdefault(did, [])
+        if iv and p <= iv[-1][1]:
+            iv[-1][1] = max(iv[-1][1], p + k)
+        else:
+            iv.append([p, p + k])
+    return spans
+
+
+def _spark_spans(spark, rows, k):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring.duplicate_spans(df, "doc_id", "text", k).collect()
+    got: dict[int, list[list[int]]] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.span_start)):
+        got.setdefault(r.doc_id, []).append([r.span_start, r.span_end])
+    return got
+
+
+def test_shared_passage_marks_second_doc_only(spark):
+    shared = " ".join(f"s{i}" for i in range(5))
+    rows = [(1, f"a b {shared} c d"), (2, f"x y z {shared} q")]
+    got = _spark_spans(spark, rows, 3)
+    # doc 1 holds every first occurrence; only doc 2's copy is marked.
+    # shared tokens sit at positions 3..7 in doc 2; grams 3,4,5 are the
+    # 3-grams fully inside the shared passage -> merged span [3, 8).
+    assert got == {2: [[3, 8]]}
+
+
+def test_within_doc_repeat_marks_second_occurrence(spark):
+    rows = [(1, "p q r junk1 junk2 p q r")]
+    got = _spark_spans(spark, rows, 3)
+    assert got == {1: [[5, 8]]}
+
+
+def test_doc_shorter_than_k_contributes_nothing(spark):
+    rows = [(1, "a b"), (2, "a b"), (3, "a b c d"), (4, "a b c d")]
+    got = _spark_spans(spark, rows, 3)
+    # docs 1/2 are below k=3: no grams, no dup. doc 4 repeats doc 3.
+    assert got == {4: [[0, 4]]}
+
+
+def test_adjacent_spans_merge(spark):
+    # two separate repeated 2-grams, adjacent in the victim doc, fuse.
+    rows = [
+        (1, "a b W W c d"),
+        (2, "a b c d"),  # repeats "a b" and "c d" adjacently
+    ]
+    got = _spark_spans(spark, rows, 2)
+    assert got == {2: [[0, 4]]}
+
+
+def test_stats_zero_rows_kept_and_conservation(spark):
+    rows = [(1, "u v w x y"), (2, "u v w x y"), (3, "lonely doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: r
+        for r in substring.duplicate_span_stats(df, "doc_id", "text", 3).collect()
+    }
+    assert stats[1].n_dup_spans == 0 and stats[1].dup_tokens == 0
+    assert stats[2].n_dup_spans == 1 and stats[2].dup_tokens == 5
+    assert stats[3].n_dup_spans == 0 and stats[3].n_tokens == 3
+    cleaned = {
+        r.doc_id: r
+        for r in substring.remove_duplicate_spans(df, "doc_id", "text", 3).collect()
+    }
+    # first occurrence preserved verbatim; duplicate fully excised.
+    assert cleaned[1].clean_text == "u v w x y"
+    assert cleaned[2].clean_text == ""
+    for did, r in cleaned.items():
+        assert r.n_clean_tokens == stats[did].n_tokens - stats[did].dup_tokens
+
+
+def test_single_shuffle_before_ranking(spark):
+    """The occurrence-marking plan must shuffle the gram stream exactly
+    once: count and rank share one window partitioning (no hash
+    pre-aggregation + join-back, no second Exchange of occurrences)."""
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 5}" for j in range(12)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = substring.kgram_occurrences(df, "doc_id", "text", 3)
+    dups = substring.duplicate_occurrences(occ, "doc_id")
+    phys = dups._jdf.queryExecution().executedPlan().toString()
+    # both window nodes share the gram partitioning -> ONE Exchange
+    assert phys.count("Exchange") == 1, phys
+    assert dups.count() > 0  # non-trivial corpus
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_property_matches_bruteforce(spark, docs, k):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    expected = brute_spans(rows, k)
+    got = _spark_spans(spark, rows, k)
+    assert got == expected
