@@ -604,9 +604,19 @@ def dedup_longest_duplicated_span(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # Materialize the token array behind a projection boundary BEFORE the
+    # window-building lambda touches it: a captured filter(split(text))
+    # expression re-splits the whole document on every element_at
+    # invocation (8 per window — measured 55 s vs 2 s at sf0.1).
+    toked = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias(
+            "w"
+        ),
+    ).filter(F.size("w") >= _SPAN_L)
+    toks = F.col("w")
     n_win = F.size(toks) - F.lit(_SPAN_L - 1)
-    wins = docs.select(
+    wins = toked.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -620,7 +630,7 @@ def dedup_longest_duplicated_span(
                 ),
             )
         ).alias("s"),
-    ).filter(F.size(toks) >= _SPAN_L).select("doc_id", "s.pos", "s.win")
+    ).select("doc_id", "s.pos", "s.win")
     cnt = wins.groupBy("win").agg(F.count(F.lit(1)).alias("n"))
     joined = wins.join(cnt, "win")
     per_doc = joined.groupBy("doc_id").agg(
