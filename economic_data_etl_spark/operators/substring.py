@@ -181,6 +181,84 @@ def duplicate_span_stats(
     )
 
 
+def substring_incremental_dups(
+    index_grams: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-substring dedup: mark the batch's duplicated
+    occurrences against a standing gram index, without re-touching the
+    corpus behind the index.
+
+    Semantics match the global batch pass when batches arrive in corpus
+    order: a batch occurrence whose gram is already indexed is a
+    duplicate at ANY position (the retained first occurrence lives
+    behind the index); grams new to the index follow the batch-local
+    first-occurrence rule. Returns (duplicated (id, pos) occurrences,
+    new distinct grams to append to the index).
+
+    Per-batch cost is O(batch tokens) plus one join against the index —
+    the index side never self-joins. Duplicate rows in the index (e.g.
+    from an at-least-once redelivery) are harmless: semi/anti joins are
+    set-semantics.
+    """
+    occ = kgram_occurrences(batch_docs, id_col, text_col, k)
+    hit = occ.join(index_grams, "gram", "left_semi").select(id_col, "pos")
+    miss = occ.join(index_grams, "gram", "left_anti")
+    batch_dups = duplicate_occurrences(miss, id_col)
+    new_grams = miss.select("gram").distinct()
+    return hit.unionByName(batch_dups), new_grams
+
+
+def substring_incremental_dups_prov(
+    index: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Replay-idempotent incremental variant: the index carries each
+    gram's RETAINED FIRST occurrence — rows (gram, first_id,
+    first_pos) — and an occurrence is a duplicate iff it is not that
+    retained first.
+
+    This makes the whole step safe under at-least-once redelivery: a
+    replayed batch finds its own grams indexed with ITSELF as the
+    retained first, so its original output is reproduced bit-for-bit
+    instead of its first occurrences being demoted to duplicates (the
+    failure mode of a bare gram-set index). ``new_firsts`` — the batch
+    firsts of index-new grams — is empty on replay, so the index
+    converges too.
+    """
+    occ = kgram_occurrences(batch_docs, id_col, text_col, k)
+    j = occ.join(index, "gram", "left")
+    is_first = (F.col("first_id") == F.col(id_col)) & (
+        F.col("first_pos") == F.col("pos")
+    )
+    hit = j.filter(F.col("first_id").isNotNull() & ~is_first).select(
+        id_col, "pos"
+    )
+    miss = j.filter(F.col("first_id").isNull()).select(
+        id_col, "pos", "gram"
+    )
+    batch_dups = duplicate_occurrences(miss, id_col)
+    first_struct = F.min(
+        F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+    ).alias("f")
+    new_firsts = (
+        miss.groupBy("gram")
+        .agg(first_struct)
+        .select(
+            "gram",
+            F.col("f.i").alias("first_id"),
+            F.col("f.p").alias("first_pos"),
+        )
+    )
+    return hit.unionByName(batch_dups), new_firsts
+
+
 def remove_duplicate_spans(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

@@ -111,6 +111,131 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Docs below the split are the already-ingested corpus (the standing
+# gram index); docs at/above it are the newly arriving batch — same
+# convention as the incremental semantic/pHash queries.
+INC_SPLIT = 400
+
+
+_INC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), g0 AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) >= {K}
+                     THEN generate_series(1, len(w) - {K} + 1)
+                     ELSE [] END) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i+{K}-1], ' ') AS gram
+  FROM g0
+), idx AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < {INC_SPLIT}
+), batch AS (
+  SELECT doc_id, pos, gram FROM grams WHERE doc_id >= {INC_SPLIT}
+), hits AS (
+  SELECT b.doc_id, b.pos FROM batch b
+  WHERE EXISTS (SELECT 1 FROM idx i WHERE i.gram = b.gram)
+), miss AS (
+  SELECT b.doc_id, b.pos, b.gram FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.gram = b.gram)
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM miss
+), alldup AS (
+  SELECT doc_id, pos FROM hits
+  UNION ALL
+  SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
+), dup AS (
+  SELECT doc_id, pos, pos + {K} AS e FROM alldup
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos <= MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_span
+  FROM dup
+), spans AS (
+  SELECT doc_id,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id,
+         pos, e
+  FROM marked
+), agg AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(e) AS e
+  FROM spans GROUP BY 1, 2
+)"""
+
+
+@register(
+    "dedup_incremental_substring",
+    oracle=_INC_ORACLE
+    + f"""
+, per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_tokens
+  FROM agg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM documents d
+JOIN toks t USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id >= {INC_SPLIT}
+ORDER BY d.doc_id
+""",
+    doc=f"INCREMENTAL substring dedup (k={K}): the batch (doc_id >= "
+    f"{INC_SPLIT}) is marked against the standing gram index (docs "
+    "below the split) — grams already indexed are duplicates at any "
+    "position, index-new grams follow the batch-local first-occurrence "
+    "rule. Per-batch cost is O(batch tokens) + one index join; the "
+    "index never self-joins. Equals the global batch pass restricted "
+    "to batch docs (pinned in tests/test_substring.py).",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") < INC_SPLIT)
+    batch_docs = docs.filter(F.col("doc_id") >= INC_SPLIT)
+    index_grams = substring.kgram_occurrences(
+        index_docs, "doc_id", "text", K
+    ).select("gram").distinct()
+    dups, _new = substring.substring_incremental_dups(
+        index_grams, batch_docs, "doc_id", "text", K
+    )
+    spans = substring.merge_spans(dups, "doc_id", K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = batch_docs.select(
+        "doc_id",
+        F.size(substring.word_array(F.col("text")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "dedup_substring_removal",
     oracle=_SPAN_CTES

@@ -125,6 +125,90 @@ def test_single_shuffle_before_ranking(spark):
     assert dups.count() > 0  # non-trivial corpus
 
 
+def test_incremental_equals_global_batch(spark):
+    """Processing a corpus tail against a gram index of the head must
+    reproduce the GLOBAL batch pass restricted to tail docs — the
+    correctness contract of the incremental/streaming shape."""
+    rows = [
+        (i, " ".join(f"t{(i * 5 + j) % 7}" for j in range(14)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, split = 3, 20
+    glob = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring.duplicate_spans(df, "doc_id", "text", k).collect()
+        if r.doc_id >= split
+    }
+    head = df.filter(F.col("doc_id") < split)
+    tail = df.filter(F.col("doc_id") >= split)
+    index_grams = (
+        substring.kgram_occurrences(head, "doc_id", "text", k)
+        .select("gram")
+        .distinct()
+    )
+    dups, new_grams = substring.substring_incremental_dups(
+        index_grams, tail, "doc_id", "text", k
+    )
+    inc = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring.merge_spans(dups, "doc_id", k).collect()
+    }
+    assert inc == glob and inc  # non-trivial
+    # the index update is exactly the batch's index-new distinct grams
+    got_new = {r.gram for r in new_grams.collect()}
+    idx = {r.gram for r in index_grams.collect()}
+    tail_grams = {
+        r.gram
+        for r in substring.kgram_occurrences(
+            tail, "doc_id", "text", k
+        ).collect()
+    }
+    assert got_new == tail_grams - idx
+
+
+def test_prov_variant_equals_simple_variant(spark):
+    """With a head-corpus index, the provenance variant must mark the
+    same duplicates as the bare gram-set variant (provenance only
+    changes behavior for a batch seeing ITS OWN grams, i.e. replay)."""
+    rows = [
+        (i, " ".join(f"t{(i * 5 + j) % 7}" for j in range(14)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, split = 3, 20
+    head = df.filter(F.col("doc_id") < split)
+    tail = df.filter(F.col("doc_id") >= split)
+    occ_head = substring.kgram_occurrences(head, "doc_id", "text", k)
+    simple_idx = occ_head.select("gram").distinct()
+    prov_idx = (
+        occ_head.groupBy("gram")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("i"), F.col("pos").alias("p")
+                )
+            ).alias("f")
+        )
+        .select(
+            "gram",
+            F.col("f.i").alias("first_id"),
+            F.col("f.p").alias("first_pos"),
+        )
+    )
+    d1, _ = substring.substring_incremental_dups(
+        simple_idx, tail, "doc_id", "text", k
+    )
+    d2, nf = substring.substring_incremental_dups_prov(
+        prov_idx, tail, "doc_id", "text", k
+    )
+    s1 = {(r.doc_id, r.pos) for r in d1.collect()}
+    s2 = {(r.doc_id, r.pos) for r in d2.collect()}
+    assert s1 == s2 and s1
+    # new_firsts carries one row per index-new gram
+    assert nf.count() == nf.select("gram").distinct().count()
+
+
 @settings(
     max_examples=12,
     deadline=None,
