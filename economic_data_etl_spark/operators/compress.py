@@ -1,0 +1,119 @@
+"""Compressibility signals for corpus quality filtering (zlib deflate).
+
+Templated/repetitive text compresses far below natural prose, and
+binary noise doesn't compress at all, so the deflate ratio
+(compressed bytes / raw bytes) is a cheap, language-agnostic quality
+lane — the CCNet/Gopher-style "compression filter" a 100 TB curation
+pipeline runs next to stopword/punctuation scoring.
+
+zlib is a Python-side binary transform, so this rides the Arrow batch
+path (mapInPandas) exactly like the media codecs — one Python
+invocation per batch, never a per-row UDF. Cost is O(bytes) per
+partition with no shuffle at all; the aggregation the caller adds is
+the only exchange.
+
+Reference scope: the pandas reference has no quality surface; this is
+part of the training-data extension next to functions/text.py's
+quality_score.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+STATS_SCHEMA = "raw_len long, comp_len long, ratio double"
+
+
+def compression_stats(
+    docs: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document deflate accounting: (id, raw_len, comp_len, ratio).
+
+    raw_len counts UTF-8 BYTES (octet_length, not character length) so
+    the value is cross-checkable from SQL. Empty documents get
+    ratio = NULL (0/0 is undefined, and NULL keeps them out of
+    averages on both engines).
+    """
+    out_schema = f"{id_col} long, {STATS_SCHEMA}"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [
+                (t if t is not None else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            raw_len = [len(r) for r in raws]
+            comp_len = [len(zlib.compress(r, level)) for r in raws]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw_len,
+                    "comp_len": comp_len,
+                    "ratio": [
+                        (c / r) if r else None
+                        for c, r in zip(comp_len, raw_len)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def compression_certificate(
+    docs: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Deterministic per-doc compression certificate for the invariant
+    query: from each document's text y, build
+
+    - rep   = y repeated 16 times  (must compress deeply: LZ77 window
+      32 KiB >> the synthetic doc sizes, ratio measured <= 0.08,
+      certified < 0.35),
+    - noise = an md5 chain of the same length (16-byte blocks of
+      md5(id:i) — cryptographic output, ratio measured >= 1.0,
+      certified > 0.9),
+
+    and emit SQL-recomputable values (raw_len_rep = 16 * octet_length)
+    plus constant-expected verdict booleans, including the round trip
+    decompress(compress(rep)) == rep.
+    """
+    out_schema = (
+        f"{id_col} long, raw_len_rep long, rep_compresses boolean, "
+        "noise_incompressible boolean, rep_beats_noise boolean, "
+        "roundtrip_ok boolean"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                y = (t or "").encode("utf-8")
+                rep = y * 16
+                n_blocks = len(rep) // 16 + 1
+                noise = b"".join(
+                    hashlib.md5(f"{did}:{i}".encode()).digest()
+                    for i in range(n_blocks)
+                )[: len(rep)]
+                c_rep = zlib.compress(rep, level)
+                c_noise = zlib.compress(noise, level)
+                rows.append(
+                    {
+                        id_col: did,
+                        "raw_len_rep": len(rep),
+                        "rep_compresses": len(c_rep) < 0.35 * len(rep),
+                        "noise_incompressible": len(c_noise)
+                        > 0.9 * len(noise),
+                        "rep_beats_noise": len(c_rep) < len(c_noise),
+                        "roundtrip_ok": zlib.decompress(c_rep) == rep,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -28,6 +28,7 @@ from economic_data_etl_spark.plans import phash_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import pii  # noqa: E402,F401
 from economic_data_etl_spark.plans import resizeq  # noqa: E402,F401
 from economic_data_etl_spark.plans import videoq  # noqa: E402,F401
+from economic_data_etl_spark.plans import compressq  # noqa: E402,F401
 from economic_data_etl_spark.plans import corpus_stats  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import invariants  # noqa: E402,F401

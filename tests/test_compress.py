@@ -1,0 +1,70 @@
+"""Unit tests for operators/compress.py (deflate quality signals)."""
+
+from __future__ import annotations
+
+import zlib
+
+from economic_data_etl_spark.operators import compress
+
+
+def test_stats_values_match_local_zlib(spark):
+    rows = [
+        (1, "hello world " * 40),
+        (2, "abc"),
+        (3, ""),
+        (4, None),
+        (5, "ünïcode — ” 你好 " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in compress.compression_stats(df, "doc_id", "text").collect()
+    }
+    for did, t in rows:
+        raw = (t or "").encode("utf-8")
+        assert got[did].raw_len == len(raw)
+        assert got[did].comp_len == len(zlib.compress(raw, 6))
+        if raw:
+            assert abs(got[did].ratio - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+        else:
+            assert got[did].ratio is None
+
+
+def test_ratio_ordering_repetitive_prose_noise(spark):
+    import hashlib
+
+    rep = "spam " * 400
+    prose = " ".join(f"w{i * 37 % 101}x{i}" for i in range(300))
+    noise = b"".join(
+        hashlib.md5(f"n:{i}".encode()).digest() for i in range(125)
+    ).hex()  # hex of md5 chain: still high-entropy for zlib
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    r = {
+        row.doc_id: row.ratio
+        for row in compress.compression_stats(df, "doc_id", "text").collect()
+    }
+    assert r[1] < r[2] < r[3]
+
+
+def test_certificate_all_true_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "some words repeated a bit some words"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in compress.compression_certificate(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1.rep_compresses and r1.noise_incompressible
+    assert r1.rep_beats_noise and r1.roundtrip_ok
+    assert r1.raw_len_rep == 16 * len("some words repeated a bit some words")
+    # empty doc: rep is empty; verdicts must not crash. compress(b"")
+    # emits the 8-byte zlib header, so "rep_compresses" is FALSE for an
+    # empty doc — the catalog query's sample (real docs) never hits
+    # this, but the operator must stay total.
+    assert rows[2].raw_len_rep == 0 and rows[2].roundtrip_ok
