@@ -112,3 +112,30 @@ def test_media_near_dup_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_substring_dedup_scale_exponent(spark):
+    """The round-9 exact-substring pass: gram build is narrow (linear
+    in tokens), the single gram-keyed window shuffle is linear, and
+    the span merge touches only duplicated occurrences. A superlinear
+    escape would mean the gram stream stopped being linear in corpus
+    tokens (e.g. the CSE materialization regressed to per-gram
+    re-splitting)."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in ("dedup_duplicate_spans", "dedup_substring_removal"):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
