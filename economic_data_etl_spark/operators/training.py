@@ -162,3 +162,62 @@ def pack_sequences(
         .groupBy("__shard")
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks — the training-prep / retrieval splitter.
+
+    stride = chunk_tokens - overlap; chunk k covers token positions
+    [k*stride, min(k*stride + chunk_tokens, n)). A document of n tokens
+    yields 1 chunk if n <= chunk_tokens else 1 + ceil((n - chunk_tokens)
+    / stride) — every token is covered, consecutive chunks share exactly
+    `overlap` tokens, and the trailing chunk may be short. Empty docs
+    yield one empty chunk (the operator stays total; callers filter).
+
+    Entirely narrow: token array materialized behind a projection
+    boundary (HOF lambdas get no CSE), chunk starts from a per-row
+    sequence, posexplode — NO shuffle at any point, so at 100 TB this
+    is scan-bound and embarrassingly parallel.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap=} "
+            f"{chunk_tokens=}"
+        )
+    stride = chunk_tokens - overlap
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), "[ \\t\\n\\r]+"), lambda t: t != ""
+        ).alias("w"),
+    )
+    n = F.size("w")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - chunk_tokens + stride - 1) / F.lit(stride)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice(F.col("w"), k * stride + 1, chunk_tokens),
+    )
+    exploded = toked.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+        F.size("c").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c", " ").alias("chunk_text"),
+    )

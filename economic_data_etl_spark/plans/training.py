@@ -372,3 +372,109 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             biased_round(F.col("__rk")).alias("rank_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (fixed-token windows with overlap) + chunk-level dedup.
+# --------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+_CHUNK_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), meta AS (
+  SELECT doc_id, source, w,
+         CASE WHEN len(w) <= {_CHUNK} THEN 1
+              ELSE 1 + CAST(FLOOR((len(w) - {_CHUNK} + {_STRIDE} - 1)
+                                  / {_STRIDE}) AS INT)
+         END AS n_chunks
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(0, n_chunks - 1)) AS k
+  FROM meta
+), chunks AS (
+  SELECT doc_id, source,
+         CAST(k AS INT) AS chunk_id,
+         CAST(k * {_STRIDE} AS BIGINT) AS chunk_start,
+         w[k*{_STRIDE}+1 : k*{_STRIDE}+{_CHUNK}] AS c
+  FROM ex
+)
+"""
+
+
+@register(
+    "training_chunk_documents",
+    oracle=_CHUNK_CTES
+    + """
+SELECT doc_id, chunk_id, chunk_start,
+       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+       md5(COALESCE(array_to_string(c, ' '), '')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+    doc=f"Fixed-token document chunking ({_CHUNK} tokens, {_OVERLAP} "
+    "overlap — the training-prep/retrieval splitter): every token "
+    "covered, consecutive chunks share exactly the overlap, trailing "
+    "chunk may be short. Entirely narrow (materialized token array + "
+    "per-row sequence + posexplode), NO shuffle — scan-bound at any "
+    "scale. Chunk text value-pinned via md5 on both engines.",
+)
+def training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = training.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle=_CHUNK_CTES
+    + f"""
+, full_chunks AS (
+  SELECT source, array_to_string(c, ' ') AS ct
+  FROM chunks WHERE len(c) = {_CHUNK}
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT ct) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_dups
+FROM full_chunks
+GROUP BY source
+ORDER BY source
+""",
+    doc="Chunk-level exact dedup accounting (chunking composed with "
+    "hash-groupBy dedup): per source, duplicate full-size chunks — the "
+    "paragraph-granularity dedup lane between doc-level exact dedup "
+    "and substring spans.",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = training.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK, overlap=_OVERLAP
+    ).filter(F.col("n_chunk_tokens") == _CHUNK)
+    with_src = chunks.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_text").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("chunk_text")).alias(
+                "n_dups"
+            ),
+        )
+        .orderBy("source")
+    )
