@@ -85,6 +85,31 @@ def ensure_table(spark: SparkSession, url: str, table: str, ddl: str) -> None:
         execute_statements(spark, url, [ddl])
 
 
+def ensure_key_index(
+    spark: SparkSession, url: str, table: str, keys: list[str]
+) -> None:
+    """CREATE INDEX on the key columns, tolerating "already exists".
+
+    Without a key index, Derby executes the upsert's correlated
+    ``DELETE ... WHERE EXISTS`` as a row-locked nested full scan —
+    O(|target| x |stage|) with a lock-table entry per probed row
+    (measured: minutes of pure lock-manager CPU at 112k x 56k rows,
+    ~0.5 s once indexed). Production targets have primary keys; the
+    tables Spark's JDBC writer creates do NOT, so the sink must add
+    the index itself.
+    """
+    cols = ", ".join(f'"{k}"' for k in keys)
+    try:
+        execute_statements(
+            spark, url, [f"CREATE INDEX {table}_upsert_ix ON {table} ({cols})"]
+        )
+    except Exception as ex:  # noqa: BLE001
+        # Derby X0Y32 / Postgres 42P07: index already exists — the
+        # steady-state path for repeat upserts into the same target.
+        if "X0Y32" not in str(ex) and "already exists" not in str(ex):
+            raise
+
+
 def jdbc_read(
     spark: SparkSession, url: str, table: str, columns: list[str] | None = None
 ) -> DataFrame:
@@ -142,6 +167,12 @@ def jdbc_upsert(
     if stats[INSERTED] or stats["updated"]:
         stage = f"{table}_stage"
         jdbc_append(changed, url, stage, mode="overwrite", create_types=create_types)
+        # Key indexes on BOTH sides of the apply join: whichever
+        # direction Derby's optimizer probes, the inner lookup is an
+        # index seek instead of a row-locked full rescan (see
+        # ensure_key_index — the unindexed plan is O(n^2)).
+        ensure_key_index(spark, url, stage, keys)
+        ensure_key_index(spark, url, table, keys)
         # Spark's JDBC writer QUOTES column names when creating the stage
         # table, so its identifiers are case-sensitive lowercase. Target
         # tables must match: create them with quoted lowercase columns
