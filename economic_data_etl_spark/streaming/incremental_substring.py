@@ -4,9 +4,12 @@ spans, and appends the retained first occurrence of its index-new grams.
 
 The streaming twin of `operators/substring.py` (the Lee et al.
 exact-substring pass): corpus text is tokenized and grammed exactly once
-— on arrival — the standing index is parquet (in production: bucketed
-by gram hash so the membership join co-locates), and per-batch work is
-O(batch tokens) plus one index join; the index never self-joins.
+— on arrival — the standing index is parquet, and per-batch work is
+O(batch tokens) plus one index join; the index never self-joins. In
+production the index is written BUCKETED by gram (operators/skew.py:
+write_bucketed): the membership join then shuffles only the batch side
+while the corpus-sized index scans Exchange-free — plan-pinned in
+tests/test_substring.py (bucketed gram-index test).
 
 foreachBatch rather than a stateful operator for the same reason as the
 MinHash/pHash/semantic streaming twins: the gram index must outlive the

@@ -229,3 +229,56 @@ def test_property_matches_bruteforce(spark, docs, k):
     expected = brute_spans(rows, k)
     got = _spark_spans(spark, rows, k)
     assert got == expected
+
+
+def test_bucketed_gram_index_joins_without_index_exchange(spark):
+    """The production layout for the incremental/streaming gram index:
+    bucketed by gram, so the per-batch membership join shuffles ONLY
+    the (small) batch side — the standing index (the corpus-sized
+    side) is scanned pre-partitioned, no Exchange above its scan."""
+    import contextlib
+    import io
+
+    from economic_data_etl_spark.operators.skew import write_bucketed
+
+    rows = [
+        (i, " ".join(f"t{(i * 5 + j) % 9}" for j in range(14)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    head = df.filter(F.col("doc_id") < 30)
+    tail = df.filter(F.col("doc_id") >= 30)
+    k = 3
+    idx_grams = (
+        substring.kgram_occurrences(head, "doc_id", "text", k)
+        .select("gram")
+        .distinct()
+    )
+    write_bucketed(idx_grams, "b_gram_index", "gram", 8, sort_col="gram")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table("b_gram_index")
+        occ = substring.kgram_occurrences(tail, "doc_id", "text", k)
+        hit = occ.join(idx, "gram", "left_semi")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            hit.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan
+        # exactly one Exchange NODE: the batch side re-partitioning into
+        # the index's bucketing; the index scan itself is shuffle-free
+        # (formatted output lists each node twice — tree + detail — so
+        # count the numbered detail headers)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        # and the join is still correct vs the unbucketed path
+        want = {
+            (r.doc_id, r.pos)
+            for r in occ.join(idx_grams, "gram", "left_semi").collect()
+        }
+        got = {(r.doc_id, r.pos) for r in hit.collect()}
+        assert got == want and got
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_gram_index")
