@@ -85,6 +85,10 @@ HEADLINE = [
     "dedup_duplicated_ngram_fraction",
     "dedup_duplicate_spans",
     "dedup_substring_removal",
+    "dedup_incremental_substring",
+    "dedup_chunk_exact",
+    "training_chunk_documents",
+    "text_compression_ratio",
     "text_importance_weights",
     "curation_source_quota",
     "graph_triangle_census",

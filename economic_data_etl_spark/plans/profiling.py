@@ -80,17 +80,22 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                        COALESCE(CAST(o_orderkey AS VARCHAR), '<null>'),
                        COALESCE(o_orderstatus, '<null>'),
                        COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>')
-                   )), 1, 12))::BIGINT) AS BIGINT) AS fingerprint,
+                   )), 1, 12))::BIGINT)
+                   % 2305843009213693951 AS BIGINT) AS fingerprint,
                COUNT(*) AS n_rows
         FROM orders
     """,
     doc="Order-insensitive table checksum: md5 each canonicalized row "
     "(null sentinel so NULL never collides with its string form), take "
-    "48 bits, SUM — commutative, so two tables match iff content "
-    "matches regardless of partitioning or row order. The cheap way to "
-    "answer 'did the migration/replica/engine produce the same table?' "
-    "without moving either side. Engine-portable by construction "
-    "(md5 + hex arithmetic), hence the exact DuckDB oracle.",
+    "48 bits, SUM in DECIMAL(38,0) — commutative, so two tables match "
+    "iff content matches regardless of partitioning or row order — "
+    "then reduce mod the Mersenne prime 2^61-1 into a BIGINT. The "
+    "widened accumulator matters at scale: a plain BIGINT sum of "
+    "48-bit hashes overflows ANSI arithmetic past ~65k rows-worth of "
+    "high hashes (it failed at sf0.1's 150k orders); DECIMAL(38,0) "
+    "holds ~1e38, i.e. 1e24 rows. Engine-portable by construction "
+    "(md5 + hex arithmetic; DuckDB sums in HUGEINT), hence the exact "
+    "DuckDB oracle.",
 )
 def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -101,9 +106,12 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o_orderstatus"), sent),
         F.coalesce(F.col("o_orderpriority").cast("string"), sent),
     )
-    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    mersenne = F.lit(2305843009213693951).cast("decimal(38,0)")
     return orders.agg(
-        F.sum(row_hash).alias("fingerprint"),
+        (F.sum(row_hash) % mersenne).cast("long").alias("fingerprint"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
