@@ -86,17 +86,35 @@ def train_pq(
     return codebooks
 
 
-def _sub_dot(vec: Column, s: int, d_sub: int, centroid: list[float]) -> Column:
-    sub = F.slice(vec.cast("array<double>"), s * d_sub + 1, d_sub)
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            F.array(*[F.lit(float(x)) for x in centroid]),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _books_lit(codebooks: list[list[list[float]]]) -> Column:
+    """Literal 3-D codebook [m][k][d_sub]. CreateArray of foldable
+    children constant-folds to ONE Literal, so the expression tree —
+    and the whole-stage-codegen source — stays O(1) in m*k. The
+    previous formulation inlined m*k aggregate/zip_with subtrees, which
+    pushed Janino compilation to ~20 s cold and task binaries past
+    2 MiB (the dominant cost of the PQ queries, not the math)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in codebooks
+        ]
     )
+
+
+def _norms2_lit(codebooks: list[list[list[float]]]) -> Column:
+    """Literal [m][k] table of |c|^2 (numpy float64, same values the
+    previous per-centroid F.lit carried)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(np.dot(c, c))) for c in book])
+            for book in codebooks
+        ]
+    )
+
+
+def _let(value: Column, body) -> Column:
+    """Bind `value` once per row (see functions/text.py:let)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def pq_encode(
@@ -106,31 +124,49 @@ def pq_encode(
 ) -> DataFrame:
     """Add `codes` (array<int>, one id per subspace) and `recon_norm`
     (L2 norm of the reconstruction, read off the codes — no second pass
-    over the vector)."""
+    over the vector).
+
+    Expressed as interpreted higher-order functions over the literal
+    codebook (one small expression) rather than m*k inlined codegen
+    subtrees — identical float semantics (same slice bounds, same
+    left-to-right accumulation, same argmax tie rule), a fraction of
+    the compile time."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    code_cols = []
-    norm2_terms = []
-    for s, book in enumerate(codebooks):
+    books = _books_lit(codebooks)
+    norms2 = _norms2_lit(codebooks)
+    vec = F.col(vec_col).cast("array<double>")
+
+    def code_for(s: Column) -> Column:
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
         # argmin ||x_s - c||^2 == argmax (x_s·c - |c|^2/2)
-        scores = F.array(
-            *[
-                _sub_dot(F.col(vec_col), s, d_sub, c)
-                - F.lit(0.5 * float(np.dot(c, c)))
-                for c in book
-            ]
+        scores = F.transform(
+            F.element_at(books, s + 1),
+            lambda cv, ci: F.aggregate(
+                F.zip_with(sub, cv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.element_at(F.element_at(norms2, s + 1), ci + 1) * 0.5,
         )
-        code = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-        code_cols.append(code)
-        norm2_lut = F.array(
-            *[F.lit(float(np.dot(c, c))) for c in book]
+        return _let(
+            scores,
+            lambda sc: (
+                F.array_position(sc, F.array_max(sc)) - 1
+            ).cast("int"),
         )
-        norm2_terms.append(norm2_lut)
-    out = df.withColumn("codes", F.array(*code_cols))
-    norm2 = None
-    for s, lut in enumerate(norm2_terms):
-        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
-        norm2 = term if norm2 is None else norm2 + term
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    out = df.withColumn("codes", codes)
+    norm2 = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.element_at(norms2, s + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return out.withColumn("recon_norm", F.sqrt(norm2))
 
 
@@ -157,17 +193,22 @@ def pq_topk(
     encoded = pq_encode(corpus, codebooks, vec_col).select(
         corpus_id, "codes", "recon_norm"
     )
+    books = _books_lit(codebooks)
+    vec = F.col(vec_col).cast("array<double>")
     lut = F.flatten(
-        F.array(
-            *[
-                F.array(
-                    *[
-                        _sub_dot(F.col(vec_col), s, d_sub, c)
-                        for c in codebooks[s]
-                    ]
-                )
-                for s in range(m)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: _let(
+                F.slice(vec, s * d_sub + 1, d_sub),
+                lambda sub: F.transform(
+                    F.element_at(books, s + 1),
+                    lambda cv: F.aggregate(
+                        F.zip_with(sub, cv, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+            ),
         )
     )
     q_norm = F.sqrt(
