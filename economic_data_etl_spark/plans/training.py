@@ -478,3 +478,149 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus prep: quality gate -> substring dedup -> chunk budget.
+# --------------------------------------------------------------------------
+_PREP_TAU = 0.6  # keeps ~70% of docs at every SF (probed 2026-08-15)
+
+
+@register(
+    "training_corpus_prep",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS qw
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text,
+         ROUND(5e-10
+           + 0.5 * (CASE WHEN len(qw) > 0
+                         THEN len(list_distinct(qw)) * 1.0 / len(qw)
+                         ELSE 0.0 END)
+           + 0.3 * LEAST(len(qw) / 100.0, 1.0)
+           + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                               THEN length(regexp_replace(
+                                        text, '[a-zA-Z0-9\\s]', '', 'g'))
+                                    * 1.0 / length(text)
+                               ELSE 0.0 END), 4) AS s
+  FROM q
+), kept AS (
+  SELECT doc_id, source, text FROM scored WHERE s >= {_PREP_TAU}
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                     x -> x <> '') AS w
+  FROM kept
+), g0 AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) >= 20
+                     THEN generate_series(1, len(w) - 19) ELSE [] END) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+19], ' ') AS gram
+  FROM g0
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+), dup AS (
+  SELECT doc_id, pos, pos + 20 AS e FROM ranked WHERE rn > 1
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos <= MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_span
+  FROM dup
+), spans AS (
+  SELECT doc_id,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id,
+         pos, e
+  FROM marked
+), agg AS (
+  SELECT doc_id, span_id, MIN(pos) AS st, MAX(e) AS e
+  FROM spans GROUP BY 1, 2
+), dt AS (
+  SELECT doc_id, SUM(e - st) AS dup_tokens FROM agg GROUP BY doc_id
+), clean AS (
+  SELECT t.doc_id, len(t.w) - COALESCE(d.dup_tokens, 0) AS n_clean
+  FROM toks t LEFT JOIN dt d USING (doc_id)
+), per_doc AS (
+  SELECT k.source, c.n_clean,
+         CASE WHEN c.n_clean <= 32 THEN 1
+              ELSE 1 + CAST(FLOOR((c.n_clean - 32 + 23) / 24) AS BIGINT)
+         END AS n_chunks,
+         CASE WHEN c.n_clean >= 32
+              THEN CAST(FLOOR((c.n_clean - 32) / 24) AS BIGINT) + 1
+              ELSE 0 END AS full_chunks
+  FROM clean c JOIN kept k USING (doc_id)
+), tot AS (
+  SELECT source, COUNT(*) AS docs_in FROM documents GROUP BY source
+)
+SELECT t.source,
+       CAST(t.docs_in AS BIGINT) AS docs_in,
+       CAST(COUNT(p.n_clean) AS BIGINT) AS docs_kept,
+       CAST(COALESCE(SUM(p.n_clean), 0) AS BIGINT) AS clean_tokens,
+       CAST(COALESCE(SUM(p.n_chunks), 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(SUM(p.full_chunks), 0) AS BIGINT) AS full_chunks
+FROM tot t LEFT JOIN per_doc p USING (source)
+GROUP BY t.source, t.docs_in
+ORDER BY t.source
+""",
+    doc=f"END-TO-END training-corpus prep, one declarative plan: quality "
+    f"gate (score >= {_PREP_TAU}, ~70% pass) -> exact substring dedup "
+    "(k=20 spans excised, counted via the conservation identity "
+    "n_clean = n_tokens - dup_tokens) -> chunk budget (32/8 chunk "
+    "counts in CLOSED FORM from the clean token count — no chunk "
+    "explode). Per-source accounting of docs in/kept, surviving "
+    "tokens, and chunk yield: the numbers a pretraining data team "
+    "reads off before a run. Every stage reuses an already-certified "
+    "operator; the oracle replays the whole pipeline in SQL.",
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.functions import text as T
+    from economic_data_etl_spark.operators import substring
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        T.quality_score(F.col("text")) >= _PREP_TAU
+    ).select("doc_id", "source", "text")
+    cleaned = substring.remove_duplicate_spans(kept, "doc_id", "text", 20)
+    n = F.col("n_clean_tokens")
+    n_chunks = (
+        F.when(n <= 32, F.lit(1))
+        .otherwise(F.lit(1) + F.floor((n - 32 + 23) / 24))
+        .cast("long")
+    )
+    full_chunks = (
+        F.when(n >= 32, F.floor((n - 32) / 24) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    per_source = cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(n).alias("clean_tokens"),
+        F.sum(n_chunks).alias("n_chunks"),
+        F.sum(full_chunks).alias("full_chunks"),
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
+    return (
+        tot.join(per_source, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias(
+                "docs_kept"
+            ),
+            F.coalesce("clean_tokens", F.lit(0)).cast("long").alias(
+                "clean_tokens"
+            ),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("full_chunks", F.lit(0)).cast("long").alias(
+                "full_chunks"
+            ),
+        )
+        .orderBy("source")
+    )
