@@ -440,3 +440,98 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_sigs, incoming, "doc_id", "text",
         num_perm=32, bands=8, threshold=0.5,
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Canonical-representative selection per near-dup cluster.
+# --------------------------------------------------------------------------
+_QUALITY_SQL = r"""
+    ROUND(5e-10
+      + 0.5 * (CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')) > 0
+                    THEN len(list_distinct(list_filter(
+                             string_split_regex(text, '\s+'),
+                             x -> x <> ''))) * 1.0
+                         / len(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> ''))
+                    ELSE 0.0 END)
+      + 0.3 * LEAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) / 100.0, 1.0)
+      + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(
+                                   text, '[a-zA-Z0-9\s]', '', 'g'))
+                               * 1.0 / length(text)
+                          ELSE 0.0 END), 4)
+"""
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH comp AS ({_COMPONENTS_ORACLE}),
+    q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS s FROM documents
+    ), scored AS (
+        SELECT c.component, c.doc_id, q.s
+        FROM comp c JOIN q USING (doc_id)
+    ), ranked AS (
+        SELECT component, doc_id, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY s DESC, doc_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT component,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS rep_doc_id,
+           MAX(CASE WHEN rn = 1 THEN s END) AS rep_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked
+    GROUP BY component
+    ORDER BY component
+    """,
+    doc="The 'which copy to keep' step near-dup dedup ends with: per "
+    "connected component (Jaccard >= 0.8 closure), the canonical "
+    "representative is the member with the highest quality score "
+    "(ties to lowest doc_id) — quality-aware survivor selection "
+    "instead of the min-id default. Composes two certified operators "
+    "(components + quality_score); one window per component.",
+)
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("s"))
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("s"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("rep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("s"))).alias(
+                "rep_quality"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("component")
+    )
