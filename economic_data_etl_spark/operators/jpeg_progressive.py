@@ -56,7 +56,6 @@ import struct
 import numpy as np
 
 from economic_data_etl_spark.operators.jpeg import (
-    _TokenWriter,
     _AC_BITS,
     _ZIG_FLAT,
     _AC_BITS_C,
@@ -169,7 +168,7 @@ def _restart_due(i: int, ri: int) -> int | None:
 
 
 def _enc_dc_first(coefs, units, n_comps, al, dc_encs, ri=0) -> bytes:
-    w = _TokenWriter()
+    w = _BitWriter()
     preds = [0] * n_comps
     for i, unit in enumerate(units):
         n = _restart_due(i, ri)
@@ -190,7 +189,7 @@ def _enc_dc_first(coefs, units, n_comps, al, dc_encs, ri=0) -> bytes:
 
 def _enc_dc_refine(coefs, units, al, ri=0) -> bytes:
     """DC refinement: ONE raw bit per block, no Huffman (G.1.2.1)."""
-    w = _TokenWriter()
+    w = _BitWriter()
     for i, unit in enumerate(units):
         n = _restart_due(i, ri)
         if n is not None:
@@ -205,7 +204,7 @@ def _enc_ac_first(coef, cbh, cbw, ss, se, al, ac_enc, ri=0) -> bytes:
     point-transformed, with a per-block EOB (eobrun = 1) for trailing
     zeros — a valid stream that trades a few bits for simplicity.
     Restart intervals count BLOCKS in non-interleaved scans."""
-    w = _TokenWriter()
+    w = _BitWriter()
     blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
     eob_code, eob_len = ac_enc[0x00]
     for i, (by, bx) in enumerate(blocks):
@@ -243,7 +242,7 @@ def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc, ri=0) -> bytes:
     significant coefficients (|v|>>Al == 1) are coded as (run«4)|1 +
     sign bit, where run counts only ZERO-HISTORY positions; history
     coefficients passed contribute correction bits, not run length."""
-    w = _TokenWriter()
+    w = _BitWriter()
     _blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
     for _i, (by, bx) in enumerate(_blocks):
         n_rst = _restart_due(_i, ri)
