@@ -76,3 +76,97 @@ def inv_compression_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compress.compression_certificate(docs, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "multimodal_payload_compressibility",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(64 * (2 + doc_id % 6) * (2 + (doc_id // 6) % 5)
+                    AS BIGINT) AS n_pixels,
+               TRUE AS bmp_compresses,
+               TRUE AS png_incompressible,
+               TRUE AS jpeg_incompressible,
+               TRUE AS png_beats_bmp,
+               TRUE AS lossless_roundtrip_ok
+        FROM documents
+        WHERE doc_id < {_CERT_DOCS}
+        ORDER BY doc_id
+    """,
+    doc="Cross-modal compressibility certificate, tying the deflate "
+    "quality lane to the REAL codecs: the same block-pattern image is "
+    "encoded by the repo's own BMP, PNG, and baseline-JPEG encoders; "
+    "raw BMP must deflate deeply (measured <= 0.066, certified < 0.3), "
+    "PNG and JPEG payloads must NOT re-compress (both measured >= "
+    "0.96, certified > 0.85 — their entropy coding already spent the "
+    "redundancy; the exact signal a media-aware storage tier uses to "
+    "skip recompression), PNG must beat raw BMP on size, and both "
+    "lossless formats must round-trip to the original pixels. "
+    "n_pixels is recomputed closed-form by DuckDB from doc_id.",
+)
+def multimodal_payload_compressibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _CERT_DOCS
+    )
+    schema = (
+        "doc_id long, n_pixels long, bmp_compresses boolean, "
+        "png_incompressible boolean, jpeg_incompressible boolean, "
+        "png_beats_bmp boolean, lossless_roundtrip_ok boolean"
+    )
+
+    def synth_and_score(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+        )
+        from economic_data_etl_spark.operators.jpeg import encode_jpeg_gray
+
+        def ratio(b: bytes) -> float:
+            return len(zlib.compress(bytes(b), 6)) / len(b)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 * (2 + d % 6)
+                h = 8 * (2 + (d // 6) % 5)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = (
+                    (((x // 8) + (y // 8) * 3 + d) % 7) * 36
+                ).astype(np.uint8)
+                rgb = np.stack([img, img, img], axis=-1)
+                bmp = encode_bmp(rgb)
+                png = encode_png(img)
+                jpg = encode_jpeg_gray(img)
+                roundtrip = bool(
+                    np.array_equal(decode_png(png), img)
+                    and np.array_equal(decode_bmp(bmp), rgb)
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_pixels": w * h,
+                        "bmp_compresses": ratio(bmp) < 0.3,
+                        "png_incompressible": ratio(png) > 0.85,
+                        "jpeg_incompressible": ratio(jpg) > 0.85,
+                        "png_beats_bmp": len(png) < len(bmp),
+                        "lossless_roundtrip_ok": roundtrip,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(synth_and_score, schema).orderBy("doc_id")
