@@ -132,3 +132,49 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     )
     assert spans2 == sorted(spans1 + spans1)  # exact duplicates only
     assert idx2 == idx1  # no index growth on replay
+
+
+def test_crash_between_appends_converges(spark, tmp_path):
+    """Crash window: spans appended, index append never happened. On
+    replay the batch's grams are still index-new, so the handler
+    recomputes the IDENTICAL spans (appended as exact duplicates) and
+    then lands the index rows — state converges to the no-crash
+    outcome."""
+    from economic_data_etl_spark.operators.substring import (
+        merge_spans,
+        substring_incremental_dups_prov,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    spans_dir = str(tmp_path / "spans")
+    rows = [
+        (1, "p q r s t u p q r s t u"),
+        (2, "p q r s t u extra words here"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # simulate the crash: perform ONLY the spans append of the batch
+    empty_index = spark.createDataFrame(
+        [], "gram string, first_id long, first_pos long"
+    )
+    dups, _ = substring_incremental_dups_prov(
+        empty_index, batch, "doc_id", "text", 3
+    )
+    merge_spans(dups, "doc_id", 3).write.mode("append").parquet(spans_dir)
+    partial = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(spans_dir).collect()
+    )
+    assert partial and not __import__("os").path.isdir(index_dir)
+
+    # recovery: the stream redelivers the batch through the real handler
+    handle = foreach_batch_incremental_substring(index_dir, spans_dir, k=3)
+    handle(batch, 0)
+
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(spans_dir).collect()
+    )
+    assert got == sorted(partial + partial)  # exact duplicates only
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("gram").distinct().count() > 0
