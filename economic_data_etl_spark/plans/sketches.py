@@ -52,3 +52,60 @@ def sketch_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per_type.unionByName(overall).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters via Misra-Gries candidate pruning.
+# --------------------------------------------------------------------------
+_HH_K = 1000  # threshold n/k: above-average bigrams over the ~930-bigram vocab
+
+
+@register(
+    "sketch_heavy_hitters_bigrams",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 2
+                             THEN generate_series(1, len(w) - 1)
+                             ELSE [] END) AS i
+          FROM toks
+        ), bg AS (
+          SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM g0
+        ), tot AS (SELECT COUNT(*) AS n FROM bg),
+        cnt AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram)
+        SELECT bigram, CAST(c AS BIGINT) AS freq
+        FROM cnt, tot
+        WHERE c * {_HH_K} > n
+        ORDER BY freq DESC, bigram
+    """,
+    doc=f"EXACT heavy hitters (bigram freq > n/{_HH_K}) by Misra-Gries "
+    "candidate pruning + exact recount (operators/heavyhitters.py): one "
+    "scan emits a bounded (<= k rows/partition) MG summary whose "
+    "pigeonhole guarantee provably contains every true heavy hitter, a "
+    "broadcast semi-join recounts only candidates — so the output is "
+    "exact and SQL-checkable, while the shuffle never carries the full "
+    "frequency table. Completes the sketch family next to the HLL "
+    "rollup.",
+)
+def sketch_heavy_hitters_bigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from economic_data_etl_spark.operators.substring import (
+        kgram_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = kgram_occurrences(docs, "doc_id", "text", 2).select(
+        F.col("gram").alias("bigram")
+    )
+    return heavy_hitters_exact(bigrams, "bigram", _HH_K).orderBy(
+        F.desc("freq"), "bigram"
+    )
