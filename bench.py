@@ -88,6 +88,10 @@ HEADLINE = [
     "dedup_incremental_substring",
     "dedup_chunk_exact",
     "training_chunk_documents",
+    "training_corpus_prep",
+    "dedup_cluster_representatives",
+    "sketch_heavy_hitters_bigrams",
+    "multimodal_payload_compressibility",
     "text_compression_ratio",
     "text_importance_weights",
     "curation_source_quota",
@@ -129,6 +133,7 @@ ISOLATED = {
     "dedup_duplicated_ngram_fraction",
     "dedup_duplicate_spans",
     "dedup_substring_removal",
+    "dedup_cluster_representatives",
     "graph_triangle_census",
     "join_market_basket_pairs",
     "text_lm_quality_score",
