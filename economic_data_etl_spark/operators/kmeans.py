@@ -1,0 +1,121 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The scale split mirrors PageRank/components (iterative, bounded driver
+state): per round, assignments and the per-cluster moment aggregation
+run as ONE distributed job (a single shuffle of k rows per partition —
+count, per-dimension sums, and the round's inertia, all map-side
+combined), and only the k x dim centroid matrix ever reaches the
+driver. Nothing driver-side grows with the corpus.
+
+Determinism: seeding is the first k vectors by id (the repo's
+SQL-reproducible centroid choice, same as operators/semantic.py), the
+assignment argmin breaks ties toward the lowest cluster id
+(array_position finds the FIRST minimum), and empty clusters keep
+their previous centroid. Distances are evaluated JVM-side as
+interpreted higher-order functions over ONE constant-folded literal
+centroid matrix (the PQ lesson: never inline k expression subtrees).
+
+No reference counterpart; extends the ML surface next to the
+normal-equations OLS and the IVF/PQ ANN stack (whose training runs on
+a driver SAMPLE by design — this operator is the full-corpus
+counterpart for when the clustering itself is the product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents_lit(cents: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+
+
+def _dist2_all(vec: Column, cents: list[list[float]]) -> Column:
+    """array of squared euclidean distances to every centroid."""
+    return F.transform(
+        _cents_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def assign_min_dist(
+    df: DataFrame, vec_col: str, cents: list[list[float]]
+) -> DataFrame:
+    """Add `cluster` (argmin distance, ties to lowest id) and `dist2`."""
+    vec = F.col(vec_col).cast("array<double>")
+    d2 = _dist2_all(vec, cents)
+    return df.withColumn("__d2", d2).select(
+        *df.columns,
+        (F.array_position("__d2", F.array_min("__d2")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__d2").alias("dist2"),
+    )
+
+
+def seed_first_k(
+    df: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    rows = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Full-corpus Lloyd: returns (assignments DataFrame with
+    `cluster`/`dist2` against the FINAL centroids, the final centroid
+    matrix, and the inertia measured before each update round —
+    inertia[0] is the seeded-centroid SSE).
+
+    One distributed job per round; driver state is k x (dim + 2)
+    doubles. With exact-real arithmetic Lloyd's inertia is
+    non-increasing; float64 reproduces that here to ~1e-9 relative
+    (certified by inv_kmeans_monotone).
+    """
+    cents = seed_first_k(df, k, id_col, vec_col)
+    if not cents:
+        empty = df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, dist2 double"
+        )
+        return empty, [], []
+    dim = len(cents[0])
+    vec = F.col(vec_col).cast("array<double>")
+    inertia: list[float] = []
+    for _ in range(iters):
+        assigned = assign_min_dist(df, vec_col, cents)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist2").alias("sse"),
+                *[
+                    F.sum(vec[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        inertia.append(float(sum(r["sse"] for r in stats)))
+        new_cents = [list(c) for c in cents]  # empty clusters keep
+        for r in stats:
+            n = r["n"]
+            new_cents[r["cluster"]] = [r[f"s{i}"] / n for i in range(dim)]
+        cents = new_cents
+    final = assign_min_dist(df, vec_col, cents).select(
+        id_col, "cluster", "dist2"
+    )
+    return final, cents, inertia
