@@ -110,6 +110,7 @@ HEADLINE = [
     "docs_char_trigram_entropy_by_source",
     "events_pareto_concentration",
     "ml_ols_normal_equations",
+    "ml_kmeans_clusters",
     "profile_correlation_matrix",
 ]
 
@@ -138,6 +139,7 @@ ISOLATED = {
     "join_market_basket_pairs",
     "text_lm_quality_score",
     "multimodal_video_near_dup",
+    "ml_kmeans_clusters",
 }
 
 
