@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_payload_compressibility",
     "text_compression_ratio",
     "text_importance_weights",
+    "text_bm25_retrieval",
     "curation_source_quota",
     "graph_triangle_census",
     "events_transition_matrix",

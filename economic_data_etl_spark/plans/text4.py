@@ -307,3 +307,78 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("long").alias("vocab_size"), "coverage")
         .orderBy("vocab_size")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("table", "scan", "merge")
+_BM25_TAU = 0.8
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(w) AS token FROM toks
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM ex
+          WHERE token IN ('table', 'scan', 'merge')
+          GROUP BY 1, 2
+        ), df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex
+          WHERE token IN ('table', 'scan', 'merge')
+          GROUP BY token
+        ), sc AS (
+          SELECT t.doc_id,
+                 ROUND(5e-10 + SUM(
+                     ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5)
+                              / (d.df + 0.5))
+                     * t.tf * {1.2 + 1.0}
+                     / (t.tf + 1.2 * (1 - 0.75
+                          + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+                 ), 4) AS score
+          FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS INT) AS rank
+        FROM sc
+        WHERE score >= {_BM25_TAU}
+        ORDER BY rank
+    """,
+    doc="BM25 ranked retrieval (Robertson/Lucene non-negative idf) for "
+    f"the query {_BM25_TERMS}: one token explode feeds tf and df, "
+    "corpus stats broadcast as two doubles, scoring is a pure JVM "
+    "expression — the inverted-index access pattern relationally (the "
+    "tf shuffle carries only matching postings, pre-filtered at the "
+    "scan). Threshold and rank bind on the 4dp-biased-rounded score so "
+    "both engines agree on membership and order despite libm ulp "
+    "differences in ln.",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_BM25_TERMS)).select(
+        "doc_id", biased_round(F.col("score")).alias("score")
+    )
+    kept = scored.filter(F.col("score") >= _BM25_TAU)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return kept.select(
+        "doc_id", "score", rank.cast("int").alias("rank")
+    ).orderBy("rank")

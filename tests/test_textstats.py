@@ -144,3 +144,55 @@ class TestRepetitionStats:
             for r in repetition_stats(docs).collect()
         }
         assert gram[3] == (1, 1) and gram[5] == (1, 1)
+
+
+class TestBM25:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from economic_data_etl_spark.operators.retrieval import bm25_scores
+
+        corpus = {
+            1: "cat dog cat",
+            2: "dog mouse",
+            3: "bird bird bird bird",
+        }
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.score
+            for r in bm25_scores(df, ["cat", "dog"]).collect()
+        }
+        # independent reference
+        toks = {d: t.split() for d, t in corpus.items()}
+        n, avgdl = 3, sum(len(w) for w in toks.values()) / 3
+        dfreq = {
+            t: sum(1 for w in toks.values() if t in w)
+            for t in ("cat", "dog")
+        }
+        want = {}
+        for d, w in toks.items():
+            s = 0.0
+            for t in ("cat", "dog"):
+                tf = w.count(t)
+                if not tf:
+                    continue
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * len(w) / avgdl)
+                )
+            if s:
+                want[d] = s
+        assert set(got) == set(want) == {1, 2}
+        for d in got:
+            assert abs(got[d] - want[d]) < 1e-12
+
+    def test_empty_terms_rejected(self, spark):
+        import pytest as _pytest
+
+        from economic_data_etl_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_scores(df, [])
