@@ -139,3 +139,37 @@ def test_substring_dedup_scale_exponent(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_round9_composition_scale_exponents(spark):
+    """The round-9 composition paths: BM25 (postings-filtered explode),
+    heavy hitters (bounded MG summaries + candidate recount),
+    end-to-end corpus prep (quality -> substring dedup -> chunk
+    arithmetic), and incremental substring dedup (batch vs gram
+    index). All are shuffle-linear in corpus tokens; a superlinear
+    escape means a filter stopped pushing or a candidate set stopped
+    being bounded."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "text_bm25_retrieval",
+        "sketch_heavy_hitters_bigrams",
+        "training_corpus_prep",
+        "dedup_incremental_substring",
+        "ml_kmeans_clusters",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
