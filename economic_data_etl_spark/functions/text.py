@@ -26,6 +26,17 @@ def let(value: Column, body: Callable[[Column], Column]) -> Column:
     """
     return F.element_at(F.transform(F.array(value), body), 1)
 
+# THE one explicit whitespace class shared by every cross-engine
+# tokenization pass (BPE, substring dedup, BM25). The engines' \s
+# dialects disagree on the margins — Java \s is ASCII incl. \x0B,
+# DuckDB's RE2 \s excludes \x0B, and Python str.split() is full
+# Unicode whitespace — so any corpus text with \x0B or \xa0 would make
+# Spark, the DuckDB oracle, and Python-side twins diverge.
+# [ \t\n\r]+ parses identically in Java regex, RE2, and Python re.
+# Defined ONCE here so the tokenizers can never desync (the
+# whitespace-dialect lesson of tests/test_bpe.py).
+WORD_SPLIT_RE = "[ \\t\\n\\r]+"
+
 # Tiny function-word list used by quality scoring and the lang-id heuristic.
 STOPWORDS = ("a", "the")
 

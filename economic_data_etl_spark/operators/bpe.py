@@ -44,16 +44,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-END = "</w>"
+from economic_data_etl_spark.functions.text import WORD_SPLIT_RE
 
-# One EXPLICIT whitespace class shared by every tokenization pass.
-# The three engines' \s dialects disagree on the margins — Java \s is
-# ASCII incl. \x0B, DuckDB's RE2 \s excludes \x0B, and Python
-# str.split() is full Unicode whitespace — so any corpus text with
-# \x0B or e.g. \xa0 would make the histogram, the DuckDB oracle, and
-# the per-doc symbol counts diverge. [ \t\n\r]+ parses identically in
-# Java regex, RE2, and Python re.
-WORD_SPLIT_RE = "[ \\t\\n\\r]+"
+END = "</w>"
 
 
 def split_words(text: str) -> list[str]:

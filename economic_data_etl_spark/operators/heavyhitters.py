@@ -34,9 +34,15 @@ from pyspark.sql import functions as F
 
 def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
     """One bounded Misra-Gries summary per partition: rows
-    (item, weight) with <= k items per partition, plus one sentinel
-    row (item NULL, weight = partition row count) so the caller gets
-    the exact stream length from the same scan.
+    (item, weight, is_count=false) with <= k items per partition, plus
+    one total row (item NULL, weight = partition row count,
+    is_count=true) so the caller gets the exact stream length from the
+    same scan. The total row is marked by its own column — never by an
+    in-band NULL item — and NULL items are filtered out BEFORE the
+    summary pass: heavy hitters are defined over non-NULL values only,
+    and the threshold denominator n counts only non-NULL rows (the
+    same population a SQL `WHERE col IS NOT NULL ... GROUP BY col`
+    oracle counts).
 
     Batches within a partition accumulate in closure state (weighted
     MG merge: add the batch's value_counts, then on overflow subtract
@@ -64,32 +70,37 @@ def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
             {
                 "item": list(counters) + [None],
                 "weight": [int(w) for w in counters.values()] + [n_rows],
+                "is_count": [False] * len(counters) + [True],
             }
         )
         yield out
 
-    return items.select(F.col(col).alias(col)).mapInPandas(
-        gen, "item string, weight long"
+    return (
+        items.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "item string, weight long, is_count boolean")
     )
 
 
 def heavy_hitters_exact(
     items: DataFrame, col: str, k: int
 ) -> DataFrame:
-    """All items with count * k > total, with EXACT counts.
+    """All non-NULL items with count * k > total, with EXACT counts
+    (total = number of non-NULL rows; NULLs are excluded from both the
+    numerator population and the threshold denominator).
 
     Two scans of `items`: the MG summary pass (which also carries the
-    total row count in its sentinel rows) and the candidate recount.
-    The intermediate candidate set is <= k x partitions rows, so the
-    recount join broadcasts.
+    total row count in its per-partition total rows) and the candidate
+    recount. The intermediate candidate set is <= k x partitions rows,
+    so the recount join broadcasts.
     """
     summ = mg_summaries(items, col, k)
     cand = (
-        summ.filter(F.col("item").isNotNull())
+        summ.filter(~F.col("is_count"))
         .select(F.col("item").alias(col))
         .distinct()
     )
-    total = summ.filter(F.col("item").isNull()).agg(
+    total = summ.filter(F.col("is_count")).agg(
         F.sum("weight").alias("__total")
     )
     counted = (

@@ -48,7 +48,19 @@ def _dist2_all(vec: Column, cents: list[list[float]]) -> Column:
 def assign_min_dist(
     df: DataFrame, vec_col: str, cents: list[list[float]]
 ) -> DataFrame:
-    """Add `cluster` (argmin distance, ties to lowest id) and `dist2`."""
+    """Add `cluster` (argmin distance, ties to lowest id) and `dist2`.
+
+    The output columns are fixed names; an input that already carries
+    any of them would produce ambiguous references downstream (the
+    groupBy("cluster") in lloyd_kmeans), so collisions fail loudly
+    here instead.
+    """
+    clash = {"cluster", "dist2", "__d2"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)}; "
+            "rename or drop them before assign_min_dist"
+        )
     vec = F.col(vec_col).cast("array<double>")
     d2 = _dist2_all(vec, cents)
     return df.withColumn("__d2", d2).select(

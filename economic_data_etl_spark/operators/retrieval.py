@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_SPLIT = "[ \\t\\n\\r]+"
+# The shared explicit whitespace class (functions/text.py) — one
+# definition so the Spark, DuckDB, and Python tokenizers cannot desync.
+from economic_data_etl_spark.functions.text import WORD_SPLIT_RE as WORD_SPLIT
 
 
 def bm25_scores(

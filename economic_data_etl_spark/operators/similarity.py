@@ -240,7 +240,15 @@ def cosine_near_dup_pairs(
     # pair stream never materializes)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = a.repartition(n_part)
-    # Threshold binds on the raw score; round() is display precision only.
+    # Threshold binds on the raw score; round() is display precision
+    # only. Cross-engine caveat: this computes dot(normalize(a),
+    # normalize(b)) while the DuckDB oracle computes
+    # dot(a,b)/(|a||b|) — identical in exact arithmetic, last-ulp
+    # different in float64, so a pair landing WITHIN ulps of the
+    # threshold could diverge between engines. The test suite asserts
+    # a margin (>= 1e-6) between every data score and the threshold
+    # (tests/test_semantic_dedup.py::test_threshold_margin), which
+    # makes the raw-score binding deterministic on this corpus.
     raw = dot_product(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -36,10 +36,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Explicit whitespace class — IDENTICAL string in Spark (Java regex),
-# DuckDB oracles (RE2), and Python tests (re) so the three tokenizers
-# cannot desync on \x0b / \xa0 / U+2028.
-WORD_SPLIT = "[ \\t\\n\\r]+"
+# The shared explicit whitespace class (functions/text.py) — one
+# definition so the Spark, DuckDB, and Python tokenizers cannot desync.
+from economic_data_etl_spark.functions.text import WORD_SPLIT_RE as WORD_SPLIT
 
 
 def word_array(text: Column) -> Column:

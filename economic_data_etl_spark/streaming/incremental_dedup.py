@@ -15,8 +15,6 @@ in streaming/windows.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -30,6 +28,7 @@ from economic_data_etl_spark.operators.dedup import (
     minhash_incremental_pairs,
     minhash_signatures,
 )
+from economic_data_etl_spark.streaming.util import read_parquet_or_empty
 
 SIG_SCHEMA = StructType(
     [
@@ -40,11 +39,7 @@ SIG_SCHEMA = StructType(
 
 
 def _read_index(spark, index_dir: str) -> DataFrame:
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    ):
-        return spark.read.schema(SIG_SCHEMA).parquet(index_dir)
-    return spark.createDataFrame([], SIG_SCHEMA)
+    return read_parquet_or_empty(spark, index_dir, SIG_SCHEMA)
 
 
 def foreach_batch_incremental_dedup(

@@ -22,11 +22,11 @@ three incremental-dedup streams.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+
+from economic_data_etl_spark.streaming.util import read_parquet_or_empty
 
 IDX_SCHEMA = StructType(
     [
@@ -37,11 +37,7 @@ IDX_SCHEMA = StructType(
 
 
 def _read_index(spark, index_dir: str) -> DataFrame:
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    ):
-        return spark.read.schema(IDX_SCHEMA).parquet(index_dir)
-    return spark.createDataFrame([], IDX_SCHEMA)
+    return read_parquet_or_empty(spark, index_dir, IDX_SCHEMA)
 
 
 def foreach_batch_incremental_phash(

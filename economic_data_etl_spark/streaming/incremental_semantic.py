@@ -22,8 +22,6 @@ jobs.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -37,6 +35,7 @@ from pyspark.sql.types import (
 
 from economic_data_etl_spark.functions.vectors import dot_product, l2_normalize
 from economic_data_etl_spark.operators.semantic import assign_clusters_cosine
+from economic_data_etl_spark.streaming.util import read_parquet_or_empty
 
 # The index stores the L2-NORMALIZED vector at float64: pair scoring is
 # then one dot product per candidate (same normalize-then-dot order as
@@ -52,11 +51,7 @@ IDX_SCHEMA = StructType(
 
 
 def _read_index(spark, index_dir: str) -> DataFrame:
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    ):
-        return spark.read.schema(IDX_SCHEMA).parquet(index_dir)
-    return spark.createDataFrame([], IDX_SCHEMA)
+    return read_parquet_or_empty(spark, index_dir, IDX_SCHEMA)
 
 
 def foreach_batch_incremental_semantic(

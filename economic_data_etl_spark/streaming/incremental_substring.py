@@ -27,8 +27,6 @@ as-is (a gram's row is unique by construction, replay appends none).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     LongType,
@@ -41,6 +39,7 @@ from economic_data_etl_spark.operators.substring import (
     merge_spans,
     substring_incremental_dups_prov,
 )
+from economic_data_etl_spark.streaming.util import read_parquet_or_empty
 
 INDEX_SCHEMA = StructType(
     [
@@ -49,14 +48,6 @@ INDEX_SCHEMA = StructType(
         StructField("first_pos", LongType(), True),
     ]
 )
-
-
-def _read_parquet_or_empty(spark, path: str, schema) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def foreach_batch_incremental_substring(
@@ -77,7 +68,7 @@ def foreach_batch_incremental_substring(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
-        index = _read_parquet_or_empty(spark, index_dir, INDEX_SCHEMA)
+        index = read_parquet_or_empty(spark, index_dir, INDEX_SCHEMA)
         dups, new_firsts = substring_incremental_dups_prov(
             index, batch_df, id_col, text_col, k
         )

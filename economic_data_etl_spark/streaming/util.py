@@ -1,0 +1,46 @@
+"""Shared helpers for the incremental/streaming sinks.
+
+One definition of the standing-index bootstrap read, used by all the
+foreachBatch sinks (MinHash, pHash, semantic, substring, heavy
+hitters). Previously each sink carried its own os.path.isdir copy,
+which (a) could drift, and (b) silently returned an EMPTY index for
+any non-local path (HDFS/S3) — marking nothing as duplicate instead of
+failing loudly. This version goes through Spark's own filesystem layer
+(works on any Hadoop-visible path) and treats ONLY a missing path as
+an empty index; every other failure (permissions, corrupt footer, a
+typo'd scheme) propagates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Error-class fragments Spark raises for a nonexistent read path; both
+# the Spark-4 error-class name and the legacy message are matched so
+# the check survives version drift.
+_MISSING_PATH_MARKERS = ("PATH_NOT_FOUND", "Path does not exist")
+
+
+def read_parquet_or_empty(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Read a standing parquet index, or an empty DataFrame with the
+    same schema when the index has never been written.
+
+    The read goes through spark.read (Hadoop FileSystem), so remote
+    paths (hdfs://, s3a://) work exactly like local ones. A missing
+    path — the legitimate "first batch ever" state — yields the empty
+    frame; anything else re-raises, so a misconfigured index path can
+    never silently behave as an empty index.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        # DataFrameReader.parquet resolves the path eagerly, so a
+        # missing directory surfaces here, not at action time.
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if any(m in str(e) for m in _MISSING_PATH_MARKERS):
+            return spark.createDataFrame([], schema)
+        raise

@@ -63,8 +63,22 @@ def test_certificate_all_true_and_empty_doc(spark):
     assert r1.rep_compresses and r1.noise_incompressible
     assert r1.rep_beats_noise and r1.roundtrip_ok
     assert r1.raw_len_rep == 16 * len("some words repeated a bit some words")
-    # empty doc: rep is empty; verdicts must not crash. compress(b"")
-    # emits the 8-byte zlib header, so "rep_compresses" is FALSE for an
-    # empty doc — the catalog query's sample (real docs) never hits
-    # this, but the operator must stay total.
+    # empty doc: rep is empty; the degenerate-doc guard forces the
+    # ratio verdicts TRUE (zlib's fixed header would otherwise make
+    # them data-dependent), matching the oracle's constant-TRUE
+    # contract, while roundtrip stays genuinely checked.
     assert rows[2].raw_len_rep == 0 and rows[2].roundtrip_ok
+    assert rows[2].rep_compresses and rows[2].rep_beats_noise
+
+
+def test_certificate_tiny_docs_forced_true(spark):
+    # 1–3 byte docs: 16x rep is 16–48 bytes, below the 64-byte floor
+    # where 0.35 * len could beat zlib's ~11-byte constant overhead.
+    # Every verdict must be TRUE so the constant-TRUE oracle contract
+    # holds on ANY sample, not just prose-sized docs.
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "xy"), (3, ".?!")], "doc_id long, text string"
+    )
+    for r in compress.compression_certificate(df, "doc_id", "text").collect():
+        assert r.rep_compresses and r.noise_incompressible
+        assert r.rep_beats_noise and r.roundtrip_ok

@@ -43,12 +43,27 @@ def test_summary_bounded_and_totals_exact(spark):
     df = _df(spark, items, parts=3)
     k = 7
     summ = mg_summaries(df, "item", k).collect()
-    per_part_items = [r for r in summ if r.item is not None]
-    sentinels = [r for r in summ if r.item is None]
+    per_part_items = [r for r in summ if not r.is_count]
+    totals = [r for r in summ if r.is_count]
     # bounded: <= k surviving items per partition (3 partitions)
     assert len(per_part_items) <= k * 3
-    assert len(sentinels) == 3
-    assert sum(r.weight for r in sentinels) == len(items)
+    assert all(r.item is not None for r in per_part_items)
+    assert len(totals) == 3
+    assert sum(r.weight for r in totals) == len(items)
+
+
+def test_nulls_excluded_from_population_and_threshold(spark):
+    # 400 NULLs would push "hot" below n/k if they inflated the
+    # denominator (100 * 4 = 400 < 520); over the 120 non-NULL rows
+    # hot is clearly heavy (100 * 4 = 400 > 120). NULL itself must
+    # never appear as a hitter even though it exceeds n/k.
+    items = ["hot"] * 100 + [f"c{i}" for i in range(20)] + [None] * 400
+    df = _df(spark, items)
+    got = {
+        (r.item, r.freq)
+        for r in heavy_hitters_exact(df, "item", 4).collect()
+    }
+    assert got == {("hot", 100)}
 
 
 @settings(

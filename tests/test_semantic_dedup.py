@@ -27,6 +27,26 @@ from economic_data_etl_spark.sources.tables import load_table
 TAU = 0.4
 
 
+def test_threshold_margin(spark, sf_dir):
+    """Every pairwise cosine must sit >= 1e-6 away from the 0.4
+    threshold: the Spark plan scores dot(normalize(a), normalize(b))
+    while the DuckDB oracle scores dot(a,b)/(|a||b|) — equal in exact
+    arithmetic, last-ulp different in float64 — so a score within ulps
+    of the threshold could make pair MEMBERSHIP diverge cross-engine.
+    This pins that no data score is anywhere near the cliff (ulps are
+    ~1e-16; the margin is 10 orders of magnitude wider)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = np.array(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = vecs @ vecs.T
+    iu = np.triu_indices(len(vecs), k=1)
+    assert np.min(np.abs(cos[iu] - TAU)) >= 1e-6
+
+
 class TestSemanticDedup:
     def test_recall_vs_exact_pairs(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
