@@ -95,6 +95,7 @@ HEADLINE = [
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",
+    "text_bm25_incremental",
     "curation_source_quota",
     "graph_triangle_census",
     "events_transition_matrix",
