@@ -109,3 +109,101 @@ def sketch_heavy_hitters_bigrams(
     return heavy_hitters_exact(bigrams, "bigram", _HH_K).orderBy(
         F.desc("freq"), "bigram"
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable Misra-Gries certificate (the streaming heavy-hitters sink's
+# math, driver-checkable).
+# --------------------------------------------------------------------------
+_MG_K = 30  # threshold n/30
+_MG_BATCHES = 4
+
+
+@register(
+    "inv_mg_mergeable_bounds",
+    oracle=f"""
+        WITH items AS (
+          SELECT CASE WHEN event_id % 2 = 0
+                      THEN 'h' || CAST(event_id % 24 AS VARCHAR)
+                      ELSE 's' || CAST(event_id AS VARCHAR) END AS item
+          FROM events
+        ), tot AS (SELECT COUNT(*) AS n FROM items),
+        cnt AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item)
+        SELECT item, CAST(c AS BIGINT) AS freq,
+               TRUE AS present, TRUE AS bounds_ok
+        FROM cnt, tot
+        WHERE c * {_MG_K} > n
+        ORDER BY item
+    """,
+    doc="Mergeable Misra-Gries certificate (the streaming "
+    "heavy-hitters sink's math — streaming/heavyhitters.py): a "
+    "deterministic skewed item stream derived from event_id (12 heavy "
+    "items h0..h22 at ~n/24 each, n/2 singletons — scale-free, so real "
+    f"summary trims happen at every SF) is folded in {_MG_BATCHES} "
+    "batches through per-partition bounded MG summaries and the "
+    "weighted driver merge at capacity 2k+1. For every TRUE heavy "
+    f"hitter (freq * {_MG_K} > n, recomputed exactly by both engines) "
+    "the certificate emits present (the item survived every trim — "
+    "the mergeability guarantee, err <= n/(k+1) < n/k) and bounds_ok "
+    "(stored weight <= freq <= weight + err). Expected constant TRUE; "
+    "any breach flips the driver's value hash.",
+)
+def inv_mg_mergeable_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.heavyhitters import mg_summaries
+    from economic_data_etl_spark.streaming.heavyhitters import _mg_merge
+
+    cap = 2 * _MG_K + 1
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        F.col("event_id"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit("h"), (F.col("event_id") % 24).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.col("event_id").cast("string"))
+        )
+        .alias("item"),
+    )
+    # fold in batches (event_id % _MG_BATCHES) through the mergeable
+    # summary — each collect is <= cap x partitions rows (k-bounded,
+    # never stream-bounded), mirroring the streaming sink exactly
+    counters: dict[str, int] = {}
+    n_total, err = 0, 0
+    for b in range(_MG_BATCHES):
+        batch = items.filter(F.col("event_id") % _MG_BATCHES == b)
+        bc: dict[str, int] = {}
+        bn = 0
+        for r in mg_summaries(batch, "item", cap).collect():
+            if r.is_count:
+                bn += r.weight
+            else:
+                bc[r.item] = bc.get(r.item, 0) + r.weight
+        counters, m = _mg_merge(counters, bc, cap)
+        err += m + bn // (cap + 1)
+        n_total += bn
+    # exact frequencies (distributed groupBy) restricted to true hitters
+    freq = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * _MG_K > F.lit(n_total))
+    )
+    # counters is <= cap entries: broadcast-join the summary weights
+    w_df = spark.createDataFrame(
+        [(t, w) for t, w in counters.items()] or [(None, None)],
+        "item string, w long",
+    ).filter(F.col("item").isNotNull())
+    return (
+        freq.join(F.broadcast(w_df), "item", "left")
+        .select(
+            "item",
+            "freq",
+            F.col("w").isNotNull().alias("present"),
+            (
+                F.col("w").isNotNull()
+                & (F.col("w") <= F.col("freq"))
+                & (F.col("freq") <= F.col("w") + F.lit(err))
+            ).alias("bounds_ok"),
+        )
+        .orderBy("item")
+    )
