@@ -81,12 +81,64 @@ def seed_first_k(
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def seed_maxmin(
+    df: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic k-means++-style D² seeding: the first seed is the
+    lowest-id vector; each next seed is the vector MAXIMIZING the min
+    squared distance to the seeds chosen so far (the Gonzalez maxmin
+    traversal — k-means++ with the D² sampling derandomized to its
+    mode, which keeps it SQL-reproducible: no RNG anywhere).
+
+    Cross-engine determinism contract: the argmax binds on the
+    4dp-biased-rounded distance (same rounding as
+    plans/catalog.biased_round) with ties broken toward the lowest id,
+    so Spark and the DuckDB oracle select identical seeds despite
+    last-ulp float differences; the certified inertia then sums RAW
+    distances, rounded once at the end like every other float output.
+
+    Scale shape: k driver-bounded rounds, each ONE distributed job
+    (distances to <= k literal centroids, a top-1 sort); only k x dim
+    doubles accumulate on the driver. At large k a production variant
+    carries the running min-distance as a persisted column instead of
+    recomputing k distances per round (O(nk) total instead of O(nk²));
+    at certification k the recompute keeps the operator stateless.
+
+    seed_first_k remains the certified default (inv_kmeans_monotone);
+    this lane fixes its adversarial weakness — first-k seeds can all
+    land in one true cluster, maxmin seeds provably spread (every new
+    seed is the farthest point from the chosen set).
+    """
+    from economic_data_etl_spark.plans.catalog import biased_round
+
+    first = df.orderBy(id_col).limit(1).select(vec_col).collect()
+    if not first or k < 1:
+        return []
+    cents = [[float(x) for x in first[0][0]]]
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(1, k):
+        d2 = F.array_min(_dist2_all(vec, cents))
+        row = (
+            df.select(F.col(id_col), F.col(vec_col), d2.alias("__d2"))
+            .orderBy(
+                F.desc(biased_round(F.col("__d2"))), F.asc(id_col)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        cents.append([float(x) for x in row[0][1]])
+    return cents
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int,
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "first_k",
 ) -> tuple[DataFrame, list[list[float]], list[float]]:
     """Full-corpus Lloyd: returns (assignments DataFrame with
     `cluster`/`dist2` against the FINAL centroids, the final centroid
@@ -98,7 +150,12 @@ def lloyd_kmeans(
     non-increasing; float64 reproduces that here to ~1e-9 relative
     (certified by inv_kmeans_monotone).
     """
-    cents = seed_first_k(df, k, id_col, vec_col)
+    if seeding == "first_k":
+        cents = seed_first_k(df, k, id_col, vec_col)
+    elif seeding == "maxmin":
+        cents = seed_maxmin(df, k, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     if not cents:
         empty = df.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster int, dist2 double"

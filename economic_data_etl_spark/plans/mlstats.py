@@ -288,3 +288,95 @@ def inv_kmeans_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "improved_ok",
         "sizes_ok",
     )
+
+
+def _maxmin_seed_oracle(k: int) -> str:
+    """Generate the DuckDB CTE chain that replays the deterministic
+    maxmin (derandomized k-means++) seed traversal: seed 0 is the
+    lowest-id vector; step i takes the running min squared distance to
+    the chosen seeds and picks the argmax, binding on the
+    4dp-biased-rounded distance with ties to the lowest id — the exact
+    selection contract of operators/kmeans.py:seed_maxmin. The final
+    running min summed over the corpus is the seeded SSE."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(e.v)), "
+        "j -> (e.v[j] - s{i}.v[j]) * (e.v[j] - s{i}.v[j])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "s0 AS (SELECT v FROM e ORDER BY vec_id LIMIT 1)",
+        "d0 AS (SELECT e.vec_id, e.v, "
+        + dist.format(i=0)
+        + " AS d FROM e CROSS JOIN s0)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS (SELECT v FROM d{i - 1} "
+            f"ORDER BY ROUND(5e-10 + d, 4) DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, e.v, LEAST(e.d, "
+            + dist.format(i=i)
+            + f") AS d FROM d{i - 1} AS e CROSS JOIN s{i})"
+        )
+    return ",\n".join(parts) + f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(5e-10 + SUM(d), 4) AS inertia0_pp,
+               TRUE AS monotone_ok,
+               TRUE AS improved_ok,
+               TRUE AS sizes_ok
+        FROM d{k - 1}
+    """
+
+
+@register(
+    "inv_kmeans_pp_monotone",
+    oracle=_maxmin_seed_oracle(_KM_K),
+    doc="Certifies the maxmin (derandomized k-means++) seeding lane: "
+    "DuckDB REPLAYS the whole greedy seed traversal (a generated "
+    f"{_KM_K}-step CTE chain — argmax of the running min distance, "
+    "binding on the 4dp-biased-rounded value with ties to the lowest "
+    "id, the same selection contract as seed_maxmin) and recomputes "
+    "inertia0_pp, the SSE against those seeds — a cross-engine value "
+    "check of seed SELECTION plus the distance pipeline. The verdicts "
+    "pin Lloyd's guarantees for the run seeded this way: per-round "
+    "inertia non-increasing (1e-9 relative), final <= seeded, sizes "
+    "summing to the corpus. seed_first_k stays the certified default "
+    "(inv_kmeans_monotone); this lane exists because first-k seeds "
+    "can all land in one true cluster, while every maxmin seed is the "
+    "farthest point from the set chosen so far.",
+)
+def inv_kmeans_pp_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cents, hist = lloyd_kmeans(
+        emb, k=_KM_K, iters=_KM_ITERS, seeding="maxmin"
+    )
+    sizes = assigned.groupBy("cluster").count().collect()
+    n_assigned = sum(r["count"] for r in sizes)
+    n_vectors = emb.count()
+    monotone = all(
+        hist[i + 1] <= hist[i] * (1 + 1e-9) for i in range(len(hist) - 1)
+    )
+    improved = (not hist) or hist[-1] <= hist[0] * (1 + 1e-9)
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                float(hist[0]) if hist else 0.0,
+                bool(monotone),
+                bool(improved),
+                n_assigned == n_vectors,
+            )
+        ],
+        "n_vectors long, inertia0_pp double, monotone_ok boolean, "
+        "improved_ok boolean, sizes_ok boolean",
+    ).select(
+        "n_vectors",
+        biased_round(F.col("inertia0_pp")).alias("inertia0_pp"),
+        "monotone_ok",
+        "improved_ok",
+        "sizes_ok",
+    )

@@ -1,13 +1,17 @@
 """Distributed Lloyd k-means: recovery of planted clusters, monotone
-inertia, deterministic tie-breaks, and the bounded-driver contract."""
+inertia, deterministic tie-breaks, the bounded-driver contract, and
+the maxmin (derandomized k-means++) seeding lane."""
 
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from economic_data_etl_spark.operators.kmeans import (
     assign_min_dist,
     lloyd_kmeans,
+    seed_first_k,
+    seed_maxmin,
 )
 
 
@@ -55,6 +59,75 @@ def test_assignment_tie_breaks_to_lowest_cluster(spark):
     # two identical centroids -> argmin must pick cluster 0
     out = assign_min_dist(df, "embedding", [[1.0, 0.0], [1.0, 0.0]]).collect()
     assert out[0].cluster == 0 and abs(out[0].dist2 - 1.0) < 1e-12
+
+
+def test_assign_rejects_reserved_columns(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0], 1)], "vec_id long, embedding array<double>, cluster int"
+    )
+    with pytest.raises(ValueError, match="cluster"):
+        assign_min_dist(df, "embedding", [[1.0]])
+
+
+def _adversarial(spark, n_per=30, dim=4):
+    """Three planted clusters where the FIRST k ids all land in the
+    same cluster — the exact case first-k seeding handles worst and
+    maxmin exists to fix."""
+    rng = np.random.RandomState(11)
+    centers = np.array([[6.0] * dim, [-6.0] * dim, [6.0] * 2 + [-6.0] * 2])
+    rows = []
+    vid = 0
+    for c in (0, 0, 0):  # first three vectors: all cluster 0
+        rows.append(
+            (vid, [float(x) for x in centers[c] + rng.randn(dim) * 0.05])
+        )
+        vid += 1
+    for rep in range(n_per):
+        for c in range(3):
+            rows.append(
+                (
+                    vid,
+                    [float(x) for x in centers[c] + rng.randn(dim) * 0.05],
+                )
+            )
+            vid += 1
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        centers,
+    )
+
+
+def test_maxmin_seeds_spread_where_first_k_collapse(spark):
+    df, centers = _adversarial(spark)
+    first = np.array(seed_first_k(df, 3, "vec_id", "embedding"))
+    mm = np.array(seed_maxmin(df, 3, "vec_id", "embedding"))
+    # first-k: all three seeds in planted cluster 0 (pairwise close)
+    assert np.linalg.norm(first - first[0], axis=1).max() < 1.0
+    # maxmin: one seed per planted cluster (each seed near a distinct
+    # center)
+    nearest = {
+        int(np.argmin(np.linalg.norm(centers - s, axis=1))) for s in mm
+    }
+    assert nearest == {0, 1, 2}
+    # the maxmin SEEDED SSE is strictly better (one seed per planted
+    # cluster vs three in one); after Lloyd refinement it stays at
+    # least as good (here first-k happens to escape via the
+    # empty-cluster rule and both converge to the planting)
+    _, _, hist_mm = lloyd_kmeans(df, 3, 4, seeding="maxmin")
+    _, _, hist_fk = lloyd_kmeans(df, 3, 4, seeding="first_k")
+    assert all(
+        hist_mm[i + 1] <= hist_mm[i] * (1 + 1e-9) for i in range(3)
+    )
+    assert hist_mm[0] < hist_fk[0]
+    assert hist_mm[-1] <= hist_fk[-1] * (1 + 1e-9)
+
+
+def test_maxmin_determinism_and_distinct_seeds(spark):
+    df, _ = _planted(spark)
+    a = seed_maxmin(df, 3, "vec_id", "embedding")
+    b = seed_maxmin(df, 3, "vec_id", "embedding")
+    assert a == b  # no RNG anywhere
+    assert len({tuple(s) for s in a}) == 3  # pairwise distinct
 
 
 def test_empty_corpus_and_empty_cluster(spark):
