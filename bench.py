@@ -96,6 +96,7 @@ HEADLINE = [
     "text_importance_weights",
     "text_bm25_retrieval",
     "text_bm25_incremental",
+    "text_phrase_search",
     "curation_source_quota",
     "graph_triangle_census",
     "events_transition_matrix",

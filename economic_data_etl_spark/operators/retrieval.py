@@ -200,3 +200,52 @@ def bm25_from_index(
         .groupBy(id_col)
         .agg(F.sum(idf * tf_term).alias("score"))
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): documents containing the exact
+    m-word phrase, with 0-indexed token positions — Lucene-style
+    positional phrase search expressed relationally.
+
+    One posexplode scan feeds a broadcast join against the m-row
+    (offset, term) phrase table: a term matching phrase offset i at
+    position p votes for candidate start p - i, and a start where all
+    m DISTINCT offsets voted is a phrase occurrence (countDistinct on
+    the offset handles repeated words in the phrase — 'the X the'
+    needs offsets {0,2} from 'the', not two votes from one position).
+    Shuffle volume is O(matching postings) — positions of the phrase's
+    terms only, never the corpus token stream; the same inverted-index
+    access shape as bm25_scores, extended with positions the way a
+    positional postings list would be.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    m = len(phrase)
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "off int, term string"
+    )
+    toks = _token_arrays(docs, id_col, text_col)
+    ex = toks.select(
+        id_col, F.posexplode("w").alias("pos", "token")
+    ).filter(F.col("token").isin(phrase))
+    cand = ex.join(
+        F.broadcast(ph), F.col("token") == F.col("term")
+    ).select(
+        id_col, (F.col("pos") - F.col("off")).alias("start"), "off"
+    )
+    occ = (
+        cand.filter(F.col("start") >= 0)
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("off").alias("__k"))
+        .filter(F.col("__k") == m)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

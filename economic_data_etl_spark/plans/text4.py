@@ -478,3 +478,59 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "score", rank.cast("int").alias("rank")
     ).orderBy("rank")
+
+
+_PHRASE = ("stream", "table", "hash")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 1
+                             THEN generate_series(1, len(w))
+                             ELSE [] END) AS i
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS token FROM g0
+        ), ph AS (
+          SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))})
+                 AS p(off, term)
+        ), cand AS (
+          SELECT e.doc_id, e.pos - p.off AS start, p.off
+          FROM ex e JOIN ph p ON e.token = p.term
+        ), occ AS (
+          SELECT doc_id, start FROM cand
+          WHERE start >= 0
+          GROUP BY doc_id, start
+          HAVING COUNT(DISTINCT off) = {len(_PHRASE)}
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(start) AS BIGINT) AS first_pos
+        FROM occ
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc=f"Exact positional phrase search for {' '.join(_PHRASE)!r} "
+    "(Lucene-style positional postings, relationally): one posexplode "
+    "scan pre-filtered to the phrase's terms feeds a broadcast join "
+    "against the m-row (offset, term) table; a candidate start where "
+    "all m distinct offsets vote is a phrase occurrence. Shuffle is "
+    "O(matching postings) — the corpus token stream never moves. "
+    "Output: per-doc match count + first occurrence position "
+    "(0-indexed).",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.retrieval import (
+        phrase_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, list(_PHRASE)).orderBy("doc_id")

@@ -196,3 +196,69 @@ class TestBM25:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             bm25_scores(df, [])
+
+
+class TestPhraseSearch:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_basic_and_boundaries(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                (1, "a b c d"),        # phrase at start
+                (2, "x y a b c"),      # phrase at end
+                (3, "a b x a b c a"),  # one real match after a decoy
+                (4, "c b a"),          # reversed: no match
+                (5, "a b"),            # too short
+            ],
+        )
+        from economic_data_etl_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        got = {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in phrase_occurrences(docs, ["a", "b", "c"]).collect()
+        }
+        assert got == {1: (1, 0), 2: (1, 2), 3: (1, 3)}
+
+    def test_repeated_word_in_phrase(self, spark):
+        # 'the X the': a single 'the' position must not satisfy both
+        # offsets 0 and 2 — countDistinct(off) requires both aligned.
+        docs = self._docs(
+            spark,
+            [
+                (1, "the cat the dog"),   # match at 0
+                (2, "the the cat"),       # no: offsets misaligned
+                (3, "x the cat the the cat the"),  # matches at 1 and 4
+            ],
+        )
+        from economic_data_etl_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        got = {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in phrase_occurrences(
+                docs, ["the", "cat", "the"]
+            ).collect()
+        }
+        assert got == {1: (1, 0), 3: (2, 1)}
+
+    def test_overlapping_occurrences_all_counted(self, spark):
+        docs = self._docs(spark, [(1, "a a a a")])
+        from economic_data_etl_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        got = phrase_occurrences(docs, ["a", "a"]).collect()
+        assert (got[0].n_matches, got[0].first_pos) == (3, 0)
+
+    def test_empty_phrase_rejected(self, spark):
+        from economic_data_etl_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        with __import__("pytest").raises(ValueError):
+            phrase_occurrences(self._docs(spark, [(1, "a")]), [])
