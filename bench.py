@@ -91,6 +91,7 @@ HEADLINE = [
     "training_corpus_prep",
     "dedup_cluster_representatives",
     "sketch_heavy_hitters_bigrams",
+    "sketch_cms_frequency",
     "multimodal_payload_compressibility",
     "text_compression_ratio",
     "text_importance_weights",

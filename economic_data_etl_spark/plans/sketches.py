@@ -207,3 +207,101 @@ def inv_mg_mergeable_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch: point-frequency estimates, fully SQL-replayable.
+# --------------------------------------------------------------------------
+_CMS_DEPTH, _CMS_WIDTH = 3, 1024
+
+
+@register(
+    "sketch_cms_frequency",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 2
+                             THEN generate_series(1, len(w) - 1)
+                             ELSE [] END) AS i
+          FROM toks
+        ), bg AS (
+          SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM g0
+        ), rws AS (
+          SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS rw
+        ), h AS (
+          SELECT r.rw,
+                 CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':'
+                       || bg.bigram), 1, 8)) AS BIGINT)
+                     % {_CMS_WIDTH} AS bucket
+          FROM bg CROSS JOIN rws r
+        ), sk AS (
+          SELECT rw, bucket, COUNT(*) AS cnt FROM h GROUP BY rw, bucket
+        ), q AS (
+          SELECT DISTINCT bigram FROM bg
+        ), qh AS (
+          SELECT q.bigram, r.rw,
+                 CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':'
+                       || q.bigram), 1, 8)) AS BIGINT)
+                     % {_CMS_WIDTH} AS bucket
+          FROM q CROSS JOIN rws r
+        ), est AS (
+          SELECT bigram, MIN(COALESCE(sk.cnt, 0)) AS est
+          FROM qh LEFT JOIN sk USING (rw, bucket)
+          GROUP BY bigram
+        ), cnt AS (
+          SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY bigram
+        )
+        SELECT c.bigram,
+               CAST(c.freq AS BIGINT) AS freq,
+               CAST(e.est AS BIGINT) AS est,
+               TRUE AS no_undercount
+        FROM cnt c JOIN est e USING (bigram)
+        ORDER BY bigram
+    """,
+    doc=f"Count-Min Sketch ({_CMS_DEPTH} md5 hash rows x {_CMS_WIDTH} "
+    "buckets, operators/cms.py) built over the corpus bigram stream; "
+    "every distinct bigram is then point-queried against the sketch "
+    "next to its exact count. The md5 bucketing is the repo's standard "
+    "cross-engine hash, so DuckDB replays the ENTIRE build and every "
+    "estimate — est is a full value check, and no_undercount pins the "
+    "sketch's deterministic one-sided guarantee (est >= freq always; "
+    "counts only add, every occurrence lands in its bucket in every "
+    "row). Sketch size is depth x width regardless of corpus size and "
+    "sketches ADD across partitions/days (linearity pinned in "
+    "tests/test_cms.py).",
+)
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from economic_data_etl_spark.operators.substring import (
+        kgram_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = kgram_occurrences(docs, "doc_id", "text", 2).select(
+        F.col("gram").alias("bigram")
+    )
+    sketch = cms_build(bigrams, "bigram", _CMS_DEPTH, _CMS_WIDTH)
+    freq = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    est = cms_estimate(
+        sketch, bigrams, "bigram", _CMS_DEPTH, _CMS_WIDTH
+    ).withColumnRenamed("item", "bigram")
+    return (
+        freq.join(est, "bigram")
+        .select(
+            "bigram",
+            "freq",
+            "est",
+            (F.col("est") >= F.col("freq")).alias("no_undercount"),
+        )
+        .orderBy("bigram")
+    )

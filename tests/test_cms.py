@@ -1,0 +1,99 @@
+"""Count-Min Sketch: one-sided error (never undercounts), linearity
+(sketch of a union == bucket-wise sum of sketches), determinism, and
+NULL exclusion."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.cms import cms_build, cms_estimate
+
+D, W = 3, 32  # small width so collisions actually happen in tests
+
+
+def _df(spark, items):
+    return spark.createDataFrame([(t,) for t in items], "item string")
+
+
+def _ests(spark, items, queries=None):
+    df = _df(spark, items)
+    sk = cms_build(df, "item", D, W)
+    q = _df(spark, queries if queries is not None else items)
+    return {
+        r.item: r.est
+        for r in cms_estimate(sk, q, "item", D, W).collect()
+    }
+
+
+def test_never_undercounts_and_often_exact(spark):
+    items = [f"k{i % 50}" for i in range(500)] + ["rare"]
+    cnt = Counter(items)
+    est = _ests(spark, items)
+    assert est.keys() == set(cnt)
+    for t, c in cnt.items():
+        assert est[t] >= c, t
+    # with 51 keys over 32 buckets x 3 rows, at least SOME estimate is
+    # exact (an item whose min-row is collision-free)
+    assert any(est[t] == c for t, c in cnt.items())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.sampled_from([f"v{i}" for i in range(40)]),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_property_one_sided(spark, items):
+    cnt = Counter(items)
+    est = _ests(spark, items)
+    for t, c in cnt.items():
+        assert est[t] >= c
+
+
+def test_linearity_sketches_add(spark):
+    a = [f"x{i % 9}" for i in range(100)]
+    b = [f"x{i % 13}" for i in range(80)]
+    sk_union = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(_df(spark, a + b), "item", D, W).collect()
+    }
+    sk_a = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(_df(spark, a), "item", D, W).collect()
+    }
+    sk_b = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(_df(spark, b), "item", D, W).collect()
+    }
+    summed = Counter()
+    for sk in (sk_a, sk_b):
+        for k, v in sk.items():
+            summed[k] += v
+    assert dict(summed) == sk_union
+
+
+def test_nulls_excluded_and_unknown_item_zero(spark):
+    items = ["a", "a", None, "b", None]
+    est = _ests(spark, items, queries=["a", "b", "never-seen", None])
+    assert est["a"] >= 2 and est["b"] >= 1
+    assert None not in est
+    # an item hashing to 3 empty buckets estimates 0; with 2 keys over
+    # 32 buckets "never-seen" almost surely does — but the guarantee
+    # is only est >= 0, so assert the one-sided bound
+    assert est["never-seen"] >= 0
+
+
+def test_bad_shape_rejected(spark):
+    with pytest.raises(ValueError):
+        cms_build(_df(spark, ["a"]), "item", 0, 8)
