@@ -115,6 +115,7 @@ HEADLINE = [
     "events_pareto_concentration",
     "ml_ols_normal_equations",
     "ml_kmeans_clusters",
+    "ml_logreg_gd",
     "profile_correlation_matrix",
 ]
 
@@ -144,6 +145,7 @@ ISOLATED = {
     "text_lm_quality_score",
     "multimodal_video_near_dup",
     "ml_kmeans_clusters",
+    "ml_logreg_gd",
 }
 
 

@@ -380,3 +380,126 @@ def inv_kmeans_pp_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "improved_ok",
         "sizes_ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed logistic regression (full-batch GD), oracle-replayed.
+# --------------------------------------------------------------------------
+_LR_RATE, _LR_STEPS = 5.0, 8
+_LR_D1, _LR_D2 = 35, 52  # 1-based embedding dims used as features
+
+
+def _logreg_oracle(lr: float, steps: int) -> str:
+    """Generate the DuckDB CTE chain replaying every gradient step:
+    b{i} holds the 3 coefficients after step i (cross join against the
+    corpus, aggregate the gradient sums, update). The label is the
+    deterministic separable concept x1 + x2 > 0 — a single IEEE
+    addition, bit-identical across engines."""
+    z = "(b.c0 + b.c1 * e.x1 + b.c2 * e.x2)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    parts = [
+        f"""WITH e AS (
+          SELECT CASE WHEN embedding[{_LR_D1}]::DOUBLE
+                           + embedding[{_LR_D2}]::DOUBLE > 0
+                      THEN 1.0 ELSE 0.0 END AS y,
+                 embedding[{_LR_D1}]::DOUBLE AS x1,
+                 embedding[{_LR_D2}]::DOUBLE AS x2
+          FROM embeddings
+        )""",
+        "b0 AS (SELECT 0.0::DOUBLE AS c0, 0.0::DOUBLE AS c1, "
+        "0.0::DOUBLE AS c2)",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"b{i} AS (SELECT "
+            f"b.c0 + {lr} * SUM(e.y - {p}) / COUNT(*) AS c0, "
+            f"b.c1 + {lr} * SUM((e.y - {p}) * e.x1) / COUNT(*) AS c1, "
+            f"b.c2 + {lr} * SUM((e.y - {p}) * e.x2) / COUNT(*) AS c2 "
+            f"FROM e CROSS JOIN b{i - 1} b "
+            f"GROUP BY b.c0, b.c1, b.c2)"
+        )
+    zf = z
+    pf = p
+    return ",\n".join(parts) + f""",
+        fin AS (
+          SELECT e.y, {zf} AS z, {pf} AS p
+          FROM e CROSS JOIN b{steps} b
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(5e-10 + (SELECT c0 FROM b{steps}), 4) AS beta0,
+               ROUND(5e-10 + (SELECT c1 FROM b{steps}), 4) AS beta1,
+               ROUND(5e-10 + (SELECT c2 FROM b{steps}), 4) AS beta2,
+               ROUND(5e-10 + (-AVG(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 4)
+                   AS log_loss,
+               CAST(SUM(CASE WHEN (z > 0) = (y = 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               TRUE AS loss_monotone
+        FROM fin
+    """
+
+
+@register(
+    "ml_logreg_gd",
+    oracle=_logreg_oracle(_LR_RATE, _LR_STEPS),
+    doc="Distributed logistic regression by full-batch gradient "
+    f"descent ({_LR_STEPS} steps, lr {_LR_RATE}, operators/logreg.py): "
+    "per step ONE distributed job computes the gradient sums + current "
+    "loss (map-side combined, d+2 doubles per partition), the driver "
+    "updates 3 coefficients — the Lloyd split applied to a GLM, the "
+    "shape a CCNet-style quality-gate classifier trains at corpus "
+    "scale. The label is the deterministic separable concept "
+    f"embedding[{_LR_D1}] + embedding[{_LR_D2}] > 0 (one IEEE add — "
+    "bit-identical cross-engine), so the DuckDB oracle REPLAYS every "
+    "step as a generated CTE chain and the final coefficients, "
+    "log-loss, and exact accuracy count are cross-engine value checks; "
+    "loss_monotone pins full-batch GD's descent at this step size.",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.logreg import (
+        is_monotone,
+        logistic_gd,
+        predict_accuracy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    data = emb.select(
+        vec[_LR_D1 - 1].alias("x1"),
+        vec[_LR_D2 - 1].alias("x2"),
+    ).select(
+        "x1",
+        "x2",
+        (
+            (F.col("x1") + F.col("x2") > 0).cast("double")
+        ).alias("y"),
+    )
+    data = data.persist()
+    betas, losses = logistic_gd(
+        data, ["x1", "x2"], "y", lr=_LR_RATE, steps=_LR_STEPS
+    )
+    n_correct = predict_accuracy(data, ["x1", "x2"], "y", betas)
+    n_rows = data.count()
+    data.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                betas[0],
+                betas[1],
+                betas[2],
+                losses[-1],
+                n_correct,
+                bool(is_monotone(losses)),
+            )
+        ],
+        "n_rows long, beta0 double, beta1 double, beta2 double, "
+        "log_loss double, n_correct long, loss_monotone boolean",
+    ).select(
+        "n_rows",
+        biased_round(F.col("beta0")).alias("beta0"),
+        biased_round(F.col("beta1")).alias("beta1"),
+        biased_round(F.col("beta2")).alias("beta2"),
+        biased_round(F.col("log_loss")).alias("log_loss"),
+        "n_correct",
+        "loss_monotone",
+    )
