@@ -98,6 +98,7 @@ HEADLINE = [
     "text_bm25_retrieval",
     "text_bm25_incremental",
     "text_phrase_search",
+    "retrieval_hybrid_rrf",
     "curation_source_quota",
     "graph_triangle_census",
     "events_transition_matrix",

@@ -534,3 +534,209 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_occurrences(docs, list(_PHRASE)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical + phrase + semantic.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOPN = 10
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, unnest(w) AS token FROM toks
+        ), dl AS (
+          SELECT doc_id, len(w) AS dl FROM toks
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM ex
+          WHERE token IN ('stream', 'table', 'hash')
+          GROUP BY 1, 2
+        ), df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex
+          WHERE token IN ('stream', 'table', 'hash')
+          GROUP BY token
+        ), bm AS (
+          SELECT t.doc_id,
+                 ROUND(5e-10 + SUM(
+                     ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5)
+                              / (d.df + 0.5))
+                     * t.tf * {1.2 + 1.0}
+                     / (t.tf + 1.2 * (1 - 0.75
+                          + 0.75 * l.dl / (SELECT avgdl FROM stats)))
+                 ), 4) AS s
+          FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
+          GROUP BY t.doc_id
+        ), bm_r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+          FROM bm
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 1
+                             THEN generate_series(1, len(w))
+                             ELSE [] END) AS i
+          FROM toks
+        ), px AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS token FROM g0
+        ), ph AS (
+          SELECT * FROM (VALUES (0, 'stream'), (1, 'table'), (2, 'hash'))
+                 AS p(off, term)
+        ), pc AS (
+          SELECT e.doc_id, e.pos - p.off AS start, p.off
+          FROM px e JOIN ph p ON e.token = p.term
+        ), po AS (
+          SELECT doc_id, start FROM pc
+          WHERE start >= 0
+          GROUP BY doc_id, start
+          HAVING COUNT(DISTINCT off) = 3
+        ), pm AS (
+          SELECT doc_id, COUNT(*) AS n_matches FROM po GROUP BY doc_id
+        ), ph_r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS r
+          FROM pm
+        ), sem AS (
+          SELECT e.vec_id AS doc_id,
+                 ROUND(5e-10 + list_cosine_similarity(
+                     e.embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings
+                      WHERE vec_id = 0)), 4) AS c
+          FROM embeddings e
+        ), sem_r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+          FROM sem
+        ), fused AS (
+          SELECT COALESCE(b.doc_id, p.doc_id, s.doc_id) AS doc_id,
+                 COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + p.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.r), 0.0) AS rrf,
+                 b.r AS r_bm25, p.r AS r_phrase, s.r AS r_sem
+          FROM bm_r b
+          FULL OUTER JOIN ph_r p USING (doc_id)
+          FULL OUTER JOIN sem_r s USING (doc_id)
+        ), ranked AS (
+          SELECT doc_id,
+                 ROUND(5e-10 + rrf, 4) AS rrf,
+                 CAST(r_bm25 AS BIGINT) AS r_bm25,
+                 CAST(r_phrase AS BIGINT) AS r_phrase,
+                 CAST(r_sem AS BIGINT) AS r_sem,
+                 CAST(ROW_NUMBER() OVER (ORDER BY ROUND(5e-10 + rrf, 4)
+                                         DESC, doc_id) AS INT) AS rank
+          FROM fused
+        )
+        SELECT doc_id, rrf, r_bm25, r_phrase, r_sem, rank
+        FROM ranked WHERE rank <= {_RRF_TOPN}
+        ORDER BY rank
+    """,
+    doc="Hybrid retrieval by reciprocal rank fusion (RRF, k=60): three "
+    "independent rankings — BM25 over ('stream','table','hash'), exact "
+    "phrase-match count for the same phrase, and embedding cosine to "
+    "the query vector (vec_id 0; the synthetic tables align doc_id to "
+    "vec_id) — fused as sum of 1/(60 + rank) with a missing lane "
+    "contributing 0. Every lane ranks on the 4dp-biased-rounded score "
+    "with id tiebreak, lane scores add in fixed column order (never a "
+    "groupBy sum), and 1/(60+r) on integer ranks is IEEE-exact, so the "
+    "fused ordering is bit-deterministic cross-engine. Top-10 with "
+    "per-lane ranks for explainability — the modern hybrid-search "
+    "serving shape composed from the engine's own lanes.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.functions.vectors import (
+        dot_product,
+        l2_normalize,
+    )
+    from economic_data_etl_spark.operators.retrieval import (
+        bm25_scores,
+        phrase_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_scores(docs, list(_PHRASE)).select(
+        "doc_id", biased_round(F.col("score")).alias("s")
+    )
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("r_bm25"),
+    )
+    pm = phrase_occurrences(docs, list(_PHRASE)).select(
+        "doc_id", "n_matches"
+    )
+    ph_r = pm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id")))
+        .alias("r_phrase"),
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(l2_normalize(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["q"]])
+    sem = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        biased_round(
+            dot_product(l2_normalize(F.col("embedding")), qlit)
+        ).alias("c"),
+    )
+    sem_r = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("doc_id")))
+        .alias("r_sem"),
+    )
+    fused = (
+        bm_r.join(ph_r, "doc_id", "full_outer")
+        .join(sem_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm25")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_phrase")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_raw"),
+            F.col("r_bm25").cast("long").alias("r_bm25"),
+            F.col("r_phrase").cast("long").alias("r_phrase"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+        )
+    )
+    ranked = fused.select(
+        "doc_id",
+        biased_round(F.col("rrf_raw")).alias("rrf"),
+        "r_bm25",
+        "r_phrase",
+        "r_sem",
+    ).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _RRF_TOPN).orderBy("rank")
