@@ -173,3 +173,38 @@ def test_round9_composition_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_round10_scale_exponents(spark):
+    """The round-10 additions: incremental BM25 (index build + append
+    + postings-filtered scoring), CMS (depth x width sketch,
+    map-side-collapsed), phrase search (posexplode pre-filtered to
+    phrase terms), hybrid RRF (three lanes + a rank-table fusion
+    join), and logistic GD (fixed step count, d+2 doubles per
+    partition per step). All shuffle-linear in corpus tokens or
+    constant-bounded; a superlinear escape means a filter stopped
+    pushing or a sketch stopped collapsing map-side."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "text_bm25_incremental",
+        "sketch_cms_frequency",
+        "text_phrase_search",
+        "retrieval_hybrid_rrf",
+        "ml_logreg_gd",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
