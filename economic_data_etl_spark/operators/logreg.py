@@ -69,6 +69,10 @@ def logistic_gd(
                 for j in range(d)
             ],
         ).collect()[0]
+        if row["n"] == 0:
+            # empty corpus: nothing to fit — zero weights, no history
+            # (empty in -> well-defined out, the catalog-wide contract)
+            return betas, []
         losses.append(float(row["loss"]))
         if len(losses) == steps + 1:
             break

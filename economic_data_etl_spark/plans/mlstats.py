@@ -477,7 +477,7 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     betas, losses = logistic_gd(
         data, ["x1", "x2"], "y", lr=_LR_RATE, steps=_LR_STEPS
     )
-    n_correct = predict_accuracy(data, ["x1", "x2"], "y", betas)
+    n_correct = predict_accuracy(data, ["x1", "x2"], "y", betas) or 0
     n_rows = data.count()
     data.unpersist()
     return spark.createDataFrame(
@@ -487,7 +487,7 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 betas[0],
                 betas[1],
                 betas[2],
-                losses[-1],
+                losses[-1] if losses else 0.0,
                 n_correct,
                 bool(is_monotone(losses)),
             )

@@ -689,13 +689,16 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(l2_normalize(F.col("embedding")).alias("q"))
         .collect()
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["q"]])
-    sem = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        biased_round(
-            dot_product(l2_normalize(F.col("embedding")), qlit)
-        ).alias("c"),
-    )
+    if qrow:
+        qlit = F.array(*[F.lit(float(x)) for x in qrow[0]["q"]])
+        sem = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            biased_round(
+                dot_product(l2_normalize(F.col("embedding")), qlit)
+            ).alias("c"),
+        )
+    else:  # empty corpus / no query vector: empty semantic lane
+        sem = spark.createDataFrame([], "doc_id long, c double")
     sem_r = sem.select(
         "doc_id",
         F.row_number()
