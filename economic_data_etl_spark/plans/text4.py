@@ -649,7 +649,12 @@ _RRF_TOPN = 10
     "groupBy sum), and 1/(60+r) on integer ranks is IEEE-exact, so the "
     "fused ordering is bit-deterministic cross-engine. Top-10 with "
     "per-lane ranks for explainability — the modern hybrid-search "
-    "serving shape composed from the engine's own lanes.",
+    "serving shape composed from the engine's own lanes. Scale note: "
+    "the global rank windows are exact-output certification shape; at "
+    "corpus scale each lane keeps only its top-K candidates first "
+    "(TakeOrderedAndProject, no global window) — sound because a doc "
+    "outside every lane's top-K fuses below 3/(60+K), so K with "
+    "3/(60+K) < 1/(60+N) provably cannot displace a top-N result.",
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
