@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "sketch_heavy_hitters_bigrams",
     "sketch_cms_frequency",
+    "sketch_cms_join_size",
     "multimodal_payload_compressibility",
     "text_compression_ratio",
     "text_importance_weights",

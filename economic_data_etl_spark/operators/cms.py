@@ -104,3 +104,28 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def cms_join_size_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS sketches built on
+    the join keys (Cormode/Muthukrishnan): |A join B on key| =
+    sum_k f_A(k) * f_B(k) — the inner product of the frequency
+    vectors — and each sketch row's bucket-wise product sum
+    OVERESTIMATES it (collisions only add non-negative cross terms),
+    so min over rows is a deterministic one-sided upper bound. This is
+    the optimizer's use of frequency sketches: estimate a join's
+    output size from two constant-size summaries without touching
+    either table. Returns one row (est_join_size)."""
+    per_row = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est_join_size"))

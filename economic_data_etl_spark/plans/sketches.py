@@ -305,3 +305,67 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bigram")
     )
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle=f"""
+        WITH keys AS (
+          SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        ), rws AS (
+          SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS rw
+        ), h AS (
+          SELECT r.rw,
+                 CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':'
+                       || keys.k), 1, 8)) AS BIGINT)
+                     % {_CMS_WIDTH} AS bucket
+          FROM keys CROSS JOIN rws r
+        ), sk AS (
+          SELECT rw, bucket, COUNT(*) AS cnt FROM h GROUP BY rw, bucket
+        ), ip AS (
+          SELECT rw, SUM(cnt * cnt) AS ip FROM sk GROUP BY rw
+        ), ex AS (
+          SELECT SUM(c * c) AS exact
+          FROM (SELECT COUNT(*) AS c FROM keys GROUP BY k)
+        )
+        SELECT CAST(exact AS BIGINT) AS exact_join_size,
+               CAST((SELECT MIN(ip) FROM ip) AS BIGINT)
+                   AS est_join_size,
+               TRUE AS no_undercount
+        FROM ex
+    """,
+    doc="Join-cardinality estimation from sketches (Cormode/"
+    "Muthukrishnan — the optimizer's use of CMS): the self-join size "
+    "of lineitem on l_partkey (= the second frequency moment "
+    "sum f(k)², the quantity a planner needs to size a skewed join's "
+    "output) estimated as min over hash rows of the bucket-wise "
+    "inner product of the sketch with itself — collisions only add "
+    "non-negative cross terms, so the estimate NEVER undercounts "
+    "(deterministic one-sided bound, pinned as the constant-TRUE "
+    "verdict). Exact value and estimate are both replayed in SQL; two "
+    "constant-size summaries answer what would otherwise need a "
+    "corpus-wide groupBy.",
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.cms import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    sketch = cms_build(keys, "k", _CMS_DEPTH, _CMS_WIDTH)
+    est = cms_join_size_estimate(sketch, sketch)
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_join_size").cast("long"),
+        F.col("est_join_size").cast("long"),
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "no_undercount"
+        ),
+    )

@@ -97,3 +97,22 @@ def test_nulls_excluded_and_unknown_item_zero(spark):
 def test_bad_shape_rejected(spark):
     with pytest.raises(ValueError):
         cms_build(_df(spark, ["a"]), "item", 0, 8)
+
+
+def test_join_size_estimate_one_sided(spark):
+    from economic_data_etl_spark.operators.cms import (
+        cms_join_size_estimate,
+    )
+
+    a = [f"k{i % 7}" for i in range(140)]   # 7 keys x 20
+    b = [f"k{i % 5}" for i in range(60)]    # 5 keys x 12 (subset)
+    ca, cb = Counter(a), Counter(b)
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    sk_a = cms_build(_df(spark, a), "item", D, W)
+    sk_b = cms_build(_df(spark, b), "item", D, W)
+    est = cms_join_size_estimate(sk_a, sk_b).collect()[0].est_join_size
+    assert est >= exact
+    # self-join: estimate of the second frequency moment
+    f2 = sum(c * c for c in ca.values())
+    est2 = cms_join_size_estimate(sk_a, sk_a).collect()[0].est_join_size
+    assert est2 >= f2
