@@ -99,6 +99,7 @@ HEADLINE = [
     "text_bm25_retrieval",
     "text_bm25_incremental",
     "text_phrase_search",
+    "text_phrase_incremental",
     "retrieval_hybrid_rrf",
     "curation_source_quota",
     "graph_triangle_census",

@@ -249,3 +249,73 @@ def phrase_occurrences(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("start").cast("long").alias("first_pos"),
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: (id, token, pos) — the Lucene-style index
+    layout that serves PHRASE queries without re-tokenizing the
+    corpus. One tokenize + posexplode scan; at 100 TB written
+    partitioned/bucketed by token like the tf postings. Stored
+    positions are 0-indexed token offsets, exactly what
+    phrase_occurrences computes on the fly."""
+    toks = _token_arrays(docs, id_col, text_col)
+    return toks.select(
+        id_col, F.posexplode("w").alias("pos", "token")
+    ).select(id_col, "token", F.col("pos").cast("long").alias("pos"))
+
+
+def append_positional(
+    index_doclens: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental positional-index append: the batch's (id, token,
+    pos) rows plus (id, dl) doclens rows, restricted to documents not
+    already indexed — the same membership anti-join (and therefore the
+    same idempotence and append-order contract) as append_to_index."""
+    fresh = batch_docs.join(
+        index_doclens.select(F.col(id_col)), id_col, "left_anti"
+    )
+    toks = _token_arrays(fresh, id_col, text_col)
+    doclens = toks.select(id_col, F.size("w").cast("long").alias("dl"))
+    return build_positional_postings(fresh, id_col, text_col), doclens
+
+
+def phrase_from_index(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_matches, first_pos) served from the standing positional
+    index: identical alignment join as phrase_occurrences — a term at
+    position p matching phrase offset i votes for start p - i, all m
+    distinct offsets must vote — but reading stored (id, token, pos)
+    rows, filtered to the phrase's terms at the scan (partition
+    pruning on token at scale), instead of re-tokenizing raw text."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    m = len(phrase)
+    spark = postings.sparkSession
+    ph = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "off int, term string"
+    )
+    cand = (
+        postings.filter(F.col("token").isin(phrase))
+        .join(F.broadcast(ph), F.col("token") == F.col("term"))
+        .select(
+            id_col, (F.col("pos") - F.col("off")).alias("start"), "off"
+        )
+    )
+    occ = (
+        cand.filter(F.col("start") >= 0)
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("off").alias("__k"))
+        .filter(F.col("__k") == m)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )

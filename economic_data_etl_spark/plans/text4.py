@@ -748,3 +748,78 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= _RRF_TOPN).orderBy("rank")
+
+
+@register(
+    "text_phrase_incremental",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 1
+                             THEN generate_series(1, len(w))
+                             ELSE [] END) AS i
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS token FROM g0
+        ), ph AS (
+          SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))})
+                 AS p(off, term)
+        ), cand AS (
+          SELECT e.doc_id, e.pos - p.off AS start, p.off
+          FROM ex e JOIN ph p ON e.token = p.term
+        ), occ AS (
+          SELECT doc_id, start FROM cand
+          WHERE start >= 0
+          GROUP BY doc_id, start
+          HAVING COUNT(DISTINCT off) = {len(_PHRASE)}
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(start) AS BIGINT) AS first_pos
+        FROM occ
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="INCREMENTAL positional phrase search: a standing (doc, token, "
+    f"pos) index is built from docs below {_BM25I_SPLIT}, a batch "
+    f"covering docs >= {_BM25I_OVERLAP} is appended through the same "
+    "idempotent membership anti-join as the BM25 index (the overlap "
+    "is a simulated redelivery, contributing nothing), and the phrase "
+    f"query {' '.join(_PHRASE)!r} is served from the index WITHOUT "
+    "re-tokenizing the corpus (token filter prunes to the phrase's "
+    "postings). The oracle is the FULL-CORPUS positional replay, so a "
+    "green row proves index-served phrase search equals the one-shot "
+    "pass — the standing-index twin of text_phrase_search "
+    "(operators/retrieval.py:build_positional_postings/"
+    "append_positional/phrase_from_index).",
+)
+def text_phrase_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.retrieval import (
+        append_positional,
+        build_positional_postings,
+        phrase_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < _BM25I_SPLIT)
+    postings0 = build_positional_postings(base)
+    doclens0 = base.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "[ \\t\\n\\r]+"),
+                lambda t: t != "",
+            )
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    batch = docs.filter(F.col("doc_id") >= _BM25I_OVERLAP)
+    postings1, _doclens1 = append_positional(doclens0, batch)
+    postings = postings0.unionByName(postings1)
+    return phrase_from_index(postings, list(_PHRASE)).orderBy("doc_id")

@@ -262,3 +262,40 @@ class TestPhraseSearch:
 
         with __import__("pytest").raises(ValueError):
             phrase_occurrences(self._docs(spark, [(1, "a")]), [])
+
+
+class TestPositionalIndex:
+    def test_index_served_equals_on_the_fly(self, spark):
+        from economic_data_etl_spark.operators.retrieval import (
+            build_positional_postings,
+            phrase_from_index,
+            phrase_occurrences,
+        )
+        from economic_data_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        phrase = ["stream", "table", "hash"]
+        idx = build_positional_postings(docs)
+        got = sorted(
+            map(tuple, phrase_from_index(idx, phrase).collect())
+        )
+        want = sorted(
+            map(tuple, phrase_occurrences(docs, phrase).collect())
+        )
+        assert got == want and got
+
+    def test_append_idempotent_on_overlap(self, spark):
+        from economic_data_etl_spark.operators.retrieval import (
+            append_positional,
+        )
+
+        doclens = spark.createDataFrame(
+            [(1, 3)], "doc_id long, dl long"
+        )
+        batch = spark.createDataFrame(
+            [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+        )
+        postings, new_dl = append_positional(doclens, batch)
+        # doc 1 already indexed: only doc 2's rows appear
+        assert {r.doc_id for r in postings.collect()} == {2}
+        assert [tuple(r) for r in new_dl.collect()] == [(2, 2)]
