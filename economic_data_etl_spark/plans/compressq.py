@@ -170,3 +170,74 @@ def multimodal_payload_compressibility(
                 yield pd.DataFrame(rows)
 
     return docs.mapInPandas(synth_and_score, schema).orderBy("doc_id")
+
+
+@register(
+    "multimodal_pdf_text_extract",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_pages,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS extracted_md5
+        FROM documents
+        WHERE doc_id < {_CERT_DOCS}
+        ORDER BY doc_id
+    """,
+    doc="PDF text extraction round trip (operators/pdf.py — the "
+    "training-data ingestion workload): each sampled document is "
+    "written as a structurally-valid 2-page PDF 1.4 (FlateDecode "
+    "content streams, TJ kerning arrays, string-literal escapes) and "
+    "the text is recovered by parsing the object graph — pages-tree "
+    "order, /Contents refs, /Length-sliced streams, Tj/TJ operators. "
+    "extracted_md5 is the md5 of the CONCATENATED extracted pages; "
+    "the oracle recomputes md5(text) directly, so any extraction "
+    "defect (escape handling, page order, stream slicing, inflate) "
+    "flips the value hash. Arrow mapInPandas lanes like every other "
+    "codec; structure errors raise so corrupt files can be "
+    "quarantined.",
+)
+def multimodal_pdf_text_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CERT_DOCS
+    ).select("doc_id", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.pdf import (
+            extract_pdf_text,
+            write_minimal_pdf,
+        )
+
+        for pdf_batch in batches:
+            rows = []
+            for did, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                t = text or ""
+                half = len(t) // 2
+                blob = write_minimal_pdf(
+                    [t[:half], t[half:]], compress=True, kern_every=16
+                )
+                pages = extract_pdf_text(blob)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_pages": len(pages),
+                        "extracted": "".join(pages),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        roundtrip, "doc_id long, n_pages long, extracted string"
+    )
+    return out.select(
+        "doc_id",
+        "n_pages",
+        F.length("extracted").cast("long").alias("n_chars"),
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+    ).orderBy("doc_id")
