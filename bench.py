@@ -95,6 +95,7 @@ HEADLINE = [
     "sketch_cms_join_size",
     "multimodal_payload_compressibility",
     "multimodal_pdf_text_extract",
+    "multimodal_html_text_extract",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",

@@ -241,3 +241,83 @@ def multimodal_pdf_text_extract(
         F.length("extracted").cast("long").alias("n_chars"),
         F.md5(F.col("extracted")).alias("extracted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_html_text_extract",
+    oracle=f"""
+        SELECT doc_id,
+               md5(CASE WHEN trim(text) = ''
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || chr(10) || 'a < b & c > d'
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || chr(10)
+                             || trim(regexp_replace(text,
+                                     '[ \\t\\r]+', ' ', 'g'))
+                             || chr(10) || 'a < b & c > d'
+                   END) AS extracted_md5,
+               TRUE AS decoys_absent
+        FROM documents
+        WHERE doc_id < {_CERT_DOCS}
+        ORDER BY doc_id
+    """,
+    doc="HTML visible-text extraction round trip (operators/html.py — "
+    "the crawl-to-text ingestion layer next to the PDF extractor): "
+    "each sampled document is wrapped in a deterministic page whose "
+    "boilerplate plants decoys in <style>, <script>, and a comment "
+    "(all of which legally contain markup-looking text), plus a "
+    "constant entity-encoded paragraph (a &lt; b &amp; c &gt; d). "
+    "Extraction must recover title + text + the decoded entity "
+    "paragraph (md5-checked against the oracle's reconstruction, "
+    "whitespace-normalized) and must NOT leak any decoy "
+    "(constant-TRUE verdict). Arrow mapInPandas lanes.",
+)
+def multimodal_html_text_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CERT_DOCS
+    ).select("doc_id", "text")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.html import (
+            html_to_text,
+            write_page,
+        )
+
+        for pdf_b in batches:
+            rows = []
+            for did, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                page = write_page(
+                    f"Doc {did}", [text or "", "a < b & c > d"]
+                )
+                extracted = html_to_text(page)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "extracted": extracted,
+                        "decoys_absent": not any(
+                            d in extracted
+                            for d in (
+                                "DECOYSTYLE",
+                                "DECOYSCRIPT",
+                                "DECOYCOMMENT",
+                            )
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        roundtrip, "doc_id long, extracted string, decoys_absent boolean"
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+        "decoys_absent",
+    ).orderBy("doc_id")
