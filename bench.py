@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_payload_compressibility",
     "multimodal_pdf_text_extract",
     "multimodal_html_text_extract",
+    "training_crawl_ingest",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",

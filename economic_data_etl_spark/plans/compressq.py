@@ -321,3 +321,102 @@ def multimodal_html_text_extract(
         F.md5(F.col("extracted")).alias("extracted_md5"),
         "decoys_absent",
     ).orderBy("doc_id")
+
+
+_WARC_DOCS_PER_FILE = 8
+
+
+@register(
+    "training_crawl_ingest",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id // {_WARC_DOCS_PER_FILE})
+                    AS BIGINT) AS n_records_in_file,
+               md5(CASE WHEN trim(text) = ''
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || chr(10) || 'a < b & c > d'
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || chr(10)
+                             || trim(regexp_replace(text,
+                                     '[ \\t\\r]+', ' ', 'g'))
+                             || chr(10) || 'a < b & c > d'
+                   END) AS extracted_md5,
+               TRUE AS uri_ok
+        FROM documents
+        WHERE doc_id < {_CERT_DOCS}
+        ORDER BY doc_id
+    """,
+    doc="End-to-end crawl ingestion composition (the CommonCrawl "
+    f"shape): documents are packed {_WARC_DOCS_PER_FILE}-per-file into "
+    "WARC streams (operators/warc.py — Content-Length-sliced records, "
+    "never delimiter-scanned), each archive is parsed back into "
+    "records inside the same Arrow lane, every record's HTML payload "
+    "goes through the visible-text extractor (operators/html.py, "
+    "decoys planted), and the recovered text is md5-checked against "
+    "the oracle's reconstruction per document. uri_ok pins that each "
+    "record's WARC-Target-URI round-trips to its document id. "
+    "Grouped applyInPandas — one archive per group, never the corpus "
+    "on one executor.",
+)
+def training_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CERT_DOCS
+    ).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") / _WARC_DOCS_PER_FILE)
+        .cast("int")
+        .alias("file_id"),
+    )
+
+    def ingest(pdf_b: pd.DataFrame) -> pd.DataFrame:
+        from economic_data_etl_spark.operators.html import (
+            html_to_text,
+            write_page,
+        )
+        from economic_data_etl_spark.operators.warc import (
+            read_warc,
+            write_warc,
+        )
+
+        g = pdf_b.sort_values("doc_id")
+        archive = write_warc(
+            [
+                (
+                    f"http://corpus/doc/{did}",
+                    write_page(
+                        f"Doc {did}", [text or "", "a < b & c > d"]
+                    ).encode("utf-8"),
+                )
+                for did, text in zip(g["doc_id"], g["text"])
+            ]
+        )
+        rows = []
+        records = read_warc(archive)
+        for rec in records:
+            uri = rec["headers"]["WARC-Target-URI"]
+            did = int(uri.rsplit("/", 1)[1])
+            extracted = html_to_text(rec["payload"].decode("utf-8"))
+            rows.append(
+                {
+                    "doc_id": did,
+                    "n_records_in_file": len(records),
+                    "extracted": extracted,
+                    "uri_ok": uri == f"http://corpus/doc/{did}",
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = docs.groupBy("file_id").applyInPandas(
+        ingest,
+        "doc_id long, n_records_in_file long, extracted string, "
+        "uri_ok boolean",
+    )
+    return out.select(
+        "doc_id",
+        "n_records_in_file",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+        "uri_ok",
+    ).orderBy("doc_id")
