@@ -23,6 +23,7 @@ from economic_data_etl_spark.plans import sql_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import substring_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import analytics  # noqa: E402,F401
 from economic_data_etl_spark.plans import audioq  # noqa: E402,F401
+from economic_data_etl_spark.plans import bloomq  # noqa: E402,F401
 from economic_data_etl_spark.plans import bpe  # noqa: E402,F401
 from economic_data_etl_spark.plans import phash_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import pii  # noqa: E402,F401
