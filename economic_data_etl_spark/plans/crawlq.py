@@ -241,3 +241,48 @@ def crawl_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "host", F.col("rk").cast("long").alias("rk"))
         .orderBy("host", "rk")
     )
+
+
+_FRONTIER_SPLIT = 250
+
+
+@register(
+    "crawl_incremental_frontier",
+    oracle=_CANON_CTES
+    + f"""
+SELECT canonical, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon
+WHERE doc_id >= {_FRONTIER_SPLIT}
+  AND canonical NOT IN (SELECT canonical FROM canon
+                        WHERE doc_id < {_FRONTIER_SPLIT})
+GROUP BY canonical
+ORDER BY canonical
+""",
+    doc="INCREMENTAL crawl frontier: the batch (doc_id >= "
+    f"{_FRONTIER_SPLIT}) is canonicalized and deduped against the "
+    "standing seen-set (canonicals below the split) — only never-seen "
+    "canonicals are emitted, batch-local aliases collapse to their "
+    "first occurrence. Per-batch cost O(batch): one groupBy + one "
+    "anti-join on the canonical key; the index never self-joins. The "
+    "streaming twin (streaming/crawl_frontier.py) is proven "
+    "stream == batch with crash-window convergence in "
+    "tests/test_crawl_frontier_stream.py.",
+)
+def crawl_incremental_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    keyed = _canonicalized(spark, sf_dir).select("doc_id", "canonical")
+    index = (
+        keyed.filter(F.col("doc_id") < _FRONTIER_SPLIT)
+        .select("canonical")
+        .distinct()
+    )
+    batch = keyed.filter(F.col("doc_id") >= _FRONTIER_SPLIT)
+    firsts = batch.groupBy("canonical").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        firsts.join(index, "canonical", "left_anti")
+        .select("canonical", "first_doc")
+        .orderBy("canonical")
+    )
