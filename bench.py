@@ -97,6 +97,9 @@ HEADLINE = [
     "multimodal_pdf_text_extract",
     "multimodal_html_text_extract",
     "training_crawl_ingest",
+    "crawl_url_dedup",
+    "crawl_incremental_frontier",
+    "curation_bloom_decontaminate",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",

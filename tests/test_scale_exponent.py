@@ -208,3 +208,35 @@ def test_round10_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_crawl_and_bloom_scale_exponents(spark):
+    """The crawl-curation lane: URL canonicalization + alias-group
+    dedup (one hash aggregate over a scan-side projection), the
+    incremental frontier (batch groupBy + one anti-join on the
+    canonical key), and Bloom decontamination (constant-folded bitmap
+    scan + candidates-only semi-join). All scan-linear; a superlinear
+    escape means the canonicalizer fell out of codegen or the bitmap
+    stopped pruning."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "crawl_url_dedup",
+        "crawl_incremental_frontier",
+        "curation_bloom_decontaminate",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
