@@ -53,6 +53,7 @@ from economic_data_etl_spark.plans import mlstats  # noqa: E402,F401
 from economic_data_etl_spark.plans import multimodal  # noqa: E402,F401
 from economic_data_etl_spark.plans import text  # noqa: E402,F401
 from economic_data_etl_spark.plans import text2  # noqa: E402,F401
+from economic_data_etl_spark.plans import textnormq  # noqa: E402,F401
 from economic_data_etl_spark.plans import timeseries  # noqa: E402,F401
 from economic_data_etl_spark.plans import training  # noqa: E402,F401
 from economic_data_etl_spark.plans import variant  # noqa: E402,F401
