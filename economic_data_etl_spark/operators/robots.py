@@ -1,0 +1,189 @@
+"""Robots Exclusion Protocol (REP) for crawl-frontier filtering —
+from-scratch parser + distributed longest-match rule evaluation.
+
+The politeness gate of a crawler: before a frontier URL is fetched, the
+host's robots.txt decides. RFC 9309 / the Google REP spec define the
+semantics this module implements:
+
+- records are user-agent groups; the group with the LONGEST user-agent
+  match wins (exact product token, else ``*``), and only that group's
+  rules apply;
+- Allow/Disallow values are path patterns: prefix match, with ``*``
+  matching any character run and a trailing ``$`` anchoring the end;
+- among matching rules the MOST SPECIFIC (longest pattern) wins; on an
+  exact length tie the least restrictive (Allow) wins;
+- no matching rule -> allowed; an empty Disallow value -> allow all
+  (it matches nothing).
+
+Design for scale: robots rules are crawl CONFIG — thousands of rows
+(hosts x rules), not corpus-sized — so parsing runs driver-side on the
+fetched robots bodies and the compiled rule table broadcasts. Frontier
+URLs join the rule table on host (broadcast hash join), rule patterns
+are evaluated as anchored regexes (``regexp_like`` with a per-row
+pattern — both engines treat ``^``-anchored patterns identically), and
+the per-URL winner is one ``max_by`` aggregate over (pattern length,
+allow-wins-ties). No corpus shuffle beyond the per-URL aggregate.
+
+No reference-repo counterpart; crawl-ingestion extension alongside
+operators/urls.py (canonicalization) and streaming/crawl_frontier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Characters with meaning in BOTH Java regex and RE2; everything else in
+# a robots path pattern is literal. '*' and a trailing '$' carry REP
+# meaning and are translated, not escaped.
+_REGEX_SPECIALS = set(".^$+?()[]{}|\\")
+
+
+def rule_to_regex(pattern: str) -> str:
+    """REP path pattern -> anchored regex valid in Java regex AND RE2.
+
+    '*' -> '.*'; a trailing '$' -> end anchor; all other characters are
+    matched literally. The result is '^'-anchored so partial-match
+    engines (Spark rlike, DuckDB regexp_matches) implement REP's
+    starts-with semantics exactly.
+    """
+    end_anchor = pattern.endswith("$")
+    body = pattern[:-1] if end_anchor else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _REGEX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if end_anchor:
+        out.append("$")
+    return "".join(out)
+
+
+def parse_robots(text: str, agent: str = "spark-graft") -> list[tuple[str, str]]:
+    """robots.txt body -> [(rule_type, path_pattern)] for `agent`.
+
+    Implements the grouping rules of RFC 9309 §2.2: consecutive
+    User-agent lines open a group; the group whose agent token is the
+    longest match for `agent` applies (falling back to '*'); groups
+    with the same winning token merge. Comments (#) and unknown
+    directives are ignored; an empty Disallow value matches nothing
+    and is dropped. Matching is case-insensitive on directive names
+    and agent tokens.
+    """
+    agent_l = agent.lower()
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] = []
+    in_agent_run = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                current = []
+            in_agent_run = True
+            current.append(value.lower())
+            groups.setdefault(value.lower(), [])
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            if key == "disallow" and value == "":
+                continue  # empty Disallow: allow all (matches nothing)
+            if key == "allow" and value == "":
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((key, value))
+        else:
+            in_agent_run = False  # crawl-delay, sitemap, ...: ignored
+    # longest agent-token match wins; '*' is the fallback
+    best: str | None = None
+    for token in groups:
+        if token != "*" and token in agent_l:
+            if best is None or len(token) > len(best):
+                best = token
+    if best is None and "*" in groups:
+        best = "*"
+    return groups.get(best, []) if best is not None else []
+
+
+def compile_rules(
+    spark, per_host_robots: dict[str, str], agent: str = "spark-graft"
+) -> DataFrame:
+    """{host: robots.txt body} -> broadcastable rule table
+    (host, rule_type, pattern, regex, rule_len). Driver-side parse —
+    robots bodies are crawl config, not corpus data."""
+    rows = []
+    for host, body in per_host_robots.items():
+        for rule_type, pattern in parse_robots(body, agent):
+            rows.append(
+                (
+                    host,
+                    rule_type,
+                    pattern,
+                    rule_to_regex(pattern),
+                    len(pattern),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "host string, rule_type string, pattern string, "
+        "regex string, rule_len int",
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per URL: REP verdict (allowed, winning pattern or 'default').
+
+    LEFT broadcast-joins the rule table on (host, anchored-regex
+    match), so a URL with no matching rule survives as one null-rule
+    row, then picks the winner with ONE max_by over (rule_len,
+    allow-beats-disallow-on-ties) — a single corpus shuffle (the
+    per-URL aggregate), no window, no join back. Null winners (no rule
+    matched) coalesce to the REP default: allowed.
+    """
+    u, r = urls.alias("u"), rules.alias("r")
+    cols = [F.col(f"u.{c}") for c in urls.columns]
+    joined = u.join(
+        F.broadcast(r),
+        (F.col(f"u.{host_col}") == F.col("r.host"))
+        & F.regexp_like(F.col(f"u.{path_col}"), F.col("r.regex")),
+        "left",
+    )
+    return (
+        joined.groupBy(*cols)
+        .agg(
+            F.max_by(
+                F.struct(
+                    (F.col("r.rule_type") == "allow").alias("is_allow"),
+                    F.col("r.pattern").alias("pattern"),
+                ),
+                # longest pattern wins; exact tie -> allow (is_allow
+                # sorts true > false); pattern last for determinism
+                # when two same-type same-length rules both match
+                F.struct(
+                    F.col("r.rule_len").alias("rule_len"),
+                    (F.col("r.rule_type") == "allow").alias("a"),
+                    F.col("r.pattern").alias("pattern"),
+                ),
+            ).alias("winner")
+        )
+        .select(
+            *[c.alias(n) for c, n in zip(cols, urls.columns)],
+            F.coalesce(F.col("winner.is_allow"), F.lit(True)).alias(
+                "allowed"
+            ),
+            F.coalesce(F.col("winner.pattern"), F.lit("default")).alias(
+                "rule"
+            ),
+        )
+    )

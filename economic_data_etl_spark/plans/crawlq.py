@@ -119,6 +119,8 @@ WITH raw AS (
   FROM hp
 ), canon AS (
   SELECT doc_id, url, host,
+         CASE WHEN p1 <> '/' AND p1 LIKE '%/'
+              THEN left(p1, length(p1) - 1) ELSE p1 END AS path,
          scheme || '://' || host
          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                       OR (scheme = 'https' AND port = '443')
@@ -148,6 +150,7 @@ def _canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         url.alias("url"),
         urls.url_host(url).alias("host"),
+        urls.url_path(url).alias("path"),
         urls.canonical_url(url).alias("canonical"),
     )
 
@@ -286,3 +289,113 @@ def crawl_incremental_frontier(
         .select("canonical", "first_doc")
         .orderBy("canonical")
     )
+
+
+# ---- robots.txt (REP) politeness gate ---------------------------------
+
+# One robots.txt body per host; the shared body exercises the parser
+# (foreign-agent group skipped, multi-agent group run, comments, unknown
+# directives, empty Disallow = allow-all fallback group) and the REP
+# precedence ladder over the fixture's /docs/N paths:
+#   /docs/1  -> blocked  (Disallow /docs/1 — and it PREFIX-matches
+#   /docs/10 as well, which the longer Allow /docs/10 then overrides)
+#   /docs/3  -> blocked  (wildcard Disallow /*/3$)
+#   /docs/7  -> allowed  (Allow/Disallow tie at length 7: allow wins)
+#   site0 additionally blocks /docs/5 via a second merged group.
+_ROBOTS_SHARED = """\
+# corpus crawler policy
+User-agent: badbot
+Disallow: /
+
+User-agent: spark-graft
+User-agent: otherbot
+Disallow: /docs/1
+Allow: /docs/10
+Disallow: /*/3$
+Allow: /docs/7
+Disallow: /docs/7
+Crawl-delay: 5
+Sitemap: http://example.com/sitemap.xml
+
+User-agent: *
+Disallow:
+"""
+
+_ROBOTS_BODIES = {
+    f"site{k}.example.com": _ROBOTS_SHARED
+    + ("\nUser-agent: spark-graft\nDisallow: /docs/5\n" if k == 0 else "")
+    for k in range(7)
+}
+
+# Parse ONCE at import; the same compiled rows feed the Spark rule
+# table and the oracle's inline VALUES, so both engines evaluate the
+# identical (pattern, regex, length) set — the parser itself is
+# unit-covered in tests/test_robots.py.
+from economic_data_etl_spark.operators.robots import (  # noqa: E402
+    parse_robots,
+    rule_to_regex,
+)
+
+_RULE_ROWS = [
+    (host, rule_type, pattern, rule_to_regex(pattern), len(pattern))
+    for host, body in sorted(_ROBOTS_BODIES.items())
+    for rule_type, pattern in parse_robots(body)
+]
+assert all(
+    "'" not in p and "\\" not in rx for _, _, p, rx, _ in _RULE_ROWS
+), "fixture rules must inline into SQL literals unescaped"
+
+_RULES_VALUES = ",\n    ".join(
+    f"('{h}', '{t}', '{p}', '{rx}', {ln})"
+    for h, t, p, rx, ln in _RULE_ROWS
+)
+
+
+@register(
+    "crawl_robots_filter",
+    oracle=_CANON_CTES
+    + f"""
+, rules(host, rule_type, pattern, regex, rule_len) AS (
+  VALUES {_RULES_VALUES}
+), m AS (
+  SELECT c.doc_id, r.rule_type, r.pattern, r.rule_len
+  FROM canon c JOIN rules r ON r.host = c.host
+  WHERE regexp_matches(c.path, r.regex)
+), w AS (
+  SELECT doc_id, rule_type, pattern,
+         ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY rule_len DESC,
+                      (rule_type = 'allow') DESC,
+                      pattern DESC) AS rn
+  FROM m
+)
+SELECT c.doc_id, c.host, c.path,
+       COALESCE(w.rule_type = 'allow', TRUE) AS allowed,
+       COALESCE(w.pattern, 'default') AS rule
+FROM canon c
+LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)
+ORDER BY c.doc_id
+""",
+    doc="Robots Exclusion Protocol politeness gate (operators/"
+    "robots.py, RFC 9309): per-host robots.txt bodies are parsed "
+    "driver-side (crawl config, not corpus data — agent-group "
+    "selection, comments, empty-Disallow handled), the compiled rule "
+    "table broadcasts, and every frontier URL gets the REP verdict via "
+    "anchored-regex prefix match + ONE max_by over (pattern length, "
+    "allow-wins-ties). The oracle replays matching and the full "
+    "precedence ladder on the identical inlined rules; the fixture "
+    "exercises prefix shadowing (/docs/1 vs /docs/10), wildcard+anchor "
+    "(/*/3$) and the exact-length tie (allow wins).",
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators import robots
+
+    rules = spark.createDataFrame(
+        _RULE_ROWS,
+        "host string, rule_type string, pattern string, "
+        "regex string, rule_len int",
+    )
+    pages = _canonicalized(spark, sf_dir).select("doc_id", "host", "path")
+    out = robots.robots_filter(pages, rules)
+    return out.orderBy("doc_id")
