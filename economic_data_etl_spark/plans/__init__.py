@@ -33,6 +33,7 @@ from economic_data_etl_spark.plans import compressq  # noqa: E402,F401
 from economic_data_etl_spark.plans import corpus_stats  # noqa: E402,F401
 from economic_data_etl_spark.plans import crawlq  # noqa: E402,F401
 from economic_data_etl_spark.plans import curation  # noqa: E402,F401
+from economic_data_etl_spark.plans import econometrics  # noqa: E402,F401
 from economic_data_etl_spark.plans import invariants  # noqa: E402,F401
 from economic_data_etl_spark.plans import jdbc_sink  # noqa: E402,F401
 from economic_data_etl_spark.plans import media_dedup  # noqa: E402,F401

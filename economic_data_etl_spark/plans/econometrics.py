@@ -1,0 +1,435 @@
+"""Econometric analytics over the warehouse tables — the reference's
+actual domain (economic time series: seasonally adjusted indicators,
+price indices, revision audits; see /root/reference/src/transform.py's
+pct-change/rebase shapes) pushed to the operations national-statistics
+pipelines run at scale.
+
+Every query is a pure window/aggregate composition (no UDFs, no driver
+loops); each states its shuffle shape for the 100 TB reading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+
+def _r(col):
+    return biased_round(col)
+
+
+def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals per event type: ONE shuffle on
+    (event_type, day); at 100 TB this is the standard pre-aggregation
+    that collapses the raw stream to a days x types table before any
+    window pass touches it."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("total"))
+
+
+# Day-of-week as pure integer arithmetic (days since 1970-01-01 mod 7,
+# so 0=Thursday) — portable across engines, unlike dayofweek()/weekday()
+# whose origin conventions differ between Spark and DuckDB.
+_DOW_SQL = "DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE)) % 7"
+
+
+def _dow(day_col):
+    return (F.datediff(day_col, F.lit("1970-01-01")) % 7).cast("long")
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, day, total,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN AVG(total) OVER w7 END AS trend
+            FROM daily
+            WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), d AS (
+            SELECT *, {_DOW_SQL} AS dow, total - trend AS detr FROM t
+        ), s0 AS (
+            SELECT event_type, dow, AVG(detr) AS raw
+            FROM d WHERE detr IS NOT NULL GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, dow,
+                   raw - AVG(raw) OVER (PARTITION BY event_type) AS seasonal
+            FROM s0
+        )
+        SELECT d.event_type, d.day, d.dow,
+               ROUND(5e-10 + d.total, 4) AS total,
+               ROUND(5e-10 + d.trend, 4) AS trend,
+               ROUND(5e-10 + s.seasonal, 4) AS seasonal,
+               ROUND(5e-10 + d.total - d.trend - s.seasonal, 4) AS residual
+        FROM d JOIN s USING (event_type, dow)
+        ORDER BY event_type, day
+    """,
+    doc="Classical additive seasonal decomposition (the moving-average "
+    "core of X-11, the method behind every 'seasonally adjusted' BLS "
+    "series): trend = centered 7-day moving average (full windows only), "
+    "day-of-week seasonal indices = mean detrended value normalized to "
+    "sum zero per series, residual = remainder. One shuffle builds the "
+    "daily table; every later pass windows over the tiny days x types "
+    "aggregate, so the raw-event volume never moves again.",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir)
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.avg("total").over(w7)
+        ).alias("trend"),
+    )
+    d = t.select(
+        "*",
+        _dow(F.col("day")).alias("dow"),
+        (F.col("total") - F.col("trend")).alias("detr"),
+    )
+    s0 = (
+        d.filter(F.col("detr").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.avg("detr").alias("raw"))
+    )
+    # 5 types x 7 dows: the normalizing window runs over 35 rows.
+    s = s0.select(
+        "event_type",
+        "dow",
+        (
+            F.col("raw")
+            - F.avg("raw").over(Window.partitionBy("event_type"))
+        ).alias("seasonal"),
+    )
+    return (
+        d.join(s, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            _r(F.col("total")).alias("total"),
+            _r(F.col("trend")).alias("trend"),
+            _r(F.col("seasonal")).alias("seasonal"),
+            _r(
+                F.col("total") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "agg_price_index_fisher",
+    oracle="""
+        WITH py AS (
+            SELECT l_partkey AS partkey,
+                   CAST(YEAR(l_shipdate) AS INT) AS yr,
+                   SUM(l_extendedprice) / SUM(l_quantity) AS p,
+                   SUM(l_quantity) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), b AS (
+            SELECT partkey, p AS p0, q AS q0 FROM py
+            WHERE yr = (SELECT MIN(yr) FROM py)
+        ), m AS (
+            SELECT t.yr,
+                   COUNT(*) AS n_parts,
+                   SUM(t.p * b.q0) AS ptq0, SUM(b.p0 * b.q0) AS p0q0,
+                   SUM(t.p * t.q) AS ptqt, SUM(b.p0 * t.q) AS p0qt
+            FROM py t JOIN b USING (partkey)
+            GROUP BY t.yr
+        ), nom AS (
+            SELECT CAST(YEAR(l_shipdate) AS INT) AS yr,
+                   SUM(l_extendedprice) / 1e6 AS nom_m
+            FROM lineitem GROUP BY 1
+        )
+        SELECT m.yr, m.n_parts,
+               ROUND(5e-10 + m.ptq0 / m.p0q0, 4) AS laspeyres,
+               ROUND(5e-10 + m.ptqt / m.p0qt, 4) AS paasche,
+               ROUND(5e-10 + SQRT((m.ptq0 / m.p0q0) * (m.ptqt / m.p0qt)),
+                     4) AS fisher,
+               ROUND(5e-10 + nom.nom_m, 4) AS nominal_rev_m,
+               ROUND(5e-10 + nom.nom_m
+                     / SQRT((m.ptq0 / m.p0q0) * (m.ptqt / m.p0qt)),
+                     4) AS real_rev_m
+        FROM m JOIN nom USING (yr)
+        ORDER BY m.yr
+    """,
+    doc="Price index numbers — the CPI computation: per-part unit values "
+    "and quantities by ship year, Laspeyres (base-year basket), Paasche "
+    "(current basket), Fisher ideal (their geometric mean), then nominal "
+    "yearly revenue DEFLATED by the Fisher index to real terms (the "
+    "reference's rebase-to-index shape, src/transform.py). Shuffle "
+    "shape: one (partkey, yr) aggregation over lineitem, then a "
+    "partkey-keyed join of the year table against the base-year basket "
+    "(parts-sized, bucketable); the index arithmetic runs on a "
+    "years-sized table.",
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    base_yr = py.agg(F.min("yr").alias("yr0"))
+    # broadcast-of-scalar: the 1-row base year reaches every partition
+    # without a shuffle.
+    b = (
+        py.join(F.broadcast(base_yr), py.yr == base_yr.yr0)
+        .select("partkey", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    m = (
+        py.join(b, "partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p") * F.col("q0")).alias("ptq0"),
+            F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+            F.sum(F.col("p") * F.col("q")).alias("ptqt"),
+            F.sum(F.col("p0") * F.col("q")).alias("p0qt"),
+        )
+    )
+    nom = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        (F.sum("l_extendedprice") / F.lit(1e6)).alias("nom_m")
+    )
+    lasp = F.col("ptq0") / F.col("p0q0")
+    paas = F.col("ptqt") / F.col("p0qt")
+    fisher = F.sqrt(lasp * paas)
+    return (
+        m.join(nom, "yr")
+        .select(
+            "yr",
+            "n_parts",
+            _r(lasp).alias("laspeyres"),
+            _r(paas).alias("paasche"),
+            _r(fisher).alias("fisher"),
+            _r(F.col("nom_m")).alias("nominal_rev_m"),
+            _r(F.col("nom_m") / fisher).alias("real_rev_m"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice >= 1.0
+        ), c AS (
+            SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+        )
+        SELECT digit, n,
+               ROUND(5e-10 + n * 1.0 / total, 4) AS obs_frac,
+               ROUND(5e-10 + LOG10(1.0 + 1.0 / digit), 4) AS benford_frac,
+               ROUND(5e-10 + POWER(n - total * LOG10(1.0 + 1.0 / digit), 2)
+                     / (total * LOG10(1.0 + 1.0 / digit)), 4) AS chisq_term
+        FROM c, tot ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the forensic "
+    "data-quality screen run on economic aggregates (fabricated figures "
+    "fail it). First significant digit extracted via EXACT integer "
+    "decimal-string arithmetic (floor to BIGINT, leading digit of its "
+    "base-10 print), not floating log10, so both engines bin "
+    "identically; observed fractions vs log10(1+1/d) expectations with "
+    "per-digit chi-square contributions. One scan, one 9-bucket "
+    "aggregation; the total joins back as a broadcast scalar.",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            _r(F.col("n") * F.lit(1.0) / F.col("total")).alias("obs_frac"),
+            _r(expected).alias("benford_frac"),
+            _r(
+                F.pow(F.col("n") - F.col("total") * expected, F.lit(2.0))
+                / (F.col("total") * expected)
+            ).alias("chisq_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type, day, total,
+                   AVG(total) OVER (PARTITION BY event_type) AS mu,
+                   STDDEV_SAMP(total) OVER (PARTITION BY event_type) AS sd,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
+            FROM daily
+        ), cs AS (
+            SELECT event_type, day, n_days, sd,
+                   SUM(total - mu) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s
+            FROM st
+        ), rk AS (
+            SELECT event_type, day, n_days, s, sd,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(s) DESC, day) AS rn
+            FROM cs
+        )
+        SELECT event_type, n_days, day AS cp_day,
+               ROUND(5e-10 + ABS(s), 4) AS s_max,
+               ROUND(5e-10 + ABS(s) / (sd * SQRT(n_days)), 4) AS cusum_stat
+        FROM rk WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="CUSUM mean-shift changepoint estimation per series: cumulative "
+    "sum of deviations from the series mean, changepoint = the day of "
+    "maximum |S_t| (the classic CUSUM estimator), plus the "
+    "|S|/(sd*sqrt(n)) statistic Brownian-bridge thresholds bind on. "
+    "Everything after the daily pre-aggregation is window passes over "
+    "the days x types table; the argmax is a WindowGroupLimit "
+    "(row_number = 1), never a collect.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir)
+    wp = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.avg("total").over(wp).alias("mu"),
+        F.stddev_samp("total").over(wp).alias("sd"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = st.select(
+        "event_type",
+        "day",
+        "n_days",
+        "sd",
+        F.sum(F.col("total") - F.col("mu")).over(wrun).alias("s"),
+    )
+    rk = cs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs("s").desc(), F.asc("day")
+            )
+        ),
+    )
+    return (
+        rk.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("cp_day"),
+            _r(F.abs("s")).alias("s_max"),
+            _r(F.abs("s") / (F.col("sd") * F.sqrt("n_days"))).alias(
+                "cusum_stat"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_cross_correlation_lags",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'view' THEN value END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value END)
+                       AS y
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ), lags AS (
+            SELECT unnest(generate_series(-3, 3)) AS lag
+        ), j AS (
+            SELECT CAST(l.lag AS INT) AS lag, a.x, b.y
+            FROM daily a
+            CROSS JOIN lags l
+            JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+            WHERE a.x IS NOT NULL AND b.y IS NOT NULL
+        )
+        SELECT lag, COUNT(*) AS n_pairs,
+               ROUND(5e-10 + CORR(x, y), 4) AS r
+        FROM j GROUP BY lag ORDER BY lag
+    """,
+    doc="Lead/lag cross-correlation between two daily series (does "
+    "'view' activity LEAD 'purchase' value, the standard leading-"
+    "indicator probe): Pearson r of x_t against y_{t+lag} for lags "
+    "-3..+3. The lag dimension is a broadcast 7-row literal table "
+    "crossed against the tiny daily aggregate; the shifted join is "
+    "exact date arithmetic. corr is scale-invariant, so sample vs "
+    "population variants agree by construction.",
+)
+def ts_cross_correlation_lags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("day", "x").filter(F.col("x").isNotNull())
+    b = daily.select(
+        F.col("day").alias("day_y"), F.col("y")
+    ).filter(F.col("y").isNotNull())
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_y") == F.date_add(F.col("day"), F.col("lag")))
+    )
+    return (
+        j.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _r(F.corr("x", "y")).alias("r"),
+        )
+        .orderBy("lag")
+    )
