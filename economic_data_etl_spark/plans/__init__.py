@@ -45,6 +45,7 @@ from economic_data_etl_spark.plans import statistics  # noqa: E402,F401
 from economic_data_etl_spark.plans import statistics2  # noqa: E402,F401
 from economic_data_etl_spark.plans import text3  # noqa: E402,F401
 from economic_data_etl_spark.plans import text4  # noqa: E402,F401
+from economic_data_etl_spark.plans import text5  # noqa: E402,F401
 from economic_data_etl_spark.plans import fuzzy  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface  # noqa: E402,F401
 from economic_data_etl_spark.plans import functions_surface2  # noqa: E402,F401
