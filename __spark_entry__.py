@@ -62,21 +62,31 @@ def _driver_status() -> dict[str, bool]:
     return {n: ok for n, (ok, _) in _driver_history().items()}
 
 
+# A green driver row this many rounds older than the newest round is
+# VERY STALE: it refreshes ahead of even never-sampled queries. Without
+# this, a growing catalog (every round adds fresh queries, and fresh
+# precedes green) can starve the oldest proofs indefinitely; with it,
+# proof age is bounded regardless of catalog growth.
+_VERY_STALE_ROUNDS = 4
+
+
 def _rotation_order() -> list[str]:
     """All registered queries: queries whose LATEST driver row failed
     first (err / hash-mismatch — a fix needs a fresh row to prove
-    itself), then never-driver-sampled queries, then the green tail.
+    itself), then green rows VERY STALE (>= _VERY_STALE_ROUNDS behind
+    the newest round) stalest first, then never-driver-sampled queries,
+    then the remaining green tail.
 
     The driver checks a ~50-query prefix of `queries()` per round, so a
     fixed order would leave the same tail unverified forever. Failed
     queries lead because re-proving a fix beats first-proving a query
-    that already passes the local sf0.01 replica sweep; fresh queries
-    are interleaved round-robin by family (name prefix) so even a small
-    sample touches every operator family; already-green queries go last,
-    STALEST DRIVER ROW FIRST (a query last proven in r01 gets re-proven
-    before one proven in r04 — once everything is green, each round's
-    ~50-row sample refreshes the oldest proofs, keeping every green at
-    most ⌈catalog/50⌉ rounds old).
+    that already passes the local sf0.01 replica sweep; very-stale
+    greens come next so catalog growth cannot age any proof without
+    bound; fresh queries are interleaved round-robin by family (name
+    prefix) so even a small sample touches every operator family;
+    remaining greens go last, STALEST DRIVER ROW FIRST (once everything
+    is green, each round's ~50-row sample refreshes the oldest proofs,
+    keeping every green at most ⌈catalog/50⌉ rounds old).
     """
     names = list(REGISTRY)
     history = _driver_history()
@@ -87,11 +97,6 @@ def _rotation_order() -> list[str]:
     order: list[str] = [
         n for n in names if n in history and history[n][0] is False
     ]
-    buckets = list(groups.values())
-    while any(buckets):
-        for b in buckets:
-            if b:
-                order.append(b.pop(0))
     green = [n for n in names if n in history and history[n][0] is True]
     # stable: ties on round put invariant certificates (inv_*) first —
     # they are the value-checked proof rows for the rows-only operators
@@ -101,7 +106,20 @@ def _rotation_order() -> list[str]:
     green.sort(
         key=lambda n: (history[n][1], 0 if n.startswith("inv_") else 1)
     )
-    order.extend(green)
+    newest = max((r for _, r in history.values()), default=0)
+    cut = 0
+    while (
+        cut < len(green)
+        and newest - history[green[cut]][1] >= _VERY_STALE_ROUNDS
+    ):
+        cut += 1
+    order.extend(green[:cut])
+    buckets = list(groups.values())
+    while any(buckets):
+        for b in buckets:
+            if b:
+                order.append(b.pop(0))
+    order.extend(green[cut:])
     return order
 
 

@@ -28,12 +28,47 @@ def test_all_unproven_queries_fit_in_the_driver_sample():
 
 
 def test_unproven_queries_lead_the_rotation():
+    """Failed, very-stale-green, and never-sampled queries must all fit
+    before any FRESH green: the only greens allowed ahead of an unproven
+    query are the very-stale ones (>= _VERY_STALE_ROUNDS behind the
+    newest round), which refresh first so catalog growth cannot age any
+    proof without bound (round-10 policy)."""
     status = entry._driver_status()
+    history = entry._driver_history()
+    newest = max((r for _, r in history.values()), default=0)
     order = list(entry._rotation_order())
-    prefix = order[: len([n for n in order if status.get(n) is not True])]
-    assert all(status.get(n) is not True for n in prefix), (
-        "a driver-green query appears before an unproven one"
+    n_lead = len(
+        [
+            n
+            for n in order
+            if status.get(n) is not True
+            or newest - history[n][1] >= entry._VERY_STALE_ROUNDS
+        ]
     )
+    for n in order[:n_lead]:
+        assert (
+            status.get(n) is not True
+            or newest - history[n][1] >= entry._VERY_STALE_ROUNDS
+        ), f"fresh green {n} appears before an unproven/very-stale query"
+
+
+def test_very_stale_greens_precede_never_sampled():
+    """A green proof >= _VERY_STALE_ROUNDS old outranks first-proving a
+    brand-new query: new queries already pass the local sf0.01 replica
+    sweep, while an aging green is evidence decaying."""
+    status = entry._driver_status()
+    history = entry._driver_history()
+    newest = max((r for _, r in history.values()), default=0)
+    order = list(entry._rotation_order())
+    pos = {n: i for i, n in enumerate(order)}
+    stale = [
+        n
+        for n, (ok, r) in history.items()
+        if ok and newest - r >= entry._VERY_STALE_ROUNDS
+    ]
+    fresh = [n for n in order if n not in history]
+    if stale and fresh:
+        assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
 
 
 def test_green_tail_is_aged_oldest_proof_first():
