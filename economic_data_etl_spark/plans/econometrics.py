@@ -324,49 +324,88 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(row_number = 1), never a collect.",
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_totals(spark, sf_dir)
-    wp = Window.partitionBy("event_type")
-    st = daily.select(
-        "event_type",
-        "day",
-        "total",
-        F.avg("total").over(wp).alias("mu"),
-        F.stddev_samp("total").over(wp).alias("sd"),
-        F.count(F.lit(1)).over(wp).alias("n_days"),
+    from economic_data_etl_spark.operators.cusum import cusum_from_daily
+
+    return cusum_from_daily(
+        _daily_totals(spark, sf_dir), round_fn=biased_round
     )
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cs = st.select(
-        "event_type",
-        "day",
-        "n_days",
-        "sd",
-        F.sum(F.col("total") - F.col("mu")).over(wrun).alias("s"),
-    )
-    rk = cs.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy(
-                F.abs("s").desc(), F.asc("day")
-            )
-        ),
-    )
-    return (
-        rk.filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            "n_days",
-            F.col("day").alias("cp_day"),
-            _r(F.abs("s")).alias("s_max"),
-            _r(F.abs("s") / (F.col("sd") * F.sqrt("n_days"))).alias(
-                "cusum_stat"
-            ),
+
+
+# The in-plan incremental twin splits events into three simulated
+# micro-batches on event_id and REDELIVERS the middle one.
+_CUSUM_BATCHES = 3
+
+
+@register(
+    "ts_incremental_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type, day, total,
+                   AVG(total) OVER (PARTITION BY event_type) AS mu,
+                   STDDEV_SAMP(total) OVER (PARTITION BY event_type) AS sd,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
+            FROM daily
+        ), cs AS (
+            SELECT event_type, day, n_days, sd,
+                   SUM(total - mu) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s
+            FROM st
+        ), rk AS (
+            SELECT event_type, day, n_days, s, sd,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(s) DESC, day) AS rn
+            FROM cs
         )
-        .orderBy("event_type")
+        SELECT event_type, n_days, day AS cp_day,
+               ROUND(5e-10 + ABS(s), 4) AS s_max,
+               ROUND(5e-10 + ABS(s) / (sd * SQRT(n_days)), 4) AS cusum_stat
+        FROM rk WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="INCREMENTAL CUSUM over a standing daily-totals index: events "
+    f"arrive in {_CUSUM_BATCHES} simulated micro-batches (split on "
+    "event_id), each folded into per-batch (batch_id, series, day) "
+    "partial aggregates; the middle batch is REDELIVERED and the "
+    "batch-id-keyed dedup drops the replay (the high-water-mark "
+    "semantics of streaming/incremental_cusum.py in driver-checkable "
+    "form). The merged index then serves the changepoint scan. The "
+    "oracle is the FULL-DATA CUSUM SQL, so a green row proves the "
+    "batch-wise fold equals the one-shot build at the value level — "
+    "daily totals are additive, which is the whole trick: per batch "
+    "the work is O(batch) map-side-combined to its local days x "
+    "types, and the standing index never exceeds days x types rows.",
+)
+def ts_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.cusum import (
+        cusum_from_daily,
+        daily_totals,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = []
+    for b in range(_CUSUM_BATCHES):
+        batch = ev.filter(F.col("event_id") % _CUSUM_BATCHES == b)
+        part = daily_totals(batch).withColumn("batch_id", F.lit(b))
+        partials.append(part)
+        if b == 1:  # redelivered micro-batch: same id, same content
+            partials.append(part)
+    appended = partials[0]
+    for p in partials[1:]:
+        appended = appended.unionByName(p)
+    # batch-id-keyed dedup: a replayed batch's partial rows are exact
+    # copies, so any one row per (batch_id, series, day) is correct.
+    merged = (
+        appended.dropDuplicates(["batch_id", "event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(F.sum("total").alias("total"), F.sum("n").alias("n"))
+    )
+    return cusum_from_daily(merged, round_fn=biased_round)
 
 
 @register(

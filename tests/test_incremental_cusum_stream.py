@@ -1,0 +1,134 @@
+"""Streaming CUSUM: the stream-folded daily index must equal the
+one-shot batch build (additivity), redelivered batches must not
+double-count, and a crash at ANY offset of the staged swap must
+converge after replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.cusum import (
+    cusum_from_daily,
+    daily_totals,
+)
+from economic_data_etl_spark.sources.tables import load_table
+from economic_data_etl_spark.streaming.incremental_cusum import (
+    STATE_SCHEMA,
+    _META,
+    cusum_now,
+    foreach_batch_incremental_cusum,
+    read_daily,
+)
+
+N_BATCHES = 4
+
+
+def _batches(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return [
+        ev.filter(F.col("event_id") % N_BATCHES == b)
+        for b in range(N_BATCHES)
+    ]
+
+
+def _daily_dict(df):
+    return {
+        (r.event_type, r.day): (round(r.total, 6), r.n)
+        for r in df.collect()
+    }
+
+
+def _cusum_rows(df):
+    return [
+        (
+            r.event_type,
+            r.n_days,
+            r.cp_day,
+            round(r.s_max, 6),
+            round(r.cusum_stat, 6),
+        )
+        for r in df.collect()
+    ]
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    state_dir = str(tmp_path / "cusum")
+    handle = foreach_batch_incremental_cusum(state_dir)
+    for bi, b in enumerate(_batches(spark, sf_dir)):
+        handle(b, bi)
+    got = _daily_dict(read_daily(spark, state_dir))
+    want = _daily_dict(daily_totals(load_table(spark, sf_dir, "events")))
+    assert got == want and got
+    # and the standing index serves the changepoint scan directly,
+    # matching the batch operator on the full data
+    assert _cusum_rows(cusum_now(spark, state_dir)) == _cusum_rows(
+        cusum_from_daily(
+            daily_totals(load_table(spark, sf_dir, "events"))
+        )
+    )
+
+
+def test_redelivery_skipped(spark, sf_dir, tmp_path):
+    state_dir = str(tmp_path / "cusum")
+    handle = foreach_batch_incremental_cusum(state_dir)
+    first = _batches(spark, sf_dir)[0]
+    handle(first, 0)
+    s1 = _daily_dict(read_daily(spark, state_dir))
+    handle(first, 0)  # replay
+    assert _daily_dict(read_daily(spark, state_dir)) == s1
+
+
+def test_crash_at_every_offset_converges(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    batches = _batches(spark, sf_dir)
+    clean = str(tmp_path / "clean")
+    handle = foreach_batch_incremental_cusum(clean)
+    for bi, b in enumerate(batches):
+        handle(b, bi)
+    want = _daily_dict(read_daily(spark, clean))
+
+    for kill_at in range(3 * len(batches)):
+        state_dir = str(tmp_path / f"k{kill_at}")
+        staging = f"{state_dir}.staging"
+        h = foreach_batch_incremental_cusum(state_dir)
+        step = 0
+        killed = False
+        for bi, batch in enumerate(batches):
+            if killed:
+                h(batch, bi)
+                continue
+            # replicate the handler's step sequence
+            if os.path.exists(staging) and not os.path.exists(state_dir):
+                os.rename(staging, state_dir)
+            merged = (
+                read_daily(spark, state_dir)
+                .unionByName(daily_totals(batch))
+                .groupBy("event_type", "day")
+                .agg(
+                    F.sum("total").alias("total"), F.sum("n").alias("n")
+                )
+            )
+            meta = spark.createDataFrame(
+                [(_META, None, None, bi)], STATE_SCHEMA
+            )
+            steps = [
+                lambda: merged.unionByName(meta)
+                .write.mode("overwrite")
+                .parquet(staging),
+                lambda: shutil.rmtree(state_dir)
+                if os.path.exists(state_dir)
+                else None,
+                lambda: os.rename(staging, state_dir),
+            ]
+            for fn in steps:
+                if step == kill_at:
+                    killed = True
+                    break
+                fn()
+                step += 1
+            if killed:
+                h(batch, bi)  # recovery: redeliver through the handler
+        got = _daily_dict(read_daily(spark, state_dir))
+        assert got == want, f"kill_at={kill_at}"
