@@ -408,6 +408,173 @@ def ts_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_daily(merged, round_fn=biased_round)
 
 
+# IPF raking spec: the high-value-order sample is calibrated to the full
+# population's priority x status margins in _IPF_ITERS row/column sweeps.
+_IPF_CUT = 100000.0
+_IPF_ITERS = 4
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "t0"
+    for k in range(1, _IPF_ITERS + 1):
+        steps.append(
+            f", r{k} AS (SELECT pri, st, n, rt, ctg, "
+            f"w * rt / SUM(w) OVER (PARTITION BY pri) AS w FROM {prev})"
+        )
+        steps.append(
+            f", c{k} AS (SELECT pri, st, n, rt, ctg, "
+            f"w * ctg / SUM(w) OVER (PARTITION BY st) AS w FROM r{k})"
+        )
+        prev = f"c{k}"
+    return f"""
+        WITH cells AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM orders WHERE o_totalprice > {_IPF_CUT} GROUP BY 1, 2
+        ), rm AS (
+            SELECT o_orderpriority AS pri, CAST(COUNT(*) AS DOUBLE) AS pop_r
+            FROM orders GROUP BY 1
+        ), cm AS (
+            SELECT o_orderstatus AS st, CAST(COUNT(*) AS DOUBLE) AS pop_c
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT SUM(w) FROM cells) AS n_samp,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS n_pop
+        ), t0 AS (
+            SELECT c.pri, c.st, c.n, c.w,
+                   r.pop_r * (SELECT n_samp FROM tot)
+                       / (SELECT n_pop FROM tot) AS rt,
+                   x.pop_c * (SELECT n_samp FROM tot)
+                       / (SELECT n_pop FROM tot) AS ctg
+            FROM cells c
+            JOIN rm r ON r.pri = c.pri
+            JOIN cm x ON x.st = c.st
+        ){"".join(steps)}
+        SELECT pri, st, n,
+               ROUND(5e-10 + w, 4) AS raked,
+               ROUND(5e-10 + w / n, 4) AS weight
+        FROM {prev} ORDER BY pri, st
+    """
+
+
+@register(
+    "ml_ipf_raking",
+    oracle=_ipf_oracle(),
+    doc="Survey raking (iterative proportional fitting) — the national-"
+    "statistics calibration method: the high-value-order sample's "
+    f"priority x status cells are alternately scaled ({_IPF_ITERS} "
+    "row/column sweeps, unrolled for determinism) until their margins "
+    "match the FULL population's margins rescaled to the sample total. "
+    "Output is the raked cell mass and the per-record calibration "
+    "weight. Shuffle shape: two margin aggregations plus one cell "
+    "aggregation over orders; every IPF sweep is a window pass over "
+    "the cells table (|priority| x |status| rows), so iteration count "
+    "never touches stream-scale data — at 100 TB the sweeps cost "
+    "nothing and the one-pass aggregations dominate.",
+)
+def ml_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.filter(F.col("o_totalprice") > _IPF_CUT)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.col("n").cast("double"))
+    )
+    rm = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("double").alias("pop_r")
+    )
+    cm = orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).cast("double").alias("pop_c")
+    )
+    tot = cells.agg(F.sum("w").alias("n_samp")).crossJoin(
+        orders.agg(F.count(F.lit(1)).cast("double").alias("n_pop"))
+    )
+    t = (
+        cells.join(F.broadcast(rm), "pri")
+        .join(F.broadcast(cm), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pri",
+            "st",
+            "n",
+            "w",
+            (F.col("pop_r") * F.col("n_samp") / F.col("n_pop")).alias(
+                "rt"
+            ),
+            (F.col("pop_c") * F.col("n_samp") / F.col("n_pop")).alias(
+                "ctg"
+            ),
+        )
+    )
+    wp = Window.partitionBy("pri")
+    ws = Window.partitionBy("st")
+    for _ in range(_IPF_ITERS):
+        t = t.withColumn(
+            "w", F.col("w") * F.col("rt") / F.sum("w").over(wp)
+        )
+        t = t.withColumn(
+            "w", F.col("w") * F.col("ctg") / F.sum("w").over(ws)
+        )
+    return t.select(
+        "pri",
+        "st",
+        "n",
+        _r(F.col("w")).alias("raked"),
+        _r(F.col("w") / F.col("n")).alias("weight"),
+    ).orderBy("pri", "st")
+
+
+@register(
+    "agg_herfindahl_concentration",
+    oracle="""
+        WITH sup AS (
+            SELECT CAST(YEAR(l_shipdate) AS INT) AS yr, l_suppkey,
+                   SUM(l_extendedprice) AS rev
+            FROM lineitem GROUP BY 1, 2
+        ), m AS (
+            SELECT yr, COUNT(*) AS n_suppliers,
+                   SUM(rev) AS tot, SUM(rev * rev) AS ss
+            FROM sup GROUP BY yr
+        )
+        SELECT yr, n_suppliers,
+               ROUND(5e-10 + ss / (tot * tot), 4) AS hhi,
+               ROUND(5e-10 + (tot * tot) / ss, 4) AS effective_suppliers
+        FROM m ORDER BY yr
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per ship year: "
+    "HHI = sum of squared supplier revenue shares, computed in MOMENT "
+    "form (sum(rev^2) / sum(rev)^2) so shares never materialize — one "
+    "(yr, suppkey) aggregation then a years-sized reduce; the "
+    "reciprocal is the 'effective number of suppliers' "
+    "(perplexity-style). The antitrust-screen counterpart of the Gini "
+    "lane.",
+)
+def agg_herfindahl_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("yr"), "l_suppkey"
+    ).agg(F.sum("l_extendedprice").alias("rev"))
+    m = sup.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+    )
+    return m.select(
+        "yr",
+        "n_suppliers",
+        _r(F.col("ss") / (F.col("tot") * F.col("tot"))).alias("hhi"),
+        _r((F.col("tot") * F.col("tot")) / F.col("ss")).alias(
+            "effective_suppliers"
+        ),
+    ).orderBy("yr")
+
+
 @register(
     "ts_cross_correlation_lags",
     oracle="""
