@@ -126,6 +126,14 @@ HEADLINE = [
     "ml_kmeans_clusters",
     "ml_logreg_gd",
     "profile_correlation_matrix",
+    "ts_seasonal_decompose",
+    "ts_incremental_cusum",
+    "agg_price_index_fisher",
+    "agg_herfindahl_concentration",
+    "text_corpus_divergence_kl",
+    "retrieval_hard_negatives",
+    "text_tokenizer_fertility",
+    "ml_ipf_raking",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

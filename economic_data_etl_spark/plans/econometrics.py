@@ -85,7 +85,12 @@ def _dow(day_col):
     "aggregate, so the raw-event volume never moves again.",
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_totals(spark, sf_dir)
+    # The decomposition is two passes over the daily table (the seasonal
+    # indices derive from the detrended table, then join BACK to it), so
+    # without a lineage break the raw event volume would be scanned once
+    # per branch. localCheckpoint materializes the tiny days x types
+    # aggregate; events are scanned exactly ONCE.
+    daily = _daily_totals(spark, sf_dir).localCheckpoint()
     w7 = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )
@@ -153,9 +158,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM py t JOIN b USING (partkey)
             GROUP BY t.yr
         ), nom AS (
-            SELECT CAST(YEAR(l_shipdate) AS INT) AS yr,
-                   SUM(l_extendedprice) / 1e6 AS nom_m
-            FROM lineitem GROUP BY 1
+            -- nominal revenue derives from py (p*q = unit value x
+            -- quantity restores the part-year revenue), so lineitem is
+            -- scanned exactly once
+            SELECT yr, SUM(p * q) / 1e6 AS nom_m FROM py GROUP BY 1
         )
         SELECT m.yr, m.n_parts,
                ROUND(5e-10 + m.ptq0 / m.p0q0, 4) AS laspeyres,
@@ -181,13 +187,16 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # py feeds four consumers (base year, basket, index sums, nominal
+    # revenue); localCheckpoint materializes the parts x years table so
+    # lineitem is scanned exactly ONCE.
     py = li.groupBy(
         F.col("l_partkey").alias("partkey"),
         F.year("l_shipdate").cast("int").alias("yr"),
     ).agg(
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
         F.sum("l_quantity").alias("q"),
-    )
+    ).localCheckpoint()
     base_yr = py.agg(F.min("yr").alias("yr0"))
     # broadcast-of-scalar: the 1-row base year reaches every partition
     # without a shuffle.
@@ -206,8 +215,8 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p0") * F.col("q")).alias("p0qt"),
         )
     )
-    nom = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
-        (F.sum("l_extendedprice") / F.lit(1e6)).alias("nom_m")
+    nom = py.groupBy("yr").agg(
+        (F.sum(F.col("p") * F.col("q")) / F.lit(1e6)).alias("nom_m")
     )
     lasp = F.col("ptq0") / F.col("p0q0")
     paas = F.col("ptqt") / F.col("p0qt")

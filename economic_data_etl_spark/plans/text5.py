@@ -160,7 +160,17 @@ def text_corpus_divergence_kl(
             )
         ).alias("token"),
     )
-    ct = ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # ONE pass over the exploded tokens: cs is the only stream-scale
+    # aggregation; the global counts (ct), scalars, and per-source
+    # totals all derive from the postings-sized cs, so the corpus is
+    # tokenized exactly once. cs feeds four consumers — localCheckpoint
+    # materializes it rather than re-exploding the corpus per branch.
+    cs = (
+        ex.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint()
+    )
+    ct = cs.groupBy("token").agg(F.sum("c_st").alias("c"))
     g1 = ct.agg(
         F.count(F.lit(1)).cast("bigint").alias("v"),
         F.sum("c").cast("bigint").alias("n"),
@@ -175,9 +185,6 @@ def text_corpus_divergence_kl(
         ).alias("lnq"),
     )
     g2 = lnq.agg(F.sum("lnq").alias("sum_lnq"))
-    cs = ex.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("c_st")
-    )
     ns = cs.groupBy("source").agg(
         F.sum("c_st").cast("bigint").alias("n_s"),
         F.count(F.lit(1)).cast("bigint").alias("v_s"),

@@ -240,3 +240,39 @@ def test_crawl_and_bloom_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_econometrics_and_curation_scale_exponents(spark):
+    """The round-10 econometrics/curation lanes: seasonal decomposition
+    and incremental CUSUM (one daily pre-aggregation, then window
+    passes over days x types), the Fisher price index (one (partkey,
+    yr) aggregation + a partkey-keyed basket join), corpus KL drift
+    (postings-sized join, closed-form absent mass — the naive grid is
+    oracle-only), and hard-negative mining (postings-filtered BM25 +
+    broadcast-query cosine). A superlinear escape means a
+    pre-aggregation stopped collapsing or the KL join lost its
+    postings pruning."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "ts_seasonal_decompose",
+        "ts_incremental_cusum",
+        "agg_price_index_fisher",
+        "text_corpus_divergence_kl",
+        "retrieval_hard_negatives",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
