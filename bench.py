@@ -134,6 +134,7 @@ HEADLINE = [
     "retrieval_hard_negatives",
     "text_tokenizer_fertility",
     "ml_ipf_raking",
+    "ts_granger_lead_test",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

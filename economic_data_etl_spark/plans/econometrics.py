@@ -34,13 +34,10 @@ def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Day-of-week as pure integer arithmetic (days since 1970-01-01 mod 7,
-# so 0=Thursday) — portable across engines, unlike dayofweek()/weekday()
-# whose origin conventions differ between Spark and DuckDB.
+# so 0=Thursday) — the oracle twin of operators/seasonal.py:dow_index;
+# portable across engines, unlike dayofweek()/weekday() whose origin
+# conventions differ between Spark and DuckDB.
 _DOW_SQL = "DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE)) % 7"
-
-
-def _dow(day_col):
-    return (F.datediff(day_col, F.lit("1970-01-01")) % 7).cast("long")
 
 
 @register(
@@ -85,57 +82,17 @@ def _dow(day_col):
     "aggregate, so the raw-event volume never moves again.",
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.seasonal import (
+        seasonal_from_daily,
+    )
+
     # The decomposition is two passes over the daily table (the seasonal
     # indices derive from the detrended table, then join BACK to it), so
     # without a lineage break the raw event volume would be scanned once
     # per branch. localCheckpoint materializes the tiny days x types
     # aggregate; events are scanned exactly ONCE.
     daily = _daily_totals(spark, sf_dir).localCheckpoint()
-    w7 = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    )
-    t = daily.select(
-        "event_type",
-        "day",
-        "total",
-        F.when(
-            F.count(F.lit(1)).over(w7) == 7, F.avg("total").over(w7)
-        ).alias("trend"),
-    )
-    d = t.select(
-        "*",
-        _dow(F.col("day")).alias("dow"),
-        (F.col("total") - F.col("trend")).alias("detr"),
-    )
-    s0 = (
-        d.filter(F.col("detr").isNotNull())
-        .groupBy("event_type", "dow")
-        .agg(F.avg("detr").alias("raw"))
-    )
-    # 5 types x 7 dows: the normalizing window runs over 35 rows.
-    s = s0.select(
-        "event_type",
-        "dow",
-        (
-            F.col("raw")
-            - F.avg("raw").over(Window.partitionBy("event_type"))
-        ).alias("seasonal"),
-    )
-    return (
-        d.join(s, ["event_type", "dow"])
-        .select(
-            "event_type",
-            "day",
-            "dow",
-            _r(F.col("total")).alias("total"),
-            _r(F.col("trend")).alias("trend"),
-            _r(F.col("seasonal")).alias("seasonal"),
-            _r(
-                F.col("total") - F.col("trend") - F.col("seasonal")
-            ).alias("residual"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return seasonal_from_daily(daily, round_fn=biased_round)
 
 
 @register(
@@ -415,6 +372,113 @@ def ts_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("total").alias("total"), F.sum("n").alias("n"))
     )
     return cusum_from_daily(merged, round_fn=biased_round)
+
+
+@register(
+    "ts_granger_lead_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(CASE WHEN event_type = 'view' THEN value END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN value END)
+                       AS y
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ), lagged AS (
+            SELECT y,
+                   LAG(y) OVER (ORDER BY day) AS ylag,
+                   LAG(x) OVER (ORDER BY day) AS xlag
+            FROM daily
+        ), kept AS (
+            SELECT * FROM lagged
+            WHERE y IS NOT NULL AND ylag IS NOT NULL AND xlag IS NOT NULL
+        ), mo AS (
+            SELECT COUNT(*) AS n,
+                   VAR_SAMP(y) AS syy,
+                   VAR_SAMP(ylag) AS s11, VAR_SAMP(xlag) AS s22,
+                   COVAR_SAMP(ylag, xlag) AS s12,
+                   COVAR_SAMP(ylag, y) AS s1y,
+                   COVAR_SAMP(xlag, y) AS s2y
+            FROM kept
+        ), fit AS (
+            SELECT n, syy, s1y, s2y,
+                   (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)
+                       AS b1,
+                   (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)
+                       AS b2,
+                   (s1y * s1y) / (s11 * syy) AS r2_ar
+            FROM mo
+        )
+        SELECT n,
+               ROUND(5e-10 + b1, 4) AS b_ylag,
+               ROUND(5e-10 + b2, 4) AS b_xlag,
+               ROUND(5e-10 + r2_ar, 4) AS r2_ar,
+               ROUND(5e-10 + (b1 * s1y + b2 * s2y) / syy, 4) AS r2_full,
+               ROUND(5e-10 +
+                   ((b1 * s1y + b2 * s2y) / syy - r2_ar)
+                   / ((1 - (b1 * s1y + b2 * s2y) / syy) / (n - 3)),
+                   4) AS f_stat
+        FROM fit
+    """,
+    doc="Granger-style lead test: does yesterday's 'view' activity "
+    "improve the prediction of today's 'purchase' value beyond its own "
+    "lag? Restricted model y_t ~ y_{t-1} vs full model y_t ~ y_{t-1} + "
+    "x_{t-1}, both solved in CLOSED FORM from sample moments (the 2x2 "
+    "normal equations invert symbolically), with the F statistic for "
+    "the added regressor. One daily pre-aggregation, one lag window, "
+    "one moment aggregation — the regression itself never sees a row. "
+    "Sample-vs-population moment variants cancel in every ratio.",
+)
+def ts_granger_lead_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("y"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(w).alias("ylag"),
+        F.lag("x").over(w).alias("xlag"),
+    )
+    kept = lagged.filter(
+        F.col("y").isNotNull()
+        & F.col("ylag").isNotNull()
+        & F.col("xlag").isNotNull()
+    )
+    mo = kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_samp("y").alias("syy"),
+        F.var_samp("ylag").alias("s11"),
+        F.var_samp("xlag").alias("s22"),
+        F.covar_samp("ylag", "xlag").alias("s12"),
+        F.covar_samp("ylag", "y").alias("s1y"),
+        F.covar_samp("xlag", "y").alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    r2_ar = (F.col("s1y") * F.col("s1y")) / (F.col("s11") * F.col("syy"))
+    r2_full = (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy")
+    return mo.select(
+        "n",
+        _r(b1).alias("b_ylag"),
+        _r(b2).alias("b_xlag"),
+        _r(r2_ar).alias("r2_ar"),
+        _r(r2_full).alias("r2_full"),
+        _r(
+            (r2_full - r2_ar)
+            / ((F.lit(1.0) - r2_full) / (F.col("n") - F.lit(3)))
+        ).alias("f_stat"),
+    )
 
 
 # IPF raking spec: the high-value-order sample is calibrated to the full

@@ -70,6 +70,19 @@ def cusum_now(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def seasonal_now(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Seasonal decomposition served from the SAME standing index —
+    fold batches once, read changepoints AND seasonally adjusted
+    series from one state table."""
+    from economic_data_etl_spark.operators.seasonal import (
+        seasonal_from_daily,
+    )
+
+    return seasonal_from_daily(
+        read_daily(spark, state_dir).select("event_type", "day", "total")
+    )
+
+
 def _last_batch_id(spark: SparkSession, state_dir: str) -> int:
     rows = (
         read_parquet_or_empty(spark, state_dir, STATE_SCHEMA)

@@ -144,6 +144,16 @@ def test_fertility_counts_are_consistent(spark, sf_dir):
         assert 0 < r.tokens_per_100_bytes <= 100.0, r
 
 
+def test_granger_nesting_inequality(spark, sf_dir):
+    """The full model nests the restricted one, so R2 can only rise,
+    and the F statistic for the added regressor is nonnegative."""
+    (row,) = _rows(spark, sf_dir, "ts_granger_lead_test")
+    assert row.n > 3
+    assert row.r2_full >= row.r2_ar - 1e-9
+    assert row.f_stat >= -1e-9
+    assert 0.0 <= row.r2_full <= 1.0 + 1e-9
+
+
 # ------------------------------------------------------------ plan shapes
 
 

@@ -68,6 +68,44 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_one_index_serves_seasonal_too(spark, sf_dir, tmp_path):
+    """The standing daily index serves the seasonal decomposition as
+    well as CUSUM — fold once, read both. Must equal the batch
+    operator on the full data."""
+    from economic_data_etl_spark.operators.seasonal import (
+        seasonal_from_daily,
+    )
+    from economic_data_etl_spark.streaming.incremental_cusum import (
+        seasonal_now,
+    )
+
+    state_dir = str(tmp_path / "cusum")
+    handle = foreach_batch_incremental_cusum(state_dir)
+    for bi, b in enumerate(_batches(spark, sf_dir)):
+        handle(b, bi)
+    batch_daily = daily_totals(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint()
+
+    def rows(df):
+        return [
+            (
+                r.event_type,
+                r.day,
+                r.dow,
+                round(r.total, 6),
+                None if r.trend is None else round(r.trend, 6),
+                round(r.seasonal, 6),
+                None if r.residual is None else round(r.residual, 6),
+            )
+            for r in df.collect()
+        ]
+
+    assert rows(seasonal_now(spark, state_dir)) == rows(
+        seasonal_from_daily(batch_daily)
+    )
+
+
 def test_redelivery_skipped(spark, sf_dir, tmp_path):
     state_dir = str(tmp_path / "cusum")
     handle = foreach_batch_incremental_cusum(state_dir)
