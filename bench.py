@@ -135,6 +135,7 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "ml_ipf_raking",
     "ts_granger_lead_test",
+    "training_dataset_card",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -152,6 +152,15 @@ def text_corpus_divergence_kl(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return kl_by_source(docs, round_fn=biased_round)
+
+
+def kl_by_source(docs: DataFrame, round_fn=None) -> DataFrame:
+    """(source, n_tokens, vocab_present, kl_nats): add-1-smoothed
+    KL(source || corpus) via the postings-sized decomposition described
+    on text_corpus_divergence_kl. Shared by the query and the
+    training_dataset_card composition."""
+    rnd = round_fn if round_fn is not None else (lambda c: c)
     ex = docs.select(
         "source",
         F.explode(
@@ -213,7 +222,7 @@ def text_corpus_divergence_kl(
             "source",
             "n_tokens",
             "vocab_present",
-            _r(F.col("present_terms") + absent_terms).alias("kl_nats"),
+            rnd(F.col("present_terms") + absent_terms).alias("kl_nats"),
         )
         .orderBy("source")
     )
@@ -341,4 +350,108 @@ def retrieval_hard_negatives(
         .join(sem_r.filter(F.col("r_sem") > _HN_K), "doc_id")
         .select("doc_id", "r_bm25", "bm25", "r_sem", "cosine")
         .orderBy("r_bm25")
+    )
+
+
+@register(
+    "training_dataset_card",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, lang, text, strlen(text) AS nb,
+                   list_filter(string_split_regex(text,
+                       '{WORD_SPLIT_RE}'), x -> x <> '') AS w
+            FROM documents
+        ), base AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nb) AS BIGINT) AS n_bytes
+            FROM toks GROUP BY source
+        ), ex AS (
+            SELECT source, unnest(w) AS token FROM toks
+        ), ct AS (
+            SELECT token, COUNT(*) AS c FROM ex GROUP BY 1
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM ct
+        ), cs AS (
+            SELECT source, token, COUNT(*) AS c FROM ex GROUP BY 1, 2
+        ), ns AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cs GROUP BY 1
+        ), grid AS (
+            SELECT s.source, s.n_s, t.c AS c_t, COALESCE(cs.c, 0) AS c_st
+            FROM ns s
+            CROSS JOIN ct t
+            LEFT JOIN cs ON cs.source = s.source AND cs.token = t.token
+        ), kl AS (
+            SELECT source,
+                   SUM( ((c_st + 1.0) / (n_s + (SELECT v FROM g)))
+                        * LN(((c_st + 1.0) / (n_s + (SELECT v FROM g)))
+                             / ((c_t + 1.0)
+                                / ((SELECT n FROM g)
+                                   + (SELECT v FROM g)))) ) AS kl
+            FROM grid GROUP BY source
+        )
+        SELECT b.source, b.n_docs, b.n_unique_texts,
+               ROUND(5e-10 + 1.0 - b.n_unique_texts * 1.0 / b.n_docs, 4)
+                   AS dup_rate,
+               b.n_langs, b.n_tokens, b.n_bytes,
+               ROUND(5e-10 + 100.0 * b.n_tokens / b.n_bytes, 4)
+                   AS tokens_per_100_bytes,
+               ROUND(5e-10 + k.kl, 4) AS kl_nats
+        FROM base b JOIN kl k USING (source)
+        ORDER BY b.source
+    """,
+    doc="The per-source DATASET CARD — the datasheet a data team ships "
+    "with a training mix: volume (docs, tokens, bytes), exact-dup "
+    "rate, language diversity, tokenizer fertility, and distribution "
+    "drift (KL vs the blend) in one table. A composition of the "
+    "already-certified lanes: one raw scan for the row stats, one "
+    "tokenize+explode for the KL decomposition (postings-sized, never "
+    "the grid — the oracle builds the naive grid). Everything after "
+    "the two corpus passes is sources-sized.",
+)
+def training_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.octet_length("text").alias("nb"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), WORD_SPLIT_RE), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    )
+    base = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("nb").alias("n_bytes"),
+    )
+    kl = kl_by_source(docs).select("source", "kl_nats")
+    return (
+        base.join(kl, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            _r(
+                F.lit(1.0)
+                - F.col("n_unique_texts") * F.lit(1.0) / F.col("n_docs")
+            ).alias("dup_rate"),
+            "n_langs",
+            "n_tokens",
+            "n_bytes",
+            _r(
+                F.lit(100.0) * F.col("n_tokens") / F.col("n_bytes")
+            ).alias("tokens_per_100_bytes"),
+            _r(F.col("kl_nats")).alias("kl_nats"),
+        )
+        .orderBy("source")
     )
