@@ -40,10 +40,11 @@ def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOW_SQL = "DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE)) % 7"
 
 
-@register(
-    "ts_seasonal_decompose",
-    oracle=f"""
-        WITH daily AS (
+# The decomposition CTE core shared by the decomposition oracle and the
+# anomaly oracle — ONE SQL twin of operators/seasonal.py, so the two
+# oracles can never drift apart.
+_SEASONAL_CORE = f"""
+        daily AS (
             SELECT event_type,
                    CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
                    SUM(value) AS total
@@ -64,13 +65,23 @@ _DOW_SQL = "DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE)) % 7"
             SELECT event_type, dow,
                    raw - AVG(raw) OVER (PARTITION BY event_type) AS seasonal
             FROM s0
-        )
-        SELECT d.event_type, d.day, d.dow,
-               ROUND(5e-10 + d.total, 4) AS total,
-               ROUND(5e-10 + d.trend, 4) AS trend,
-               ROUND(5e-10 + s.seasonal, 4) AS seasonal,
-               ROUND(5e-10 + d.total - d.trend - s.seasonal, 4) AS residual
-        FROM d JOIN s USING (event_type, dow)
+        ), rec AS (
+            SELECT d.event_type, d.day, d.dow, d.total, d.trend,
+                   s.seasonal, d.total - d.trend - s.seasonal AS residual
+            FROM d JOIN s USING (event_type, dow)
+        )"""
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+        WITH {_SEASONAL_CORE}
+        SELECT event_type, day, dow,
+               ROUND(5e-10 + total, 4) AS total,
+               ROUND(5e-10 + trend, 4) AS trend,
+               ROUND(5e-10 + seasonal, 4) AS seasonal,
+               ROUND(5e-10 + residual, 4) AS residual
+        FROM rec
         ORDER BY event_type, day
     """,
     doc="Classical additive seasonal decomposition (the moving-average "
@@ -93,6 +104,58 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate; events are scanned exactly ONCE.
     daily = _daily_totals(spark, sf_dir).localCheckpoint()
     return seasonal_from_daily(daily, round_fn=biased_round)
+
+
+# Anomaly gate: |residual| beyond this many residual standard
+# deviations flags the day.
+_ANOM_SIGMA = 2.0
+
+
+@register(
+    "ts_seasonal_anomalies",
+    oracle=f"""
+        WITH {_SEASONAL_CORE}, z AS (
+            SELECT event_type, day, total, residual,
+                   STDDEV_SAMP(residual)
+                       OVER (PARTITION BY event_type) AS sd
+            FROM rec
+        )
+        SELECT event_type, day,
+               ROUND(5e-10 + total, 4) AS total,
+               ROUND(5e-10 + residual, 4) AS residual,
+               ROUND(5e-10 + residual / sd, 4) AS z
+        FROM z
+        WHERE ABS(residual) > {_ANOM_SIGMA} * sd
+        ORDER BY event_type, day
+    """,
+    doc="Seasonal-residual anomaly detection — the monitoring query run "
+    "on every seasonally adjusted series: a day is anomalous when its "
+    "decomposition residual (what trend AND day-of-week cannot "
+    f"explain) exceeds {_ANOM_SIGMA} residual standard deviations. "
+    "Flagging on the raw total would alert every weekend; flagging on "
+    "the residual alerts only genuine breaks. One extra window pass "
+    "over the decomposition's days x types table.",
+)
+def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.seasonal import (
+        seasonal_from_daily,
+    )
+
+    daily = _daily_totals(spark, sf_dir).localCheckpoint()
+    rec = seasonal_from_daily(daily)  # unrounded: the gate needs raw sd
+    sd = F.stddev_samp("residual").over(Window.partitionBy("event_type"))
+    z = rec.select("event_type", "day", "total", "residual", sd.alias("sd"))
+    return (
+        z.filter(F.abs("residual") > F.lit(_ANOM_SIGMA) * F.col("sd"))
+        .select(
+            "event_type",
+            "day",
+            _r(F.col("total")).alias("total"),
+            _r(F.col("residual")).alias("residual"),
+            _r(F.col("residual") / F.col("sd")).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 @register(
