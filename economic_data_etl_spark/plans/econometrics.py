@@ -23,14 +23,12 @@ def _r(col):
 
 
 def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily value totals per event type: ONE shuffle on
-    (event_type, day); at 100 TB this is the standard pre-aggregation
-    that collapses the raw stream to a days x types table before any
-    window pass touches it."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum("value").alias("total"))
+    """THE daily pre-aggregation (one shuffle on (event_type, day) that
+    collapses the raw stream to a days x types table) — one definition,
+    shared with the streaming index: operators/cusum.py:daily_totals."""
+    from economic_data_etl_spark.operators.cusum import daily_totals
+
+    return daily_totals(load_table(spark, sf_dir, "events"))
 
 
 # Day-of-week as pure integer arithmetic (days since 1970-01-01 mod 7,
