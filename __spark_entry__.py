@@ -113,12 +113,23 @@ def _rotation_order() -> list[str]:
         and newest - history[green[cut]][1] >= _VERY_STALE_ROUNDS
     ):
         cut += 1
-    order.extend(green[:cut])
+    # Interleave very-stale greens (stalest first) with fresh queries
+    # (family round-robin) 1:1 — strict stale-first could starve a
+    # fresh query for multiple rounds when the stale tail alone fills
+    # the sample, and strict fresh-first (the old policy) starved the
+    # stale tail as the catalog grew. Interleaving bounds both waits.
+    fresh_rr: list[str] = []
     buckets = list(groups.values())
     while any(buckets):
         for b in buckets:
             if b:
-                order.append(b.pop(0))
+                fresh_rr.append(b.pop(0))
+    stale = green[:cut]
+    for i in range(max(len(stale), len(fresh_rr))):
+        if i < len(stale):
+            order.append(stale[i])
+        if i < len(fresh_rr):
+            order.append(fresh_rr[i])
     order.extend(green[cut:])
     return order
 

@@ -52,10 +52,12 @@ def test_unproven_queries_lead_the_rotation():
         ), f"fresh green {n} appears before an unproven/very-stale query"
 
 
-def test_very_stale_greens_precede_never_sampled():
-    """A green proof >= _VERY_STALE_ROUNDS old outranks first-proving a
-    brand-new query: new queries already pass the local sf0.01 replica
-    sweep, while an aging green is evidence decaying."""
+def test_very_stale_and_fresh_interleave_with_bounded_waits():
+    """Very-stale greens and never-sampled queries share the lead block
+    1:1 (neither can starve the other), and every fresh-green comes
+    after that whole block. The wait bound: the i-th stale query sits
+    within the first failed + 2i + 1 positions, and symmetrically for
+    fresh."""
     status = entry._driver_status()
     history = entry._driver_history()
     newest = max((r for _, r in history.values()), default=0)
@@ -63,12 +65,29 @@ def test_very_stale_greens_precede_never_sampled():
     pos = {n: i for i, n in enumerate(order)}
     stale = [
         n
-        for n, (ok, r) in history.items()
-        if ok and newest - r >= entry._VERY_STALE_ROUNDS
+        for n in order
+        if n in history
+        and history[n][0] is True
+        and newest - history[n][1] >= entry._VERY_STALE_ROUNDS
     ]
     fresh = [n for n in order if n not in history]
-    if stale and fresh:
-        assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
+    n_failed = sum(
+        1 for n in order if n in history and status.get(n) is False
+    )
+    lead_end = n_failed + len(stale) + len(fresh)
+    fresh_green = [
+        n
+        for n in order
+        if n in history
+        and history[n][0] is True
+        and newest - history[n][1] < entry._VERY_STALE_ROUNDS
+    ]
+    if fresh_green:
+        assert min(pos[n] for n in fresh_green) >= lead_end
+    for i, n in enumerate(stale):
+        assert pos[n] <= n_failed + 2 * i + 1, (n, pos[n])
+    for i, n in enumerate(fresh):
+        assert pos[n] <= n_failed + 2 * i + 1, (n, pos[n])
 
 
 def test_green_tail_is_aged_oldest_proof_first():
