@@ -17,6 +17,8 @@ Brownian-bridge significance thresholds bind on.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -41,7 +43,8 @@ def daily_totals(
 
 
 def cusum_from_daily(
-    daily: DataFrame, round_fn: Column | None = None
+    daily: DataFrame,
+    round_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Changepoint table from a (event_type, day, total) daily table:
     one row per series with the argmax-|S| day and the normalized

@@ -13,6 +13,8 @@ adjusted series from the same state.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -26,16 +28,29 @@ def dow_index(day_col) -> Column:
 
 
 def seasonal_from_daily(
-    daily: DataFrame, round_fn: Column | None = None, period: int = 7
+    daily: DataFrame,
+    round_fn: Callable[[Column], Column] | None = None,
+    period: int = 7,
 ) -> DataFrame:
     """Decompose each series' daily totals into trend (centered
     `period`-day moving average, full windows only), day-of-week
     seasonal indices (mean detrended value, normalized to sum zero per
-    series), and residual. The input should be materialized (the
-    decomposition joins the daily table against indices derived from
-    it, so an unbroken lineage would recompute the upstream twice —
+    series), and residual. Days whose dow has no detrended observation
+    yet (a series younger than one full window) keep their rows with
+    NULL trend/seasonal/residual — a cold-start series appears, it does
+    not vanish. The input should be materialized (the decomposition
+    joins the daily table against indices derived from it, so an
+    unbroken lineage would recompute the upstream twice —
     plans/econometrics.py localCheckpoints, the streaming index is
     already parquet)."""
+    if period % 2 == 0:
+        # An even centered MA needs the classical 2x`period` double
+        # moving average; a naive period//2 half-window would span
+        # period+1 rows and gate the trend to two arbitrary edge days.
+        raise ValueError(
+            f"period must be odd (got {period}); even periods need a "
+            "2x-MA the operator does not implement"
+        )
     rnd = round_fn if round_fn is not None else (lambda c: c)
     half = period // 2
     w7 = (
@@ -72,7 +87,7 @@ def seasonal_from_daily(
         ).alias("seasonal"),
     )
     return (
-        d.join(s, ["event_type", "dow"])
+        d.join(s, ["event_type", "dow"], "left")
         .select(
             "event_type",
             "day",

@@ -64,9 +64,12 @@ _SEASONAL_CORE = f"""
                    raw - AVG(raw) OVER (PARTITION BY event_type) AS seasonal
             FROM s0
         ), rec AS (
+            -- LEFT: a series younger than one full window has no
+            -- seasonal index yet; its days must appear (NULL columns),
+            -- not vanish.
             SELECT d.event_type, d.day, d.dow, d.total, d.trend,
                    s.seasonal, d.total - d.trend - s.seasonal AS residual
-            FROM d JOIN s USING (event_type, dow)
+            FROM d LEFT JOIN s USING (event_type, dow)
         )"""
 
 
@@ -123,7 +126,12 @@ _ANOM_SIGMA = 2.0
                ROUND(5e-10 + residual, 4) AS residual,
                ROUND(5e-10 + residual / sd, 4) AS z
         FROM z
-        WHERE ABS(residual) > {_ANOM_SIGMA} * sd
+        -- the membership gate binds on BIASED-ROUNDED values: raw
+        -- residual/sd differ across engines at float-noise level, and
+        -- a borderline day flipping in/out changes the row SET, which
+        -- no output rounding can absorb
+        WHERE ABS(ROUND(5e-10 + residual, 4))
+              > {_ANOM_SIGMA} * ROUND(5e-10 + sd, 4)
         ORDER BY event_type, day
     """,
     doc="Seasonal-residual anomaly detection — the monitoring query run "
@@ -143,8 +151,12 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = seasonal_from_daily(daily)  # unrounded: the gate needs raw sd
     sd = F.stddev_samp("residual").over(Window.partitionBy("event_type"))
     z = rec.select("event_type", "day", "total", "residual", sd.alias("sd"))
+    # membership binds on biased-rounded values — see the oracle comment
     return (
-        z.filter(F.abs("residual") > F.lit(_ANOM_SIGMA) * F.col("sd"))
+        z.filter(
+            F.abs(_r(F.col("residual")))
+            > F.lit(_ANOM_SIGMA) * _r(F.col("sd"))
+        )
         .select(
             "event_type",
             "day",
@@ -310,9 +322,10 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_cusum_changepoint",
-    oracle="""
+# ONE full-data CUSUM oracle shared by the batch query and its
+# incremental twin (whose whole point is matching this SQL) — the
+# _SEASONAL_CORE pattern, so the two specs can never drift.
+_CUSUM_SQL = """
         WITH daily AS (
             SELECT event_type,
                    CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
@@ -341,7 +354,12 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(5e-10 + ABS(s), 4) AS s_max,
                ROUND(5e-10 + ABS(s) / (sd * SQRT(n_days)), 4) AS cusum_stat
         FROM rk WHERE rn = 1 ORDER BY event_type
-    """,
+    """
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=_CUSUM_SQL,
     doc="CUSUM mean-shift changepoint estimation per series: cumulative "
     "sum of deviations from the series mean, changepoint = the day of "
     "maximum |S_t| (the classic CUSUM estimator), plus the "
@@ -365,36 +383,7 @@ _CUSUM_BATCHES = 3
 
 @register(
     "ts_incremental_cusum",
-    oracle="""
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
-                   SUM(value) AS total
-            FROM events GROUP BY 1, 2
-        ), st AS (
-            SELECT event_type, day, total,
-                   AVG(total) OVER (PARTITION BY event_type) AS mu,
-                   STDDEV_SAMP(total) OVER (PARTITION BY event_type) AS sd,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
-            FROM daily
-        ), cs AS (
-            SELECT event_type, day, n_days, sd,
-                   SUM(total - mu) OVER (
-                       PARTITION BY event_type ORDER BY day
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS s
-            FROM st
-        ), rk AS (
-            SELECT event_type, day, n_days, s, sd,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY ABS(s) DESC, day) AS rn
-            FROM cs
-        )
-        SELECT event_type, n_days, day AS cp_day,
-               ROUND(5e-10 + ABS(s), 4) AS s_max,
-               ROUND(5e-10 + ABS(s) / (sd * SQRT(n_days)), 4) AS cusum_stat
-        FROM rk WHERE rn = 1 ORDER BY event_type
-    """,
+    oracle=_CUSUM_SQL,
     doc="INCREMENTAL CUSUM over a standing daily-totals index: events "
     f"arrive in {_CUSUM_BATCHES} simulated micro-batches (split on "
     "event_id), each folded into per-batch (batch_id, series, day) "

@@ -57,9 +57,12 @@ _META = "\x00meta"
 
 def read_daily(spark: SparkSession, state_dir: str) -> DataFrame:
     """The standing daily table without its meta row — directly usable
-    by operators/cusum.py:cusum_from_daily."""
+    by operators/cusum.py:cusum_from_daily. NULL series keys are DATA
+    (daily_totals groups them like any key), so the meta filter must
+    keep them: a bare != would evaluate NULL and silently drop every
+    previously-folded NULL-key total from each merge."""
     return read_parquet_or_empty(spark, state_dir, STATE_SCHEMA).filter(
-        F.col("event_type") != _META
+        F.col("event_type").isNull() | (F.col("event_type") != _META)
     )
 
 

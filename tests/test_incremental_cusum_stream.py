@@ -116,6 +116,26 @@ def test_redelivery_skipped(spark, sf_dir, tmp_path):
     assert _daily_dict(read_daily(spark, state_dir)) == s1
 
 
+def test_null_series_key_accumulates_across_batches(spark, tmp_path):
+    """NULL series keys are data: the meta filter must not drop them
+    from the standing table between merges (a bare != meta evaluates
+    NULL and would keep only the LAST batch's NULL-key totals)."""
+    import datetime
+
+    state_dir = str(tmp_path / "cusum_null")
+    handle = foreach_batch_incremental_cusum(state_dir)
+    day = datetime.datetime(2024, 5, 1, 12, 0)
+    schema = "event_type string, ts timestamp, value double"
+    handle(
+        spark.createDataFrame([(None, day, 2.0), ("a", day, 1.0)], schema),
+        0,
+    )
+    handle(spark.createDataFrame([(None, day, 3.0)], schema), 1)
+    got = _daily_dict(read_daily(spark, state_dir))
+    assert got[(None, day.replace(hour=0))] == (5.0, 2)
+    assert got[("a", day.replace(hour=0))] == (1.0, 1)
+
+
 def test_crash_at_every_offset_converges(spark, sf_dir, tmp_path):
     import os
     import shutil

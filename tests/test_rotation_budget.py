@@ -25,6 +25,18 @@ def test_all_unproven_queries_fit_in_the_driver_sample():
         "crowd earlier unproven queries out of the sample. Freeze "
         f"catalog growth until rows land. Overflow: {needs_row[DRIVER_SAMPLE:]}"
     )
+    # Count alone no longer implies position: unproven queries
+    # interleave 1:1 with very-stale greens, so one may slip past the
+    # sample prefix and wait a round — it must never wait two.
+    last = max(
+        (i for i, n in enumerate(order) if status.get(n) is not True),
+        default=0,
+    )
+    assert last < 2 * DRIVER_SAMPLE, (
+        f"an unproven query sits at rotation position {last}, beyond "
+        f"two driver samples ({2 * DRIVER_SAMPLE}) — it would stay "
+        "unproven for 2+ rounds. Freeze catalog growth."
+    )
 
 
 def test_unproven_queries_lead_the_rotation():

@@ -75,3 +75,26 @@ def test_seasonal_recovers_planted_dow_effects(spark):
             assert abs(r.residual) < 1e-9, r
         assert abs(r.seasonal - effect(d)) < 1e-9, r
         assert r.dow == (epoch_day + d) % 7
+
+
+def test_seasonal_cold_start_keeps_rows(spark):
+    """A series younger than one full MA window has no seasonal index
+    yet: its days must still appear (NULL trend/seasonal/residual),
+    not vanish — the streaming seasonal_now cold-start contract."""
+    rows = [("a", d, 100.0 + d) for d in range(4)]  # < 7 days
+    out = seasonal_from_daily(_daily(spark, rows)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.trend is None and r.seasonal is None
+        assert r.residual is None and r.total is not None
+
+
+def test_seasonal_rejects_even_periods(spark):
+    """An even centered MA needs the classical 2x-MA; the naive
+    half-window would silently gate the trend to two edge days."""
+    import pytest
+
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_from_daily(
+            _daily(spark, [("a", 0, 1.0)]), period=12
+        ).collect()
