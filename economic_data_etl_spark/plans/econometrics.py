@@ -633,15 +633,9 @@ def ml_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    wp = Window.partitionBy("pri")
-    ws = Window.partitionBy("st")
-    for _ in range(_IPF_ITERS):
-        t = t.withColumn(
-            "w", F.col("w") * F.col("rt") / F.sum("w").over(wp)
-        )
-        t = t.withColumn(
-            "w", F.col("w") * F.col("ctg") / F.sum("w").over(ws)
-        )
+    from economic_data_etl_spark.operators.ipf import ipf_rake
+
+    t = ipf_rake(t, _IPF_ITERS)
     return t.select(
         "pri",
         "st",
