@@ -227,40 +227,22 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
         F.sum("l_quantity").alias("q"),
     ).localCheckpoint()
-    base_yr = py.agg(F.min("yr").alias("yr0"))
-    # broadcast-of-scalar: the 1-row base year reaches every partition
-    # without a shuffle.
-    b = (
-        py.join(F.broadcast(base_yr), py.yr == base_yr.yr0)
-        .select("partkey", F.col("p").alias("p0"), F.col("q").alias("q0"))
-    )
-    m = (
-        py.join(b, "partkey")
-        .groupBy("yr")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p") * F.col("q0")).alias("ptq0"),
-            F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
-            F.sum(F.col("p") * F.col("q")).alias("ptqt"),
-            F.sum(F.col("p0") * F.col("q")).alias("p0qt"),
-        )
-    )
+    from economic_data_etl_spark.operators.prices import price_indices
+
+    idx = price_indices(py)  # unrounded: real revenue needs raw fisher
     nom = py.groupBy("yr").agg(
         (F.sum(F.col("p") * F.col("q")) / F.lit(1e6)).alias("nom_m")
     )
-    lasp = F.col("ptq0") / F.col("p0q0")
-    paas = F.col("ptqt") / F.col("p0qt")
-    fisher = F.sqrt(lasp * paas)
     return (
-        m.join(nom, "yr")
+        idx.join(nom, "yr")
         .select(
             "yr",
             "n_parts",
-            _r(lasp).alias("laspeyres"),
-            _r(paas).alias("paasche"),
-            _r(fisher).alias("fisher"),
+            _r(F.col("laspeyres")).alias("laspeyres"),
+            _r(F.col("paasche")).alias("paasche"),
+            _r(F.col("fisher")).alias("fisher"),
             _r(F.col("nom_m")).alias("nominal_rev_m"),
-            _r(F.col("nom_m") / fisher).alias("real_rev_m"),
+            _r(F.col("nom_m") / F.col("fisher")).alias("real_rev_m"),
         )
         .orderBy("yr")
     )
@@ -480,6 +462,8 @@ def ts_incremental_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Sample-vs-population moment variants cancel in every ratio.",
 )
 def ts_granger_lead_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.granger import granger_lead_fit
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
@@ -493,42 +477,7 @@ def ts_granger_lead_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("value"))
         ).alias("y"),
     )
-    w = Window.orderBy("day")
-    lagged = daily.select(
-        "y",
-        F.lag("y").over(w).alias("ylag"),
-        F.lag("x").over(w).alias("xlag"),
-    )
-    kept = lagged.filter(
-        F.col("y").isNotNull()
-        & F.col("ylag").isNotNull()
-        & F.col("xlag").isNotNull()
-    )
-    mo = kept.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.var_samp("y").alias("syy"),
-        F.var_samp("ylag").alias("s11"),
-        F.var_samp("xlag").alias("s22"),
-        F.covar_samp("ylag", "xlag").alias("s12"),
-        F.covar_samp("ylag", "y").alias("s1y"),
-        F.covar_samp("xlag", "y").alias("s2y"),
-    )
-    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
-    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
-    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
-    r2_ar = (F.col("s1y") * F.col("s1y")) / (F.col("s11") * F.col("syy"))
-    r2_full = (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy")
-    return mo.select(
-        "n",
-        _r(b1).alias("b_ylag"),
-        _r(b2).alias("b_xlag"),
-        _r(r2_ar).alias("r2_ar"),
-        _r(r2_full).alias("r2_full"),
-        _r(
-            (r2_full - r2_ar)
-            / ((F.lit(1.0) - r2_full) / (F.col("n") - F.lit(3)))
-        ).alias("f_stat"),
-    )
+    return granger_lead_fit(daily, round_fn=biased_round)
 
 
 # IPF raking spec: the high-value-order sample is calibrated to the full

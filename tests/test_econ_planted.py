@@ -1,0 +1,102 @@
+"""Planted-ground-truth tests for the Granger, price-index, and KL
+operators: each statistic must FIND what it claims to measure on data
+with a known answer — the semantic layer the cross-engine oracle hash
+cannot express."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from economic_data_etl_spark.operators.granger import granger_lead_fit
+from economic_data_etl_spark.operators.prices import price_indices
+from economic_data_etl_spark.plans.text5 import kl_by_source
+
+_EPOCH = datetime.datetime(2024, 3, 4)
+
+
+def _wave(d: int) -> float:
+    # deterministic exciting input: bounded, non-periodic-in-7, zero-ish
+    # mean — enough variance for the moments to be well-conditioned
+    return math.sin(0.9 * d) + 0.3 * math.sin(2.3 * d + 1.0)
+
+
+def _daily_xy(spark, rows):
+    return spark.createDataFrame(
+        [
+            (_EPOCH + datetime.timedelta(days=d), float(x), float(y))
+            for d, x, y in rows
+        ],
+        "day timestamp, x double, y double",
+    )
+
+
+def test_granger_recovers_planted_lag_coefficients(spark):
+    """y_t = 0.5*y_{t-1} + 2*x_{t-1} exactly (no noise): the closed-form
+    fit must recover both coefficients to float precision, with
+    r2_full = 1 and an enormous F."""
+    xs = [_wave(d) for d in range(80)]
+    ys = [0.0]
+    for d in range(1, 80):
+        ys.append(0.5 * ys[d - 1] + 2.0 * xs[d - 1])
+    rows = [(d, xs[d], ys[d]) for d in range(80)]
+    (got,) = granger_lead_fit(_daily_xy(spark, rows)).collect()
+    assert got.n == 79
+    assert abs(got.b_ylag - 0.5) < 1e-9
+    assert abs(got.b_xlag - 2.0) < 1e-9
+    assert got.r2_full > 1.0 - 1e-12
+    assert got.r2_ar < 0.9  # y's own lag alone cannot explain it
+    assert got.f_stat > 1e6
+
+
+def test_granger_null_when_x_is_irrelevant(spark):
+    """y is a pure AR(1) process; an independent x must add ~nothing
+    (F far below any significance threshold for n ~ 80)."""
+    ys = [1.0]
+    for d in range(1, 80):
+        ys.append(0.8 * ys[d - 1] + _wave(d))  # AR(1) driven by _wave
+    xs = [math.cos(1.7 * d + 0.5) for d in range(80)]  # unrelated
+    rows = [(d, xs[d], ys[d]) for d in range(80)]
+    (got,) = granger_lead_fit(_daily_xy(spark, rows)).collect()
+    assert got.r2_full - got.r2_ar < 0.05
+    assert got.f_stat < 4.0
+
+
+def test_price_indices_on_uniform_inflation(spark):
+    """Every part's price exactly doubles each year: Laspeyres, Paasche,
+    and Fisher must all equal 2^t regardless of quantity drift, and the
+    base year indexes at exactly 1."""
+    rows = []
+    for part in range(5):
+        for yr in range(3):
+            p0 = 10.0 + part
+            rows.append(
+                (part, 2000 + yr, p0 * (2.0**yr), 100.0 + 7 * part + yr)
+            )
+    py = spark.createDataFrame(
+        rows, "partkey long, yr int, p double, q double"
+    )
+    out = {r.yr: r for r in price_indices(py).collect()}
+    for yr, want in ((2000, 1.0), (2001, 2.0), (2002, 4.0)):
+        r = out[yr]
+        assert r.n_parts == 5
+        for c in ("laspeyres", "paasche", "fisher"):
+            assert abs(getattr(r, c) - want) < 1e-12, (yr, c)
+
+
+def test_kl_orders_sources_by_planted_divergence(spark):
+    """Two sources drawn from the corpus-typical vocabulary and one
+    from a disjoint vocabulary: the divergent source must score far
+    above both typical ones."""
+    typical = "alpha beta gamma delta " * 10
+    rows = (
+        [(i, typical, "same_a") for i in range(10)]
+        + [(i + 10, typical, "same_b") for i in range(10)]
+        + [(i + 20, "omega sigma tau " * 12, "diverse") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    kl = {r.source: r.kl_nats for r in kl_by_source(docs).collect()}
+    assert kl["diverse"] > 5 * max(kl["same_a"], kl["same_b"])
+    assert kl["same_a"] >= 0 and kl["same_b"] >= 0
