@@ -136,6 +136,7 @@ HEADLINE = [
     "ml_ipf_raking",
     "ts_granger_lead_test",
     "training_dataset_card",
+    "sketch_kll_quantiles",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -369,3 +369,79 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_undercount"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# From-scratch deterministic compactor quantile sketch (operators/kll.py).
+# --------------------------------------------------------------------------
+_KLL_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+@register(
+    "sketch_kll_quantiles",
+    oracle=None,  # estimates are sketch-specific; certified by
+    # inv_kll_rank_error (measured rank error vs the sketch's own bound)
+    doc="Quantiles of the event-value stream from the from-scratch "
+    "deterministic compactor sketch (MRL-family, operators/kll.py): "
+    "one mapInPandas pass builds per-partition sketches, one "
+    "summary-sized merge task folds them, and the quantile read-out "
+    "runs over O(k log(n/k)) rows. The sketch reports its own "
+    "worst-case rank-error bound (sum of 2^level per compaction) and "
+    "conserves total weight exactly. The mergeable alternative to "
+    "exact percentile_cont when the column won't fit a sort at 100 TB.",
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.kll import (
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # summary-sized collect: O(k log(n/k)) rows regardless of data size
+    pdf = kll_sketch(ev, "value").toPandas()
+    rows = kll_quantiles(pdf, list(_KLL_QS))
+    return spark.createDataFrame(
+        rows, "q double, est double, n long, err_bound long"
+    ).orderBy("q")
+
+
+@register(
+    "inv_kll_rank_error",
+    oracle="""
+        SELECT CAST(q AS DOUBLE) AS q, CAST(ok AS INT) AS within_bound
+        FROM (VALUES (-1.0, 1), (0.01, 1), (0.25, 1), (0.5, 1),
+                     (0.75, 1), (0.99, 1)) t(q, ok)
+        ORDER BY q
+    """,
+    doc="Certificate for the compactor quantile sketch: for every "
+    "reported quantile, the MEASURED rank error |true_rank(est) - q*n| "
+    "must lie within the sketch's self-reported bound plus one "
+    "top-level weight of read-out discretization; the q = -1 row "
+    "certifies exact total-weight conservation (sketch weight == "
+    "row count). The oracle is the constant all-TRUE table, so any "
+    "bound violation at sf0.01 fails the driver's value hash.",
+)
+def inv_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.kll import (
+        kll_quantiles,
+        kll_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = kll_sketch(ev, "value").toPandas()  # summary-sized
+    res = kll_quantiles(pdf, list(_KLL_QS))
+    total, bound = res[0][2], res[0][3]
+    w_max = 1 << int(pdf.loc[pdf["level"] >= 0, "level"].max())
+    # ONE exact pass measures every true rank (conditional aggregates)
+    aggs = [
+        F.sum((F.col("value") <= float(est)).cast("long")).alias(f"r{i}")
+        for i, (_, est, _, _) in enumerate(res)
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    row = ev.agg(*aggs).collect()[0]
+    out = [(-1.0, int(total == row["n_rows"]))]
+    for i, (q, _, _, _) in enumerate(res):
+        err = abs(row[f"r{i}"] - q * total)
+        out.append((q, int(err <= bound + w_max + 1)))
+    return spark.createDataFrame(
+        out, "q double, within_bound int"
+    ).orderBy("q")
