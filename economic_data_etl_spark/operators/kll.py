@@ -85,6 +85,26 @@ def _from_rows(pdf: pd.DataFrame):
     return levels, comp
 
 
+def merge_sketch_rows(pdf: pd.DataFrame, k: int = 256) -> pd.DataFrame:
+    """Merge any number of serialized sketches (their rows concatenated
+    into one frame): level lists concatenate, compaction counters add,
+    then one compression pass restores capacity. Associative — the
+    streaming sink folds batches through this exact function."""
+    items = pdf[pdf["level"] >= 0]
+    n_levels = int(items["level"].max()) + 1 if len(items) else 1
+    levels = [
+        items.loc[items["level"] == i, "value"].to_numpy(dtype=float)
+        for i in range(n_levels)
+    ]
+    meta = pdf[pdf["level"] == _META_LEVEL]
+    comp: dict[int, int] = {}
+    for r in meta.itertuples():
+        lvl = int(r.value)
+        comp[lvl] = comp.get(lvl, 0) + int(r.cnt)
+    _compress(levels, comp, k)
+    return _to_rows(levels, comp)
+
+
 def kll_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """Serialized sketch of the non-null values of `col`: one
     mapInPandas pass builds per-partition sketches, one single-group
@@ -100,28 +120,13 @@ def kll_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             _compress(levels, comp, k)
         yield _to_rows(levels, comp)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        items = pdf[pdf["level"] >= 0]
-        n_levels = int(items["level"].max()) + 1 if len(items) else 1
-        levels = [
-            items.loc[items["level"] == i, "value"].to_numpy(dtype=float)
-            for i in range(n_levels)
-        ]
-        meta = pdf[pdf["level"] == _META_LEVEL]
-        comp: dict[int, int] = {}
-        for r in meta.itertuples():
-            lvl = int(r.value)
-            comp[lvl] = comp.get(lvl, 0) + int(r.cnt)
-        _compress(levels, comp, k)
-        return _to_rows(levels, comp)
-
     parts = df.select(F.col(col).alias(col)).mapInPandas(
         build, SKETCH_SCHEMA
     )
     # one merge task over P summary sketches (associative — tree-merge
     # for very large P)
     return parts.groupBy(F.lit(1).alias("g")).applyInPandas(
-        lambda _, pdf: merge(pdf), SKETCH_SCHEMA
+        lambda _, pdf: merge_sketch_rows(pdf, k), SKETCH_SCHEMA
     )
 
 
