@@ -431,7 +431,10 @@ def inv_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = kll_sketch(ev, "value").toPandas()  # summary-sized
     res = kll_quantiles(pdf, list(_KLL_QS))
     total, bound = res[0][2], res[0][3]
-    w_max = 1 << int(pdf.loc[pdf["level"] >= 0, "level"].max())
+    item_levels = pdf.loc[pdf["level"] >= 0, "level"]
+    # empty input: no items, no compactions — every check is trivially
+    # true with unit read-out granularity
+    w_max = 1 << int(item_levels.max()) if len(item_levels) else 1
     # ONE exact pass measures every true rank (conditional aggregates)
     aggs = [
         F.sum((F.col("value") <= float(est)).cast("long")).alias(f"r{i}")
@@ -440,7 +443,8 @@ def inv_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = ev.agg(*aggs).collect()[0]
     out = [(-1.0, int(total == row["n_rows"]))]
     for i, (q, _, _, _) in enumerate(res):
-        err = abs(row[f"r{i}"] - q * total)
+        # SUM over zero rows is NULL: an empty table has rank 0
+        err = abs((row[f"r{i}"] or 0) - q * total)
         out.append((q, int(err <= bound + w_max + 1)))
     return spark.createDataFrame(
         out, "q double, within_bound int"
