@@ -137,6 +137,7 @@ HEADLINE = [
     "ts_granger_lead_test",
     "training_dataset_card",
     "sketch_kll_quantiles",
+    "agg_price_index_chained",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -52,3 +52,73 @@ def price_indices(
         rnd(paas).alias("paasche"),
         rnd(F.sqrt(lasp * paas)).alias("fisher"),
     )
+
+
+def chained_price_indices(
+    py: DataFrame,
+    round_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Chain-linked indices — what statistical agencies actually
+    publish: each year links to the PREVIOUS year's basket (so new and
+    exiting parts only affect the one link they straddle, unlike the
+    fixed-base matched sample), and the chained index is the running
+    product of links, computed as exp of a running log-sum window over
+    the years-sized link table. Base year chains to exactly 1.
+
+    (yr, n_parts_link, fisher_link, chained_laspeyres,
+    chained_paasche, chained_fisher); the consecutive-year basket join
+    is partkey-keyed like the fixed-base one."""
+    from pyspark.sql.window import Window
+
+    rnd = round_fn if round_fn is not None else (lambda c: c)
+    prev = py.select(
+        "partkey",
+        (F.col("yr") + 1).alias("yr"),
+        F.col("p").alias("p_prev"),
+        F.col("q").alias("q_prev"),
+    )
+    lk = (
+        py.join(prev, ["partkey", "yr"])
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_link"),
+            F.sum(F.col("p") * F.col("q_prev")).alias("ptq0"),
+            F.sum(F.col("p_prev") * F.col("q_prev")).alias("p0q0"),
+            F.sum(F.col("p") * F.col("q")).alias("ptqt"),
+            F.sum(F.col("p_prev") * F.col("q")).alias("p0qt"),
+        )
+    )
+    l_link = F.col("ptq0") / F.col("p0q0")
+    p_link = F.col("ptqt") / F.col("p0qt")
+    links = lk.select(
+        "yr",
+        "n_parts_link",
+        l_link.alias("l_link"),
+        p_link.alias("p_link"),
+        F.sqrt(l_link * p_link).alias("f_link"),
+    )
+    yrs = py.select("yr").distinct()
+    w = (
+        Window.orderBy("yr")  # years-sized table: global window is fine
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def chain(link_col: str) -> Column:
+        return F.exp(
+            F.sum(F.coalesce(F.log(F.col(link_col)), F.lit(0.0))).over(w)
+        )
+
+    return (
+        yrs.join(links, "yr", "left")
+        .select(
+            "yr",
+            F.coalesce(F.col("n_parts_link"), F.lit(0)).alias(
+                "n_parts_link"
+            ),
+            rnd(F.col("f_link")).alias("fisher_link"),
+            rnd(chain("l_link")).alias("chained_laspeyres"),
+            rnd(chain("p_link")).alias("chained_paasche"),
+            rnd(chain("f_link")).alias("chained_fisher"),
+        )
+        .orderBy("yr")
+    )

@@ -168,6 +168,20 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _party_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE (partkey, yr, unit value, quantity) table both index queries
+    consume. It feeds several consumers each time; localCheckpoint
+    materializes it so lineitem is scanned exactly ONCE per query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    ).localCheckpoint()
+
+
 @register(
     "agg_price_index_fisher",
     oracle="""
@@ -216,19 +230,9 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "years-sized table.",
 )
 def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    # py feeds four consumers (base year, basket, index sums, nominal
-    # revenue); localCheckpoint materializes the parts x years table so
-    # lineitem is scanned exactly ONCE.
-    py = li.groupBy(
-        F.col("l_partkey").alias("partkey"),
-        F.year("l_shipdate").cast("int").alias("yr"),
-    ).agg(
-        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
-        F.sum("l_quantity").alias("q"),
-    ).localCheckpoint()
     from economic_data_etl_spark.operators.prices import price_indices
 
+    py = _party_table(spark, sf_dir)
     idx = price_indices(py)  # unrounded: real revenue needs raw fisher
     nom = py.groupBy("yr").agg(
         (F.sum(F.col("p") * F.col("q")) / F.lit(1e6)).alias("nom_m")
@@ -245,6 +249,72 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("nom_m") / F.col("fisher")).alias("real_rev_m"),
         )
         .orderBy("yr")
+    )
+
+
+@register(
+    "agg_price_index_chained",
+    oracle="""
+        WITH py AS (
+            SELECT l_partkey AS partkey,
+                   CAST(YEAR(l_shipdate) AS INT) AS yr,
+                   SUM(l_extendedprice) / SUM(l_quantity) AS p,
+                   SUM(l_quantity) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), lk AS (
+            SELECT t.yr,
+                   COUNT(*) AS n_parts_link,
+                   SUM(t.p * b.q) AS ptq0, SUM(b.p * b.q) AS p0q0,
+                   SUM(t.p * t.q) AS ptqt, SUM(b.p * t.q) AS p0qt
+            FROM py t JOIN py b
+              ON b.partkey = t.partkey AND b.yr = t.yr - 1
+            GROUP BY t.yr
+        ), links AS (
+            SELECT yr, n_parts_link,
+                   ptq0 / p0q0 AS l_link,
+                   ptqt / p0qt AS p_link,
+                   SQRT((ptq0 / p0q0) * (ptqt / p0qt)) AS f_link
+            FROM lk
+        ), yrs AS (
+            SELECT DISTINCT yr FROM py
+        ), ch AS (
+            SELECT y.yr,
+                   COALESCE(l.n_parts_link, 0) AS n_parts_link,
+                   l.f_link,
+                   EXP(SUM(COALESCE(LN(l.l_link), 0)) OVER w) AS cl,
+                   EXP(SUM(COALESCE(LN(l.p_link), 0)) OVER w) AS cp,
+                   EXP(SUM(COALESCE(LN(l.f_link), 0)) OVER w) AS cf
+            FROM yrs y LEFT JOIN links l USING (yr)
+            WINDOW w AS (ORDER BY y.yr
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT yr, CAST(n_parts_link AS BIGINT) AS n_parts_link,
+               ROUND(5e-10 + f_link, 4) AS fisher_link,
+               ROUND(5e-10 + cl, 4) AS chained_laspeyres,
+               ROUND(5e-10 + cp, 4) AS chained_paasche,
+               ROUND(5e-10 + cf, 4) AS chained_fisher
+        FROM ch ORDER BY yr
+    """,
+    doc="CHAIN-LINKED price indices — the variant statistical agencies "
+    "publish: each year's Laspeyres/Paasche/Fisher link uses the "
+    "PREVIOUS year's basket (new and exiting parts affect only the one "
+    "link they straddle, fixing the fixed-base matched-sample "
+    "attrition), and the chained index is the running product of "
+    "links, computed as exp of an ordered log-sum window over the "
+    "years-sized link table. Same scale shape as the fixed-base query: "
+    "one (partkey, yr) aggregation, one partkey-keyed self-join "
+    "shifted by one year, then years-sized arithmetic.",
+)
+def agg_price_index_chained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.prices import (
+        chained_price_indices,
+    )
+
+    return chained_price_indices(
+        _party_table(spark, sf_dir), round_fn=biased_round
     )
 
 

@@ -100,3 +100,34 @@ def test_kl_orders_sources_by_planted_divergence(spark):
     kl = {r.source: r.kl_nats for r in kl_by_source(docs).collect()}
     assert kl["diverse"] > 5 * max(kl["same_a"], kl["same_b"])
     assert kl["same_a"] >= 0 and kl["same_b"] >= 0
+
+def test_chained_indices_survive_part_churn(spark):
+    """Uniform 2x-per-year inflation with parts ENTERING and EXITING:
+    every year-over-year link still sees doubling on its overlap, so
+    the chained index is exactly 2^t — the churn-robustness chaining
+    exists for (a fixed-base matched sample shrinks instead)."""
+    from economic_data_etl_spark.operators.prices import (
+        chained_price_indices,
+    )
+
+    rows = []
+    for part in range(6):
+        # part 0 exists only in years 0-1, part 5 only in years 1-2
+        years = (
+            (0, 1) if part == 0 else (1, 2) if part == 5 else (0, 1, 2)
+        )
+        for yr in years:
+            rows.append(
+                (part, 2000 + yr, (10.0 + part) * (2.0**yr), 50.0 + part)
+            )
+    py = spark.createDataFrame(
+        rows, "partkey long, yr int, p double, q double"
+    )
+    out = {r.yr: r for r in chained_price_indices(py).collect()}
+    assert out[2000].fisher_link is None  # base year has no link
+    for yr, want in ((2000, 1.0), (2001, 2.0), (2002, 4.0)):
+        r = out[yr]
+        for c in ("chained_laspeyres", "chained_paasche", "chained_fisher"):
+            assert abs(getattr(r, c) - want) < 1e-9, (yr, c)
+    assert out[2001].n_parts_link == 5  # part 5 enters in 2001
+    assert out[2002].n_parts_link == 5  # part 0 exited after 2001
