@@ -138,6 +138,7 @@ HEADLINE = [
     "training_dataset_card",
     "sketch_kll_quantiles",
     "agg_price_index_chained",
+    "agg_quantity_index_fisher",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

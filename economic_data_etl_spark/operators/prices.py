@@ -122,3 +122,43 @@ def chained_price_indices(
         )
         .orderBy("yr")
     )
+
+
+def quantity_indices(
+    py: DataFrame,
+    round_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Quantity (volume) indices — the industrial-production twin of
+    the price indices: Laspeyres_q = sum(p0*qt)/sum(p0*q0) (base-year
+    prices), Paasche_q = sum(pt*qt)/sum(pt*q0), Fisher_q their
+    geometric mean, plus the value ratio sum(pt*qt)/sum(p0*q0). Fisher
+    satisfies the FACTOR-REVERSAL test by construction —
+    Fisher_p * Fisher_q = value ratio algebraically — which the
+    planted tests pin as an exact identity."""
+    rnd = round_fn if round_fn is not None else (lambda c: c)
+    base_yr = py.agg(F.min("yr").alias("yr0"))
+    b = (
+        py.join(F.broadcast(base_yr), py.yr == base_yr.yr0)
+        .select("partkey", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    m = (
+        py.join(b, "partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p0") * F.col("q")).alias("p0qt"),
+            F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+            F.sum(F.col("p") * F.col("q")).alias("ptqt"),
+            F.sum(F.col("p") * F.col("q0")).alias("ptq0"),
+        )
+    )
+    lq = F.col("p0qt") / F.col("p0q0")
+    pq = F.col("ptqt") / F.col("ptq0")
+    return m.select(
+        "yr",
+        "n_parts",
+        rnd(lq).alias("laspeyres_q"),
+        rnd(pq).alias("paasche_q"),
+        rnd(F.sqrt(lq * pq)).alias("fisher_q"),
+        rnd(F.col("ptqt") / F.col("p0q0")).alias("value_ratio"),
+    )

@@ -319,6 +319,53 @@ def agg_price_index_chained(
 
 
 @register(
+    "agg_quantity_index_fisher",
+    oracle="""
+        WITH py AS (
+            SELECT l_partkey AS partkey,
+                   CAST(YEAR(l_shipdate) AS INT) AS yr,
+                   SUM(l_extendedprice) / SUM(l_quantity) AS p,
+                   SUM(l_quantity) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), b AS (
+            SELECT partkey, p AS p0, q AS q0 FROM py
+            WHERE yr = (SELECT MIN(yr) FROM py)
+        ), m AS (
+            SELECT t.yr,
+                   COUNT(*) AS n_parts,
+                   SUM(b.p0 * t.q) AS p0qt, SUM(b.p0 * b.q0) AS p0q0,
+                   SUM(t.p * t.q) AS ptqt, SUM(t.p * b.q0) AS ptq0
+            FROM py t JOIN b USING (partkey)
+            GROUP BY t.yr
+        )
+        SELECT yr, n_parts,
+               ROUND(5e-10 + p0qt / p0q0, 4) AS laspeyres_q,
+               ROUND(5e-10 + ptqt / ptq0, 4) AS paasche_q,
+               ROUND(5e-10 + SQRT((p0qt / p0q0) * (ptqt / ptq0)),
+                     4) AS fisher_q,
+               ROUND(5e-10 + ptqt / p0q0, 4) AS value_ratio
+        FROM m ORDER BY yr
+    """,
+    doc="Quantity (volume) indices — the industrial-production twin of "
+    "the price index: Laspeyres_q holds base-year PRICES fixed, "
+    "Paasche_q current prices, Fisher_q their geometric mean, with the "
+    "value ratio alongside. Fisher price x Fisher quantity equals the "
+    "value ratio ALGEBRAICALLY (the factor-reversal test Fisher's "
+    "'ideal' label refers to) — pinned exactly in the planted tests. "
+    "Same one-aggregation + partkey-keyed basket-join shape as the "
+    "price queries.",
+)
+def agg_quantity_index_fisher(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.prices import quantity_indices
+
+    return quantity_indices(
+        _party_table(spark, sf_dir), round_fn=biased_round
+    )
+
+
+@register(
     "dq_benford_first_digit",
     oracle="""
         WITH d AS (

@@ -131,3 +131,51 @@ def test_chained_indices_survive_part_churn(spark):
             assert abs(getattr(r, c) - want) < 1e-9, (yr, c)
     assert out[2001].n_parts_link == 5  # part 5 enters in 2001
     assert out[2002].n_parts_link == 5  # part 0 exited after 2001
+
+
+def test_fisher_factor_reversal_is_exact(spark):
+    """Fisher's 'ideal' property: Fisher_price x Fisher_quantity equals
+    the value ratio algebraically (sqrt collapses the cross terms) —
+    checked on irregular planted data where the individual indices are
+    NOT round numbers."""
+    from economic_data_etl_spark.operators.prices import (
+        price_indices,
+        quantity_indices,
+    )
+
+    rows = []
+    for part in range(7):
+        for yr in range(3):
+            p = 10.0 + 3 * part + 1.7 * yr * (part % 3 + 1)
+            q = 40.0 + 5 * part - 2.0 * yr * (part % 2)
+            rows.append((part, 2000 + yr, p, q))
+    py = spark.createDataFrame(
+        rows, "partkey long, yr int, p double, q double"
+    )
+    pr = {r.yr: r for r in price_indices(py).collect()}
+    qt = {r.yr: r for r in quantity_indices(py).collect()}
+    for yr in (2000, 2001, 2002):
+        assert (
+            abs(pr[yr].fisher * qt[yr].fisher_q - qt[yr].value_ratio)
+            < 1e-9
+        ), yr
+
+
+def test_quantity_index_on_uniform_volume_growth(spark):
+    """Quantities exactly double each year at constant prices: every
+    quantity index and the value ratio equal 2^t."""
+    from economic_data_etl_spark.operators.prices import quantity_indices
+
+    rows = [
+        (part, 2000 + yr, 10.0 + part, (50.0 + part) * (2.0**yr))
+        for part in range(5)
+        for yr in range(3)
+    ]
+    py = spark.createDataFrame(
+        rows, "partkey long, yr int, p double, q double"
+    )
+    out = {r.yr: r for r in quantity_indices(py).collect()}
+    for yr, want in ((2000, 1.0), (2001, 2.0), (2002, 4.0)):
+        r = out[yr]
+        for c in ("laspeyres_q", "paasche_q", "fisher_q", "value_ratio"):
+            assert abs(getattr(r, c) - want) < 1e-12, (yr, c)
