@@ -541,6 +541,15 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _RRF_K = 60
 _RRF_TOPN = 10
+# Each lane contributes only its top-K candidates to the fusion
+# (standard RRF serving semantics). The cut makes every lane's rank
+# window WindowGroupLimit-able: each map partition pre-trims to K rows
+# before the single-partition rank, so the shuffle moves K*partitions
+# rows instead of the corpus. Sound for the displayed top-N because a
+# doc outside a lane's top-K would have contributed < 1/(60+K) from
+# that lane anyway; the query DEFINES fusion over lane survivors, and
+# the oracle applies the identical cut.
+_RRF_LANE_K = 100
 
 
 @register(
@@ -577,9 +586,11 @@ _RRF_TOPN = 10
           FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
           GROUP BY t.doc_id
         ), bm_r AS (
-          SELECT doc_id,
-                 ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
-          FROM bm
+          SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+            FROM bm
+          ) WHERE r <= {_RRF_LANE_K}
         ), g0 AS (
           SELECT doc_id, w,
                  unnest(CASE WHEN len(w) >= 1
@@ -602,9 +613,11 @@ _RRF_TOPN = 10
         ), pm AS (
           SELECT doc_id, COUNT(*) AS n_matches FROM po GROUP BY doc_id
         ), ph_r AS (
-          SELECT doc_id,
-                 ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS r
-          FROM pm
+          SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS r
+            FROM pm
+          ) WHERE r <= {_RRF_LANE_K}
         ), sem AS (
           SELECT e.vec_id AS doc_id,
                  ROUND(5e-10 + list_cosine_similarity(
@@ -613,9 +626,11 @@ _RRF_TOPN = 10
                       WHERE vec_id = 0)), 4) AS c
           FROM embeddings e
         ), sem_r AS (
-          SELECT doc_id,
-                 ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
-          FROM sem
+          SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+            FROM sem
+          ) WHERE r <= {_RRF_LANE_K}
         ), fused AS (
           SELECT COALESCE(b.doc_id, p.doc_id, s.doc_id) AS doc_id,
                  COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
@@ -647,14 +662,15 @@ _RRF_TOPN = 10
     "contributing 0. Every lane ranks on the 4dp-biased-rounded score "
     "with id tiebreak, lane scores add in fixed column order (never a "
     "groupBy sum), and 1/(60+r) on integer ranks is IEEE-exact, so the "
-    "fused ordering is bit-deterministic cross-engine. Top-10 with "
-    "per-lane ranks for explainability — the modern hybrid-search "
-    "serving shape composed from the engine's own lanes. Scale note: "
-    "the global rank windows are exact-output certification shape; at "
-    "corpus scale each lane keeps only its top-K candidates first "
-    "(TakeOrderedAndProject, no global window) — sound because a doc "
-    "outside every lane's top-K fuses below 3/(60+K), so K with "
-    "3/(60+K) < 1/(60+N) provably cannot displace a top-N result.",
+    "fused ordering is bit-deterministic cross-engine. Each lane is cut "
+    f"to its top-{_RRF_LANE_K} BEFORE fusion (standard RRF serving "
+    "semantics; a doc outside a lane's top-K contributes 0 from that "
+    "lane, and its rank column is NULL) — the rank<=K filter compiles "
+    "to WindowGroupLimit, so every map partition pre-trims to K rows "
+    "before the single-partition rank exchange and the shuffle moves "
+    "O(K x partitions) rows, never the corpus. Top-10 with per-lane "
+    "ranks for explainability — the modern hybrid-search serving shape "
+    "composed from the engine's own lanes.",
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -679,7 +695,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
         .alias("r_bm25"),
-    )
+    ).filter(F.col("r_bm25") <= _RRF_LANE_K)
     pm = phrase_occurrences(docs, list(_PHRASE)).select(
         "doc_id", "n_matches"
     )
@@ -688,7 +704,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("n_matches"), F.asc("doc_id")))
         .alias("r_phrase"),
-    )
+    ).filter(F.col("r_phrase") <= _RRF_LANE_K)
     qrow = (
         emb.filter(F.col("vec_id") == 0)
         .select(l2_normalize(F.col("embedding")).alias("q"))
@@ -709,7 +725,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.desc("c"), F.asc("doc_id")))
         .alias("r_sem"),
-    )
+    ).filter(F.col("r_sem") <= _RRF_LANE_K)
     fused = (
         bm_r.join(ph_r, "doc_id", "full_outer")
         .join(sem_r, "doc_id", "full_outer")

@@ -297,9 +297,13 @@ _HN_K = 20
     "the biased-rounded score so rank order is engine-portable; the "
     "set difference is a doc-keyed join of two rank tables. Reuses the "
     "postings-filtered BM25 plan (shuffle O(matching postings)) and "
-    "the broadcast-query cosine lane; at 100 TB both lanes are the "
-    "already-certified retrieval paths, and the join is top-k-bounded "
-    "on the BM25 side.",
+    "the broadcast-query cosine lane. 'Outside the semantic top-k' is "
+    "decided by an exact rank recount — r_sem = 1 + count of docs "
+    "ranked above, via one broadcast-nested-loop pass over the scored "
+    "lane with the <=k BM25 candidates as build side — NEVER a global "
+    "row_number over the corpus: the r>k complement of a rank window "
+    "cannot be bounded by any group-limit rewrite, so at 100 TB it "
+    "would be a corpus-sized single-task sort.",
 )
 def retrieval_hard_negatives(
     spark: SparkSession, sf_dir: str
@@ -338,16 +342,52 @@ def retrieval_hard_negatives(
         )
     else:  # empty corpus: no semantic lane, no negatives
         sem = spark.createDataFrame([], "doc_id long, cosine double")
-    sem_r = sem.select(
-        "doc_id",
-        "cosine",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
-        .alias("r_sem"),
+    # Score once, consume twice (membership join, rank recount):
+    # localCheckpoint materializes the 16-byte/row (doc_id, cosine)
+    # projection so the interpreted-HOF dot product runs ONE corpus
+    # pass instead of one per consumer (measured 7.7 s vs 2.5 s at
+    # sf0.1; the scored lane is what a serving system persists anyway).
+    # Lazy: the job that first consumes it pays the pass — no separate
+    # eager materialization action.
+    sem = sem.localCheckpoint(eager=False)
+    # "Not in the semantic top-k" WITHOUT a global row_number over the
+    # corpus (whose r>k complement no group-limit rewrite can bound):
+    # the semantic rank of each BM25-top-k candidate is recovered as
+    # 1 + count of docs ranked above it — one broadcast-nested-loop
+    # pass over the scored lane with the <=k candidate rows as build
+    # side, a linear scan, never a single-partition corpus sort. The
+    # order (cosine DESC, doc_id ASC) is total, so r_sem equals the
+    # oracle's global ROW_NUMBER exactly and membership is r_sem > k.
+    # Counting compares biased-rounded cosines, so the gate is
+    # engine-portable.
+    hard = bm_r.filter(F.col("r_bm25") <= _HN_K)
+    # <=k rows, but its lineage includes the full BM25 pass — and it
+    # feeds both the broadcast build of the recount AND the final join,
+    # which would re-run BM25 once per consumer. Same lazy
+    # checkpoint-once pattern as the scored lane above.
+    cand = (
+        hard.join(sem, "doc_id")
+        .select("doc_id", "r_bm25", "bm25", "cosine")
+        .localCheckpoint(eager=False)
+    )
+    above = (
+        sem.select(
+            F.col("doc_id").alias("o_id"), F.col("cosine").alias("o_c")
+        )
+        .join(
+            F.broadcast(cand.select("doc_id", "cosine")),
+            (F.col("o_c") > F.col("cosine"))
+            | (
+                (F.col("o_c") == F.col("cosine"))
+                & (F.col("o_id") < F.col("doc_id"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg((F.count("*") + F.lit(1)).cast("long").alias("r_sem"))
     )
     return (
-        bm_r.filter(F.col("r_bm25") <= _HN_K)
-        .join(sem_r.filter(F.col("r_sem") > _HN_K), "doc_id")
+        cand.join(F.broadcast(above), "doc_id")
+        .filter(F.col("r_sem") > _HN_K)
         .select("doc_id", "r_bm25", "bm25", "r_sem", "cosine")
         .orderBy("r_bm25")
     )

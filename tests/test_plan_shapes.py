@@ -252,6 +252,36 @@ class TestRound3PlanShapes:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_hybrid_rrf_lanes_are_take_ordered_not_global_window(
+        self, spark, sf_dir
+    ):
+        """Every RRF lane cuts to top-K before fusion; the rank<=K
+        filter must push a limit BELOW each lane's unpartitioned rank
+        window (LimitPushDownThroughWindow -> TakeOrderedAndProject),
+        so each map partition ships K rows — never the corpus into one
+        task. 3 lanes + the final top-N = at least 4 TakeOrdereds."""
+        plan = _plan(spark, sf_dir, "retrieval_hybrid_rrf")
+        assert plan.count("TakeOrderedAndProject") >= 4, plan
+
+    def test_hard_negatives_has_no_global_rank_over_corpus(
+        self, spark, sf_dir
+    ):
+        """'Outside the semantic top-k' must be decided by a
+        rank-recount (1 + count-ranked-above via broadcast-nested-loop
+        with the <=k candidate rows as build), never the r>k complement
+        of a corpus row_number (which no group-limit rewrite can
+        bound). In the final plan the embeddings corpus feeds ONLY the
+        BNLJ scan — zero Window nodes touch it; the BM25 lane's bounded
+        rank (limit-pushed TakeOrdered) lives behind the k-row
+        candidate checkpoint (Scan ExistingRDD)."""
+        import re
+
+        plan = _plan(spark, sf_dir, "retrieval_hard_negatives")
+        wins = len(re.findall(r"\bWindow \(\d+\)", plan))
+        assert wins == 0, plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "ExistingRDD" in plan  # the checkpointed <=k candidates
+
     def test_pareto_rank_runs_on_user_table_not_events(self, spark, sf_dir):
         """The global rank must sit ABOVE the per-user aggregation:
         |users| rows sort, not |events|. The aggregation below the
