@@ -29,7 +29,15 @@ def granger_lead_fit(
 
     Rows where y, lag(y), or lag(x) is NULL are dropped (a regression
     needs all three). Sample-vs-population moment variants cancel in
-    every ratio, so the result is estimator-convention-free."""
+    every ratio, so the result is estimator-convention-free.
+
+    Scale contract: the lag window below is ORDER BY day with no
+    partitionBy — Spark executes it on a single task, which is the
+    intended shape ONLY because the input is the days-sized
+    pre-aggregated table this module documents (thousands of rows for
+    years of data), never raw events. Callers must aggregate first;
+    like the chained-index operator, the single-partition window is
+    the deliberate, bounded exception, not an oversight."""
     rnd = round_fn if round_fn is not None else (lambda c: c)
     w = Window.orderBy("day")
     lagged = daily.select(

@@ -435,13 +435,21 @@ def inv_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty input: no items, no compactions — every check is trivially
     # true with unit read-out granularity
     w_max = 1 << int(item_levels.max()) if len(item_levels) else 1
-    # ONE exact pass measures every true rank (conditional aggregates)
+    # ONE exact pass measures every true rank (conditional aggregates).
+    # The conservation count matches the sketch's stated contract —
+    # NULL and NaN values are dropped before sketching — so it counts
+    # exactly the sketched rows, not COUNT(*): on data with NULLs the
+    # raw row count would falsely fail the certificate.
     aggs = [
         F.sum((F.col("value") <= float(est)).cast("long")).alias(f"r{i}")
         for i, (_, est, _, _) in enumerate(res)
-    ] + [F.count(F.lit(1)).alias("n_rows")]
+    ] + [
+        F.sum(
+            (F.col("value").isNotNull() & ~F.isnan("value")).cast("long")
+        ).alias("n_rows")
+    ]
     row = ev.agg(*aggs).collect()[0]
-    out = [(-1.0, int(total == row["n_rows"]))]
+    out = [(-1.0, int(total == (row["n_rows"] or 0)))]
     for i, (q, _, _, _) in enumerate(res):
         # SUM over zero rows is NULL: an empty table has rank 0
         err = abs((row[f"r{i}"] or 0) - q * total)

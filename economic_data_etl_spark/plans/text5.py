@@ -96,10 +96,15 @@ def text_tokenizer_fertility(
     "text_corpus_divergence_kl",
     oracle=f"""
         WITH toks AS (
+            -- source IS NOT NULL matches the Spark plan's symmetric
+            -- filter: the decomposition's inner joins on "source"
+            -- would drop a NULL-source group that this grid
+            -- formulation (CROSS JOIN + LEFT JOIN) keeps, so both
+            -- engines exclude it explicitly.
             SELECT source,
                    list_filter(string_split_regex(text,
                        '{WORD_SPLIT_RE}'), x -> x <> '') AS w
-            FROM documents
+            FROM documents WHERE source IS NOT NULL
         ), ex AS (
             SELECT source, unnest(w) AS token FROM toks
         ), ct AS (
@@ -161,7 +166,12 @@ def kl_by_source(docs: DataFrame, round_fn=None) -> DataFrame:
     on text_corpus_divergence_kl. Shared by the query and the
     training_dataset_card composition."""
     rnd = round_fn if round_fn is not None else (lambda c: c)
-    ex = docs.select(
+    # NULL-source docs are excluded UP FRONT, symmetrically with the
+    # oracle: the decomposition's inner joins on "source" would drop
+    # the NULL group's output row anyway, but its tokens would still
+    # leak into the global corpus distribution — a silent asymmetry vs
+    # any grid formulation that keys on source.
+    ex = docs.filter(F.col("source").isNotNull()).select(
         "source",
         F.explode(
             F.filter(

@@ -135,8 +135,11 @@ def foreach_batch_heavy_hitters(
         spark = batch_df.sparkSession
         staging = f"{state_dir}.staging"
         # finish an interrupted swap before reading (see module doc)
-        if os.path.exists(staging) and not os.path.exists(state_dir):
-            os.rename(staging, state_dir)
+        from economic_data_etl_spark.streaming.util import (
+            recover_staging,
+        )
+
+        recover_staging(staging, state_dir)
         counters, n_total, err, last_bid = _read_state(spark, state_dir)
         if batch_id <= last_bid:
             return  # redelivered batch: already folded, exactly-once

@@ -73,8 +73,11 @@ def foreach_batch_incremental_cms(
 
         spark = batch_df.sparkSession
         staging = f"{state_dir}.staging"
-        if os.path.exists(staging) and not os.path.exists(state_dir):
-            os.rename(staging, state_dir)
+        from economic_data_etl_spark.streaming.util import (
+            recover_staging,
+        )
+
+        recover_staging(staging, state_dir)
         if batch_id <= _last_batch_id(spark, state_dir):
             return  # redelivered batch: already folded
         batch_sketch = cms_build(batch_df, col, depth, width).select(

@@ -109,10 +109,11 @@ def foreach_batch_incremental_cusum(
         import os
         import shutil
 
+        from economic_data_etl_spark.streaming.util import recover_staging
+
         spark = batch_df.sparkSession
         staging = f"{state_dir}.staging"
-        if os.path.exists(staging) and not os.path.exists(state_dir):
-            os.rename(staging, state_dir)
+        recover_staging(staging, state_dir)
         if batch_id <= _last_batch_id(spark, state_dir):
             return  # redelivered batch: already folded
         batch_daily = daily_totals(

@@ -76,8 +76,11 @@ def foreach_batch_trending_topk(
         # silently reset every total. (os-path swap = local-FS scope,
         # matching local-mode tests; a production deployment would
         # point this sink at a transactional table format instead.)
-        if os.path.exists(staging) and not os.path.exists(counts_path):
-            os.rename(staging, counts_path)
+        from economic_data_etl_spark.streaming.util import (
+            recover_staging,
+        )
+
+        recover_staging(staging, counts_path)
         fresh = batch_df.select("window_start", key, "n_events")
         try:
             old = spark.read.parquet(counts_path)

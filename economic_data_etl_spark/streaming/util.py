@@ -44,3 +44,30 @@ def read_parquet_or_empty(
         if any(m in str(e) for m in _MISSING_PATH_MARKERS):
             return spark.createDataFrame([], schema)
         raise
+
+
+def recover_staging(staging: str, target: str) -> None:
+    """Finish — or roll back — an interrupted staged swap.
+
+    The staged-swap sinks write the next state to `<target>.staging`
+    then rename over `target`; a driver death can leave `staging`
+    present with `target` absent. Promote it ONLY when the write
+    completed (Spark's `_SUCCESS` commit marker): a death mid-write of
+    the very first batch would otherwise promote a PARTIAL staging dir
+    whose meta row is missing, the batch-id high-water mark would read
+    -1, and the redelivered batch would refold on top of the partial
+    rows — double-counting. An incomplete staging dir is deleted so
+    the redelivered batch rebuilds from the (empty) true state.
+
+    Local-FS scope (os.rename), matching the sinks' own swap; a
+    production deployment points these sinks at a transactional table
+    format instead.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(staging) and not os.path.exists(target):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, target)
+        else:
+            shutil.rmtree(staging)

@@ -101,6 +101,34 @@ def test_kl_orders_sources_by_planted_divergence(spark):
     assert kl["diverse"] > 5 * max(kl["same_a"], kl["same_b"])
     assert kl["same_a"] >= 0 and kl["same_b"] >= 0
 
+
+def test_kl_excludes_null_source_entirely(spark):
+    """A NULL-source doc must neither appear as an output group NOR
+    leak its tokens into the global corpus distribution: results with
+    the NULL doc present must equal results with it removed (the
+    documented symmetric source-IS-NOT-NULL contract of the lane)."""
+    base = [
+        (0, "alpha beta gamma " * 5, "s_a"),
+        (1, "alpha beta delta " * 5, "s_b"),
+    ]
+    with_null = base + [(2, "omega sigma tau " * 8, None)]
+    schema = "doc_id long, text string, source string"
+    got = {
+        r.source: (r.n_tokens, r.vocab_present, round(r.kl_nats, 9))
+        for r in kl_by_source(
+            spark.createDataFrame(with_null, schema)
+        ).collect()
+    }
+    want = {
+        r.source: (r.n_tokens, r.vocab_present, round(r.kl_nats, 9))
+        for r in kl_by_source(
+            spark.createDataFrame(base, schema)
+        ).collect()
+    }
+    assert None not in got
+    assert got == want
+
+
 def test_chained_indices_survive_part_churn(spark):
     """Uniform 2x-per-year inflation with parts ENTERING and EXITING:
     every year-over-year link still sees doubling on its overlap, so

@@ -190,3 +190,36 @@ def test_crash_at_every_offset_converges(spark, sf_dir, tmp_path):
                 h(batch, bi)  # recovery: redeliver through the handler
         got = _daily_dict(read_daily(spark, state_dir))
         assert got == want, f"kill_at={kill_at}"
+
+
+def test_partial_staging_from_mid_write_crash_is_discarded(
+    spark, sf_dir, tmp_path
+):
+    """Driver death MID-WRITE of the very first batch's staging parquet
+    (partial rows on disk, no _SUCCESS marker, no state_dir yet): the
+    recovery must NOT promote the partial dir — doing so makes the
+    batch-id high-water mark read -1 and the redelivered batch refolds
+    on top of the partial rows, double-counting. The kill-offset fuzz
+    treats the parquet write as atomic, so this window needs its own
+    test."""
+    import os
+
+    batches = _batches(spark, sf_dir)
+    clean = str(tmp_path / "clean")
+    handle = foreach_batch_incremental_cusum(clean)
+    for bi, b in enumerate(batches):
+        handle(b, bi)
+    want = _daily_dict(read_daily(spark, clean))
+
+    state_dir = str(tmp_path / "crashy")
+    staging = f"{state_dir}.staging"
+    # partial staging: real daily rows, meta row missing, commit marker
+    # stripped — exactly what a mid-write death leaves behind.
+    daily_totals(batches[0]).write.mode("overwrite").parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+
+    h = foreach_batch_incremental_cusum(state_dir)
+    for bi, b in enumerate(batches):  # batch 0 is the redelivery
+        h(b, bi)
+    assert _daily_dict(read_daily(spark, state_dir)) == want
+    assert not os.path.exists(staging)

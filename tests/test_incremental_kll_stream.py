@@ -126,3 +126,34 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
         got = _rows_dict(read_sketch_rows(spark, state_dir))
         assert got == want, f"kill_at={kill_at}"
         _check_bound(spark, state_dir)
+
+
+def test_partial_staging_from_mid_write_crash_is_discarded(
+    spark, tmp_path
+):
+    """Same mid-write-crash window as the CUSUM sink: a partial staging
+    dir with no _SUCCESS marker and no state_dir must be deleted, not
+    promoted — promotion would refold the redelivered batch on top of
+    the partial rows and break exact weight conservation."""
+    import os
+
+    clean = str(tmp_path / "clean")
+    handle = foreach_batch_incremental_kll(clean, "value", k=K)
+    for bi, vals in enumerate(BATCHES):
+        handle(_df(spark, vals), bi)
+    want = _rows_dict(read_sketch_rows(spark, clean))
+
+    state_dir = str(tmp_path / "crashy")
+    staging = f"{state_dir}.staging"
+    from economic_data_etl_spark.operators.kll import kll_sketch
+
+    kll_sketch(_df(spark, BATCHES[0]), "value", k=K).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+
+    h = foreach_batch_incremental_kll(state_dir, "value", k=K)
+    for bi, vals in enumerate(BATCHES):  # batch 0 is the redelivery
+        h(_df(spark, vals), bi)
+    assert _rows_dict(read_sketch_rows(spark, state_dir)) == want
+    assert not os.path.exists(staging)

@@ -87,3 +87,27 @@ def test_merge_of_summaries_matches_full_build_weight(spark):
     true_rank = sum(1 for v in exact if v <= est)
     w_max = 1 << int(both.loc[both["level"] >= 0, "level"].max())
     assert abs(true_rank - 0.5 * total) <= bound + w_max + 1
+
+
+def test_rank_error_certificate_holds_with_null_values(spark, tmp_path):
+    """inv_kll_rank_error's q=-1 conservation row must compare sketch
+    weight against the NON-NULL, non-NaN value count (the sketch's
+    stated contract), not COUNT(*): on data with NULL/NaN values the
+    raw row count would falsely fail the certificate."""
+    import datetime
+
+    from economic_data_etl_spark.plans import REGISTRY
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, 0, i % 60), float(v % 97))
+        for i, v in enumerate(range(500))
+    ]
+    rows += [(datetime.datetime(2024, 1, 2), None)] * 25
+    rows += [(datetime.datetime(2024, 1, 3), float("nan"))] * 25
+    spark.createDataFrame(rows, "ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["inv_kll_rank_error"].spark(spark, str(tmp_path))
+    got = {r.q: r.within_bound for r in out.collect()}
+    assert got[-1.0] == 1, got  # conservation vs non-null count
+    assert all(v == 1 for v in got.values()), got
