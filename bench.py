@@ -126,6 +126,8 @@ HEADLINE = [
     "ml_kmeans_clusters",
     "ml_logreg_gd",
     "profile_correlation_matrix",
+    "features_decile_bins",
+    "agg_gini_revenue_concentration",
     "ts_seasonal_decompose",
     "ts_incremental_cusum",
     "agg_price_index_fisher",

@@ -635,16 +635,37 @@ def dedup_keep_latest_per_user(
     "(feature engineering) and a monotone binning for score "
     "calibration. ntile needs a total order; o_orderkey breaks "
     "o_totalprice ties so bin membership is deterministic in both "
-    "engines. At real scale the single-partition sort is replaced by "
-    "approx-percentile cut points; the exact form here is what gives "
-    "the oracle value-equality.",
+    "engines. EXACT and DISTRIBUTED: the global row number comes from "
+    "the two-phase rank (operators/rank.py — collected approx-quantile "
+    "boundary literals bucket every row by pure projection, then rank "
+    "= literal cumulative offset + row_number partitioned by bucket; "
+    "the orders fact table never funnels through one task), and "
+    "NTILE's base/remainder bucket arithmetic is replayed in closed "
+    "form from (rn, n). The oracle keeps DuckDB's plain NTILE window.",
 )
 def features_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from economic_data_etl_spark.operators.rank import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out="rn"
+    )
+    # 1-row count from a plain second scan of the source (scan-only
+    # lineage — no extra shuffle, and it keeps the ranked exchange
+    # single-consumer-per-branch for ReuseExchange).
+    n1 = orders.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        load_table(spark, sf_dir, "orders")
+        ranked.crossJoin(F.broadcast(n1))
         .select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+            "o_totalprice",
+            ntile_from_row_number(
+                F.col("rn"), F.col("__n"), 10
+            ).alias("decile"),
         )
         .groupBy("decile")
         .agg(
@@ -839,31 +860,34 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(0 = equal, 1 = winner-take-all) via the sorted-rank identity "
     "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — the same inequality "
     "measure data-curation pipelines apply to tokens-per-source. The "
-    "fact table collapses to one row per customer first; the rank "
-    "window runs over that customer-sized table only. Ties in revenue "
+    "fact table collapses to one row per customer first; the rank is "
+    "the DISTRIBUTED two-phase rank (operators/rank.py — boundary-"
+    "literal buckets + partitioned window), so even a billion-customer "
+    "table never funnels through one task, and n / total(rev) fold "
+    "into the same single-row final aggregate instead of unpartitioned "
+    "COUNT()/SUM() OVER () windows. Ties in revenue "
     "rank deterministically by o_custkey (the identity is "
     "tie-order-invariant, the determinism is for the hash compare).",
 )
 def agg_gini_revenue_concentration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from economic_data_etl_spark.operators.rank import (
+        with_global_row_number,
+    )
+
     cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
-    )
+    ranked = with_global_row_number(cust, ["rev", "o_custkey"], out="i")
+    n = F.count(F.lit(1)).cast("double")
     return ranked.agg(
-        F.any_value("n").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_customers"),
         _r(
             F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
-            / (F.any_value("n") * F.any_value("total"))
-            - (F.any_value("n") + F.lit(1.0)) / F.any_value("n")
+            / (n * F.sum("rev"))
+            - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )

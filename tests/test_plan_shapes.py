@@ -282,6 +282,32 @@ class TestRound3PlanShapes:
         assert "BroadcastNestedLoopJoin" in plan
         assert "ExistingRDD" in plan  # the checkpointed <=k candidates
 
+    @pytest.mark.parametrize(
+        "name", ["features_decile_bins", "agg_gini_revenue_concentration"]
+    )
+    def test_two_phase_rank_has_no_unpartitioned_window(
+        self, spark, sf_dir, name
+    ):
+        """The two-phase global rank (operators/rank.py) must rank
+        through a window PARTITIONED by the literal-driven range bucket
+        — exactly one such window, zero windows ordered directly on the
+        data columns with no partition (the single-task global sort the
+        operator exists to avoid). Bucket assignment compares against
+        COLLECTED boundary literals, so no branch depends on exchange
+        reuse for consistency."""
+        import re
+
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        final = buf.getvalue().split("Initial Plan")[0]
+        assert final.count("windowspecdefinition(__b") == 1, final
+        assert not re.findall(
+            r"windowspecdefinition\((?:o_totalprice|rev)", final
+        ), final
+
     def test_pareto_rank_runs_on_user_table_not_events(self, spark, sf_dir):
         """The global rank must sit ABOVE the per-user aggregation:
         |users| rows sort, not |events|. The aggregation below the
