@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_payload_compressibility",
     "multimodal_pdf_text_extract",
     "multimodal_html_text_extract",
+    "multimodal_html_main_content",
     "training_crawl_ingest",
     "crawl_url_dedup",
     "crawl_incremental_frontier",

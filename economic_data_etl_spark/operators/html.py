@@ -146,6 +146,197 @@ def encode_entities(s: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal), jusText-style.
+# ---------------------------------------------------------------------------
+# Containers whose text is site chrome, not document content. The tag
+# prior beats every content signal: prose inside a <footer> is still
+# boilerplate.
+_BOILER_TAGS = {"nav", "footer", "header", "aside"}
+
+# Small closed English stopword list for the prose-density signal
+# (jusText's stoplist idea, trimmed to the highest-frequency function
+# words; a closed set keeps the classifier deterministic and
+# SQL-replayable).
+_STOPWORDS = frozenset(
+    "a an and are as at be but by for from had has have he her his i in "
+    "is it its not of on or she that the their they this to was we were "
+    "will with you your our us".split()
+)
+
+_WORD_PUNCT = ".,;:!?'\"()[]"
+
+# Context-free thresholds (documented constants of the lane):
+MAX_LINK_DENSITY = 1.0 / 3.0  # above: link farm / menu
+MIN_BLOCK_CHARS = 25  # below: UI fragments ("Share", dates)
+SHORT_BLOCK_CHARS = 80  # 25..80 needs prose evidence (stopwords)
+MIN_STOP_DENSITY = 0.2
+
+
+def html_blocks(html: str) -> list[dict]:
+    """Tokenize markup into TEXT BLOCKS at block-tag boundaries,
+    tracking per block: whitespace-collapsed text, raw char count,
+    chars inside <a> elements (both measured pre-collapse, so link
+    density is layout-independent), and whether any of it sat inside a
+    boilerplate container (nav/footer/header/aside). Same tag-soup
+    rules as html_to_text (quoted '>' in attributes, raw-text
+    script/style bodies, comments); raw newlines are in-block
+    whitespace — blocks are defined by TAGS, not source formatting."""
+    blocks: list[dict] = []
+    cur: list[str] = []
+    raw_chars = 0
+    link_chars = 0
+    in_boiler = False
+    a_depth = 0
+    boiler_depth = 0
+
+    def flush() -> None:
+        nonlocal cur, raw_chars, link_chars, in_boiler
+        text = _WS_RE.sub(" ", "".join(cur)).strip()
+        if text:
+            blocks.append(
+                {
+                    "text": text,
+                    "raw_chars": raw_chars,
+                    "link_chars": link_chars,
+                    "boiler": in_boiler,
+                }
+            )
+        cur = []
+        raw_chars = 0
+        link_chars = 0
+        in_boiler = boiler_depth > 0
+
+    i, n = 0, len(html)
+    while i < n:
+        c = html[i]
+        if c != "<":
+            nxt = html.find("<", i)
+            if nxt == -1:
+                nxt = n
+            run = decode_entities(html[i:nxt])
+            cur.append(run)
+            stripped = len(run) - run.count("\n")  # raw newlines are ws
+            raw_chars += stripped
+            if a_depth > 0:
+                link_chars += stripped
+            if boiler_depth > 0:
+                in_boiler = True
+            i = nxt
+            continue
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end == -1 else end + 3
+            continue
+        closing = html.startswith("</", i)
+        j, name = _skip_tag(html, i)
+        if name in _RAW_TEXT_TAGS and not closing:
+            close = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(
+                html, j
+            )
+            j = n if close is None else close.end()
+        if name == "a":
+            a_depth = max(0, a_depth - 1) if closing else a_depth + 1
+        if name in _BOILER_TAGS:
+            flush()  # container boundary is also a block boundary
+            boiler_depth = (
+                max(0, boiler_depth - 1) if closing else boiler_depth + 1
+            )
+            in_boiler = boiler_depth > 0
+        elif name in _BLOCK_TAGS:
+            flush()
+        i = j
+    flush()
+    return blocks
+
+
+def classify_block(block: dict) -> str:
+    """Context-free jusText-style verdict for one block:
+    'bad_container' (inside nav/footer/header/aside — the tag prior
+    beats content), 'bad_links' (link density > 1/3: menus, link
+    farms), 'bad_short' (< 25 chars: UI fragments), 'bad_lowstop'
+    (25..79 chars with stopword density < 0.2: short non-prose), else
+    'good'."""
+    if block["boiler"]:
+        return "bad_container"
+    raw = block["raw_chars"]
+    if raw == 0 or block["link_chars"] / raw > MAX_LINK_DENSITY:
+        return "bad_links"
+    text = block["text"]
+    if len(text) < MIN_BLOCK_CHARS:
+        return "bad_short"
+    if len(text) < SHORT_BLOCK_CHARS:
+        words = text.split()
+        stops = sum(
+            w.strip(_WORD_PUNCT).lower() in _STOPWORDS for w in words
+        )
+        if not words or stops / len(words) < MIN_STOP_DENSITY:
+            return "bad_lowstop"
+    return "good"
+
+
+def html_main_content(html: str) -> str:
+    """Visible MAIN text of a page: html_blocks -> classify_block,
+    keep the good blocks, one per line. The trafilatura/jusText layer
+    a crawl pipeline runs between raw extraction and quality scoring."""
+    return "\n".join(
+        b["text"] for b in html_blocks(html) if classify_block(b) == "good"
+    )
+
+
+# Constant prose used by the certification page writer: stopword-rich
+# and >= 80 chars, so the article paragraphs classify 'good' by length
+# alone — survival never depends on the wrapped document's own text.
+PROSE_PREFIX = (
+    "This is the part of the page that you and we are here to read, "
+    "and it is the main content that a reader will want to keep."
+)
+CONST_PARA = (
+    "It was not a surprise that the main text of the article is what "
+    "we keep at the end of the day."
+)
+
+
+def write_article_page(title: str, text: str) -> str:
+    """Deterministic article page whose chrome plants one decoy per
+    bad-block rule: header/nav/footer containers (DECOYHEADER,
+    DECOYNAV, DECOYFOOTER — the footer is deliberately long prose, so
+    only the tag prior can reject it), a link farm outside any
+    container (DECOYLINKFARM, link density ~1), a short UI fragment
+    (Share), a mid-length low-stopword product string (DECOYMIDLEN),
+    plus the script/style/comment decoys of write_page. The article
+    body is PROSE_PREFIX + text and CONST_PARA — the only blocks that
+    must survive html_main_content."""
+    main = (PROSE_PREFIX + " " + (text or "")).strip()
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{encode_entities(title)}</title>"
+        "<style>p { color: red; } /* DECOYSTYLE > */</style>"
+        "<script>var x = '<p>DECOYSCRIPT</p>';</script>"
+        "</head><body>"
+        "<!-- DECOYCOMMENT <p>hidden</p> -->"
+        "<header><h1><a href='/'>DECOYHEADER The Site Of The Test"
+        "</a></h1></header>"
+        "<nav><ul><li><a href='/h'>DECOYNAV Home</a></li>"
+        "<li><a href='/n'>News and Politics of the Day</a></li>"
+        "</ul></nav>"
+        "<div class='share'>Share</div>"
+        "<p>DECOYMIDLEN Product Catalog Item Number Blue Widget "
+        "Edition</p>"
+        "<div class='sidebar'>"
+        "<a href='/1'>DECOYLINKFARM first promoted partner link goes "
+        "right here</a> "
+        "<a href='/2'>second promoted partner link text sits right "
+        "here</a></div>"
+        f"<article><p>{encode_entities(main)}</p>"
+        f"<p>{CONST_PARA}</p></article>"
+        "<footer>DECOYFOOTER It is a long footer that is written as "
+        "prose and it has many of the stopwords in it, so only the "
+        "container prior can reject it.</footer>"
+        "</body></html>"
+    )
+
+
 def write_page(title: str, paragraphs: list[str]) -> str:
     """Deterministic HTML page around the given text: entity-encoded
     paragraphs wrapped in boilerplate (head/script/style/nav/comments)

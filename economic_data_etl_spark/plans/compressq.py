@@ -323,6 +323,111 @@ def multimodal_html_text_extract(
     ).orderBy("doc_id")
 
 
+def _sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _main_content_oracle() -> str:
+    from economic_data_etl_spark.operators.html import (
+        CONST_PARA,
+        PROSE_PREFIX,
+    )
+
+    return f"""
+        SELECT doc_id,
+               md5(CASE WHEN trim(text) IS NULL OR trim(text) = ''
+                        THEN '{_sqlq(PROSE_PREFIX)}'
+                        ELSE '{_sqlq(PROSE_PREFIX)}' || ' ' ||
+                             trim(regexp_replace(text,
+                                  '[ \\t\\r\\n]+', ' ', 'g'))
+                   END || chr(10) || '{_sqlq(CONST_PARA)}')
+                   AS main_md5,
+               TRUE AS decoys_absent
+        FROM documents
+        WHERE doc_id < {_CERT_DOCS}
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_html_main_content",
+    oracle=_main_content_oracle(),
+    doc="Boilerplate removal (main-content extraction), the jusText-"
+    "style layer between raw HTML extraction and quality scoring "
+    "(operators/html.py: html_blocks/classify_block/"
+    "html_main_content): pages are tokenized into text blocks at "
+    "block-tag boundaries and each block is classified context-free — "
+    "nav/footer/header/aside container prior, link density > 1/3, "
+    "length < 25 chars, 25..79 chars with stopword density < 0.2. "
+    "Each sampled document is wrapped in a deterministic article page "
+    "planting ONE decoy per bad rule (a prose-length footer that only "
+    "the tag prior can reject, a link farm outside any container, a "
+    "Share fragment, a low-stopword product string, plus the "
+    "script/style/comment decoys); the article body is a constant "
+    "80+-char stopword-rich prefix + the document text, so survival "
+    "never depends on the wrapped text's own statistics and the "
+    "oracle reconstructs the surviving main text exactly "
+    "(md5-checked). decoys_absent must be constant TRUE. Arrow "
+    "mapInPandas lanes, O(page) per row, no shuffle beyond the "
+    "output sort.",
+)
+def multimodal_html_main_content(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CERT_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.html import (
+            html_main_content,
+            write_article_page,
+        )
+
+        decoys = (
+            "DECOYSTYLE",
+            "DECOYSCRIPT",
+            "DECOYCOMMENT",
+            "DECOYHEADER",
+            "DECOYNAV",
+            "DECOYMIDLEN",
+            "DECOYLINKFARM",
+            "DECOYFOOTER",
+            "Share",
+        )
+        for pdf_b in batches:
+            rows = []
+            for did, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                page = write_article_page(f"Doc {did}", text or "")
+                main = html_main_content(page)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "main": main,
+                        "decoys_absent": not any(
+                            d in main for d in decoys
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = docs.mapInPandas(
+        extract, "doc_id long, main string, decoys_absent boolean"
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("main")).alias("main_md5"),
+        "decoys_absent",
+    ).orderBy("doc_id")
+
+
 _WARC_DOCS_PER_FILE = 8
 
 

@@ -80,3 +80,98 @@ def test_property_writer_roundtrip(paras):
     ws = re.compile(r"[ \t\r\n\f\v ]+")
     want_lines = ["t"] + [ws.sub(" ", p).strip() for p in paras]
     assert got == "\n".join(ln for ln in want_lines if ln)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (jusText-style boilerplate removal)
+# ---------------------------------------------------------------------------
+from economic_data_etl_spark.operators.html import (  # noqa: E402
+    CONST_PARA,
+    PROSE_PREFIX,
+    classify_block,
+    html_blocks,
+    html_main_content,
+    write_article_page,
+)
+
+GOOD_PROSE = (
+    "This is a long enough piece of prose that it will be kept by the "
+    "classifier because it is the main content of the page."
+)
+
+
+def _verdicts(html):
+    return [(classify_block(b), b["text"]) for b in html_blocks(html)]
+
+
+def test_container_prior_beats_prose_length():
+    html = f"<footer>{GOOD_PROSE}</footer><p>{GOOD_PROSE}</p>"
+    vs = _verdicts(html)
+    assert vs[0][0] == "bad_container"
+    assert vs[1][0] == "good"
+
+
+def test_nested_containers_stay_boilerplate():
+    html = (
+        f"<nav><div><p>{GOOD_PROSE}</p></div></nav><p>{GOOD_PROSE}</p>"
+    )
+    vs = _verdicts(html)
+    assert [v for v, _ in vs] == ["bad_container", "good"]
+
+
+def test_unbalanced_container_close_clamps():
+    html = f"</footer></nav><p>{GOOD_PROSE}</p>"
+    assert _verdicts(html) == [("good", GOOD_PROSE)]
+
+
+def test_link_density_rule():
+    farm = (
+        "<div><a href='/1'>first long promoted link text here</a> "
+        "<a href='/2'>second long promoted link text here</a></div>"
+    )
+    assert _verdicts(farm)[0][0] == "bad_links"
+    # one short link inside long prose: density well under 1/3 -> good
+    mixed = f"<p>{GOOD_PROSE} <a href='/x'>ref</a></p>"
+    assert _verdicts(mixed)[0][0] == "good"
+
+
+def test_short_and_lowstop_rules():
+    assert _verdicts("<div>Share</div>")[0][0] == "bad_short"
+    assert (
+        _verdicts(
+            "<p>DECOYMIDLEN Product Catalog Item Number Blue Widget "
+            "Edition</p>"
+        )[0][0]
+        == "bad_lowstop"
+    )
+    # same mid length WITH stopwords -> good (prose evidence)
+    assert (
+        _verdicts("<p>It is the story of a dog and a cat in the sun "
+                  "by the sea.</p>")[0][0]
+        == "good"
+    )
+
+
+def test_article_page_keeps_exactly_the_article():
+    text = "Body words that the page carries for the reader to see."
+    main = html_main_content(write_article_page("T", text))
+    assert main == PROSE_PREFIX + " " + text + "\n" + CONST_PARA
+    for decoy in (
+        "DECOYHEADER",
+        "DECOYNAV",
+        "DECOYMIDLEN",
+        "DECOYLINKFARM",
+        "DECOYFOOTER",
+        "DECOYSTYLE",
+        "DECOYSCRIPT",
+        "DECOYCOMMENT",
+        "Share",
+    ):
+        assert decoy not in main
+
+
+def test_article_page_empty_text():
+    assert (
+        html_main_content(write_article_page("T", ""))
+        == PROSE_PREFIX + "\n" + CONST_PARA
+    )
