@@ -98,6 +98,7 @@ HEADLINE = [
     "multimodal_html_text_extract",
     "multimodal_html_main_content",
     "training_crawl_ingest",
+    "training_web_corpus_prep",
     "crawl_url_dedup",
     "crawl_incremental_frontier",
     "curation_bloom_decontaminate",
@@ -171,6 +172,7 @@ ISOLATED = {
     "multimodal_video_near_dup",
     "ml_kmeans_clusters",
     "ml_logreg_gd",
+    "training_web_corpus_prep",
 }
 
 

@@ -399,3 +399,303 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _canonicalized(spark, sf_dir).select("doc_id", "host", "path")
     out = robots.robots_filter(pages, rules)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end web-corpus composition: the crawl twin of
+# training_corpus_prep, chaining the whole certified ingestion stack.
+# ---------------------------------------------------------------------------
+_WEB_DOCS_PER_FILE = 8
+_WEB_TAU = 0.73  # keeps ~2/3 of extracted mains (probed 2026-08-16)
+_WEB_ROBOTS = "User-agent: *\nDisallow: /private/\n"
+
+
+def _web_raw_url(did: int) -> str:
+    """Messy-but-deterministic crawl URL for one doc (Python side —
+    runs inside the WARC writer lane). Every 5th doc aliases the
+    previous doc's URL (frontier-dedup fodder); every 7th base path is
+    robots-disallowed; host case, default port, tracking params and
+    fragment exercise the canonicalizer. The ORACLE replays only the
+    funnel semantics (p = base id, p % 7 = 3 disallowed) because the
+    alias classes themselves are already value-certified by
+    crawl_url_canonicalize."""
+    p = did - 1 if did % 5 == 4 else did
+    seg = "private" if p % 7 == 3 else "doc"
+    return (
+        f"HTTPS://WWW.Example.COM:443/{seg}/{p}"
+        f"?utm_source=feed&ref=rss#sec{did}"
+    )
+
+
+def _web_prep_oracle() -> str:
+    from economic_data_etl_spark.operators.html import (
+        CONST_PARA,
+        PROSE_PREFIX,
+    )
+
+    pfx = PROSE_PREFIX.replace("'", "''")
+    cst = CONST_PARA.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS p
+  FROM documents
+), main AS (
+  SELECT doc_id, p, (p % 7 <> 3) AS allowed,
+         CASE WHEN trim(text) IS NULL OR trim(text) = ''
+              THEN '{pfx}'
+              ELSE '{pfx}' || ' ' ||
+                   trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g'))
+         END || chr(10) || '{cst}' AS m
+  FROM base
+), uniqd AS (
+  SELECT doc_id, m FROM (
+    SELECT doc_id, m,
+           ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id) AS rn
+    FROM main WHERE allowed
+  ) WHERE rn = 1
+), q AS (
+  SELECT doc_id, m,
+         list_filter(string_split_regex(m, '\\s+'), x -> x <> '') AS qw
+  FROM uniqd
+), kept AS (
+  SELECT doc_id, m FROM (
+    SELECT doc_id, m,
+           ROUND(5e-10
+             + 0.5 * (CASE WHEN len(qw) > 0
+                           THEN len(list_distinct(qw)) * 1.0 / len(qw)
+                           ELSE 0.0 END)
+             + 0.3 * LEAST(len(qw) / 100.0, 1.0)
+             + 0.2 * (1.0 - CASE WHEN length(m) > 0
+                                 THEN length(regexp_replace(
+                                          m, '[a-zA-Z0-9\\s]', '', 'g'))
+                                      * 1.0 / length(m)
+                                 ELSE 0.0 END), 4) AS s
+    FROM q
+  ) WHERE s >= {_WEB_TAU}
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(m, '[ \\t\\n\\r]+'),
+                     x -> x <> '') AS w
+  FROM kept
+), g0 AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) >= 20
+                     THEN generate_series(1, len(w) - 19) ELSE [] END) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+19], ' ') AS gram
+  FROM g0
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+), dup AS (
+  SELECT doc_id, pos, pos + 20 AS e FROM ranked WHERE rn > 1
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos <= MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_span
+  FROM dup
+), spans AS (
+  SELECT doc_id,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id,
+         pos, e
+  FROM marked
+), agg AS (
+  SELECT doc_id, span_id, MIN(pos) AS st, MAX(e) AS e
+  FROM spans GROUP BY 1, 2
+), dt AS (
+  SELECT doc_id, SUM(e - st) AS dup_tokens FROM agg GROUP BY doc_id
+), clean AS (
+  SELECT t.doc_id, len(t.w) - COALESCE(d.dup_tokens, 0) AS n_clean
+  FROM toks t LEFT JOIN dt d USING (doc_id)
+), chunks AS (
+  SELECT n_clean,
+         CASE WHEN n_clean <= 32 THEN 1
+              ELSE 1 + CAST(FLOOR((n_clean - 32 + 23) / 24) AS BIGINT)
+         END AS n_chunks,
+         CASE WHEN n_clean >= 32
+              THEN CAST(FLOOR((n_clean - 32) / 24) AS BIGINT) + 1
+              ELSE 0 END AS full_chunks
+  FROM clean
+)
+SELECT * FROM (
+  SELECT '1_crawl_records' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS n_tokens FROM documents
+  UNION ALL
+  SELECT '2_robots_allowed', CAST(COUNT(*) AS BIGINT),
+         CAST(NULL AS BIGINT) FROM main WHERE allowed
+  UNION ALL
+  SELECT '3_frontier_unique', CAST(COUNT(*) AS BIGINT),
+         CAST(NULL AS BIGINT) FROM uniqd
+  UNION ALL
+  SELECT '4_quality_kept', CAST(COUNT(*) AS BIGINT),
+         CAST(NULL AS BIGINT) FROM kept
+  UNION ALL
+  SELECT '5_substring_clean', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_clean) AS BIGINT) FROM clean
+  UNION ALL
+  SELECT '6_chunks', CAST(SUM(n_chunks) AS BIGINT),
+         CAST(NULL AS BIGINT) FROM chunks
+  UNION ALL
+  SELECT '7_full_chunks', CAST(SUM(full_chunks) AS BIGINT),
+         CAST(NULL AS BIGINT) FROM chunks
+) ORDER BY stage
+"""
+
+
+@register(
+    "training_web_corpus_prep",
+    oracle=_web_prep_oracle(),
+    doc="END-TO-END web-corpus composition — the crawl twin of "
+    "training_corpus_prep, chaining the entire certified ingestion "
+    "stack in one declarative plan: documents are packed into WARC "
+    f"archives ({_WEB_DOCS_PER_FILE}/file, Content-Length-sliced) "
+    "under messy deterministic URLs, parsed back, and their article "
+    "pages run through MAIN-CONTENT extraction (jusText-style "
+    "boilerplate removal, decoy chrome planted); then URL "
+    "canonicalization (case/port/www/tracking aliases), the RFC-9309 "
+    "robots gate (Disallow: /private/), frontier dedup by canonical "
+    "URL (keep min doc_id), the quality gate (biased-rounded score >= "
+    f"{_WEB_TAU}), exact substring dedup (k=20 — which also excises "
+    "the shared article boilerplate, exactly what it exists for), and "
+    "the closed-form chunk budget. Output: the per-stage funnel a "
+    "crawl-data team reads before a run; the oracle replays every "
+    "stage in SQL. Scale shape: the heavy decode runs once in an "
+    "Arrow lane behind a lazy checkpoint, all gates are "
+    "broadcast/banded, the only corpus-keyed shuffles are the "
+    "frontier dedup (WindowGroupLimit) and the gram-keyed substring "
+    "pass.",
+)
+def training_web_corpus_prep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from economic_data_etl_spark.functions import text as T
+    from economic_data_etl_spark.operators import substring
+    from economic_data_etl_spark.operators.robots import (
+        compile_rules,
+        robots_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") / _WEB_DOCS_PER_FILE).cast("int").alias(
+            "file_id"
+        ),
+    )
+
+    def ingest(pdf_b: pd.DataFrame) -> pd.DataFrame:
+        from economic_data_etl_spark.operators.html import (
+            html_main_content,
+            write_article_page,
+        )
+        from economic_data_etl_spark.operators.warc import (
+            read_warc,
+            write_warc,
+        )
+
+        g = pdf_b.sort_values("doc_id")
+        dids = list(g["doc_id"])
+        archive = write_warc(
+            [
+                (
+                    _web_raw_url(int(did)),
+                    write_article_page(f"Doc {did}", text or "").encode(
+                        "utf-8"
+                    ),
+                )
+                for did, text in zip(dids, g["text"])
+            ]
+        )
+        rows = []
+        for did, rec in zip(dids, read_warc(archive)):
+            rows.append(
+                {
+                    "doc_id": did,
+                    "url": rec["headers"]["WARC-Target-URI"],
+                    "main": html_main_content(
+                        rec["payload"].decode("utf-8")
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    # the expensive Arrow lane (WARC build/parse + block classifier)
+    # runs ONCE; every funnel branch below reads the checkpointed
+    # (doc_id, url, main) rows — the extracted corpus a real pipeline
+    # would persist at this point anyway.
+    parsed = (
+        docs.groupBy("file_id")
+        .applyInPandas(ingest, "doc_id long, url string, main string")
+        .localCheckpoint(eager=False)
+    )
+    u = F.col("url")
+    canon = parsed.select(
+        "doc_id",
+        "main",
+        urls.canonical_url(u).alias("curl"),
+        urls.url_host(u).alias("host"),
+        urls.url_path(u).alias("path"),
+    )
+    rules = compile_rules(spark, {"example.com": _WEB_ROBOTS})
+    allowed = robots_filter(canon, rules).filter(F.col("allowed"))
+    uniq = (
+        allowed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("curl").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "main")
+    )
+    kept = uniq.filter(T.quality_score(F.col("main")) >= _WEB_TAU)
+    cleaned = substring.remove_duplicate_spans(
+        kept, "doc_id", "main", 20
+    ).localCheckpoint(eager=False)
+    n = F.col("n_clean_tokens")
+    n_chunks = (
+        F.when(n <= 32, F.lit(1))
+        .otherwise(F.lit(1) + F.floor((n - 32 + 23) / 24))
+        .cast("long")
+    )
+    full_chunks = (
+        F.when(n >= 32, F.floor((n - 32) / 24) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+    def stage(name: str, df: DataFrame, tok=None) -> DataFrame:
+        toks = (
+            F.sum(tok).cast("long")
+            if tok is not None
+            else F.lit(None).cast("long")
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            toks.alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "n_tokens")
+
+    def chunk_stage(name: str, expr) -> DataFrame:
+        return cleaned.agg(
+            F.sum(expr).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "n_tokens")
+
+    return (
+        stage("1_crawl_records", parsed)
+        .unionByName(stage("2_robots_allowed", allowed))
+        .unionByName(stage("3_frontier_unique", uniq))
+        .unionByName(stage("4_quality_kept", kept))
+        .unionByName(stage("5_substring_clean", cleaned, n))
+        .unionByName(chunk_stage("6_chunks", n_chunks))
+        .unionByName(chunk_stage("7_full_chunks", full_chunks))
+        .orderBy("stage")
+    )
