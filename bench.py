@@ -102,6 +102,7 @@ HEADLINE = [
     "crawl_url_dedup",
     "crawl_incremental_frontier",
     "curation_bloom_decontaminate",
+    "curation_decontam_excision",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",
@@ -173,6 +174,7 @@ ISOLATED = {
     "ml_kmeans_clusters",
     "ml_logreg_gd",
     "training_web_corpus_prep",
+    "curation_decontam_excision",
 }
 
 

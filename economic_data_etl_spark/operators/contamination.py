@@ -71,3 +71,54 @@ def contamination_report(
             ).alias("worst_bench_id"),
         )
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """(id, span_start, span_end): maximal token spans of training
+    docs covered by k-grams that occur ANYWHERE in the benchmark set —
+    the span set GPT-3-style decontamination excises (remove the
+    overlap, keep the document).
+
+    Shape at 100 TB: the bench k-gram set is built with the SAME
+    positioned-gram builder the substring-dedup stack uses (format
+    consistency by construction) and broadcast, so the corpus streams
+    through a broadcast hash join with no corpus shuffle; the only
+    per-doc wide op (span merge) carries HIT occurrences only.
+    """
+    from economic_data_etl_spark.operators.substring import (
+        kgram_occurrences,
+        merge_spans,
+    )
+
+    occ = kgram_occurrences(train, id_col, text_col, k)
+    bgrams = (
+        kgram_occurrences(bench, id_col, text_col, k)
+        .select("gram")
+        .distinct()
+    )
+    hits = occ.join(F.broadcast(bgrams), "gram").select(id_col, "pos")
+    return merge_spans(hits, id_col, k)
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Training docs with benchmark-overlapping spans excised: adds
+    ``clean_text`` and ``n_clean_tokens`` (same reassembly as
+    substring dedup's span removal). Dropping whole contaminated docs
+    wastes data; excising just the overlapping windows is the standard
+    middle ground."""
+    from economic_data_etl_spark.operators.substring import excise_spans
+
+    spans = contaminated_spans(train, bench, id_col, text_col, k)
+    return excise_spans(train, spans, id_col, text_col)

@@ -263,12 +263,23 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """Documents with duplicated spans excised: tokens whose 0-based
     index falls inside any merged span are dropped, survivors re-join
-    with single spaces. Adds ``clean_text`` and ``n_clean_tokens``.
+    with single spaces. Adds ``clean_text`` and ``n_clean_tokens``."""
+    spans = duplicate_spans(docs, id_col, text_col, k)
+    return excise_spans(docs, spans, id_col, text_col)
+
+
+def excise_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Excise token ranges from documents: given (id, span_start,
+    span_end) rows (end exclusive, token indices), drop the covered
+    tokens and re-join survivors with single spaces. Adds
+    ``clean_text`` and ``n_clean_tokens``. Shared by duplicate-span
+    removal and contamination excision.
 
     The reassembly is a narrow index-aware ``filter`` over the token
     array against the doc's (small) span list — no re-explode, no
     order-fragile collect_list."""
-    spans = duplicate_spans(docs, id_col, text_col, k)
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -358,3 +358,153 @@ def curation_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(stage(3, "decontam", final))
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination EXCISION (GPT-3 style: remove the overlap,
+# keep the document).
+# --------------------------------------------------------------------------
+_EXC_K = 3
+
+
+@register(
+    "curation_decontam_excision",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), tg AS (
+            SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= {_EXC_K}
+                               THEN generate_series(1, len(w) - {_EXC_K - 1})
+                               ELSE [] END) AS i
+            FROM toks WHERE source <> 'src0'
+        ), tgrams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(w[i:i+{_EXC_K - 1}], ' ') AS gram
+            FROM tg
+        ), bg AS (
+            SELECT w,
+                   unnest(CASE WHEN len(w) >= {_EXC_K}
+                               THEN generate_series(1, len(w) - {_EXC_K - 1})
+                               ELSE [] END) AS i
+            FROM toks WHERE source = 'src0'
+        ), bgrams AS (
+            SELECT DISTINCT array_to_string(w[i:i+{_EXC_K - 1}], ' ') AS gram
+            FROM bg
+        ), hits AS (
+            SELECT DISTINCT t.doc_id, t.pos
+            FROM tgrams t JOIN bgrams b USING (gram)
+        ), marked AS (
+            SELECT doc_id, pos, pos + {_EXC_K} AS e,
+                   CASE WHEN pos <= MAX(pos + {_EXC_K}) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 0 ELSE 1 END AS new_span
+            FROM hits
+        ), spans AS (
+            SELECT doc_id,
+                   SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS span_id,
+                   pos, e
+            FROM marked
+        ), agg AS (
+            SELECT doc_id, span_id, MIN(pos) AS st, MAX(e) AS e
+            FROM spans GROUP BY 1, 2
+        ), sstat AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_spans,
+                   SUM(e - st) AS contam_tokens
+            FROM agg GROUP BY doc_id
+        ), tokpos AS (
+            SELECT doc_id, w,
+                   unnest(CASE WHEN len(w) >= 1
+                               THEN generate_series(1, len(w))
+                               ELSE [] END) AS i
+            FROM toks WHERE source <> 'src0'
+        ), tp AS (
+            SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM tokpos
+        ), kept AS (
+            SELECT t.doc_id, t.idx, t.tok
+            FROM tp t LEFT JOIN agg s
+              ON t.doc_id = s.doc_id AND t.idx >= s.st AND t.idx < s.e
+            WHERE s.doc_id IS NULL
+        ), clean AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_clean,
+                   md5(string_agg(tok, ' ' ORDER BY idx)) AS cmd5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS contam_spans,
+               CAST(COALESCE(s.contam_tokens, 0) AS BIGINT)
+                   AS contam_tokens,
+               CAST(COALESCE(c.n_clean, 0) AS BIGINT) AS n_clean_tokens,
+               COALESCE(c.cmd5, md5('')) AS clean_md5
+        FROM (SELECT doc_id, w FROM toks WHERE source <> 'src0') t
+        LEFT JOIN sstat s USING (doc_id)
+        LEFT JOIN clean c USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+    doc="Benchmark decontamination EXCISION (operators/contamination.py:"
+    "contaminated_spans/remove_contaminated_spans — the GPT-3-style "
+    f"stage after the overlap report): every {_EXC_K}-token gram of a "
+    "training doc (source != src0) that occurs anywhere in the "
+    "benchmark set (source = src0) marks its window; overlapping "
+    "windows merge into maximal spans (the substring-dedup span "
+    "machinery) and the covered tokens are excised, keeping the rest "
+    "of the document instead of dropping it. Output: per-doc "
+    "accounting plus md5 of the cleaned text — the oracle replays "
+    "gram match, span merge, and reassembly token-for-token. Scale "
+    "shape: the bench gram set is broadcast (eval sets are megabytes, "
+    "the corpus is 100 TB), the corpus never shuffles for matching, "
+    "and the span merge carries hit occurrences only.",
+)
+def curation_decontam_excision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.contamination import (
+        contaminated_spans,
+    )
+    from economic_data_etl_spark.operators.substring import excise_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    spans = contaminated_spans(train, bench, "doc_id", "text", _EXC_K)
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("contam_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias(
+            "contam_tokens"
+        ),
+    )
+    cleaned = excise_spans(train, spans, "doc_id", "text")
+    # n_tokens = n_clean + contam by the excision conservation
+    # identity — avoids a third tokenization pass of the corpus.
+    return (
+        cleaned.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_clean_tokens")
+                + F.coalesce("contam_tokens", F.lit(0))
+            ).cast("long").alias("n_tokens"),
+            F.coalesce("contam_spans", F.lit(0)).cast("long").alias(
+                "contam_spans"
+            ),
+            F.coalesce("contam_tokens", F.lit(0)).cast("long").alias(
+                "contam_tokens"
+            ),
+            F.col("n_clean_tokens"),
+            F.md5(F.col("clean_text")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
