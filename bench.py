@@ -103,6 +103,7 @@ HEADLINE = [
     "crawl_incremental_frontier",
     "curation_bloom_decontaminate",
     "curation_decontam_excision",
+    "curation_incremental_sample",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",

@@ -624,3 +624,67 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_ISAMPLE_SPLIT = 300
+_ISAMPLE_OVERLAP = 250
+
+
+@register(
+    "curation_incremental_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   LN(({_BUCKET_SQL.format(salt="wsample-v1", key="doc_id")}
+                       + 0.5) / 65536.0) / n_chars AS rank_key
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               ROUND(5e-10 + rank_key, 4) AS rank_key
+        FROM keyed
+        ORDER BY keyed.rank_key DESC, doc_id
+        LIMIT {_WSAMPLE_K}
+    """,
+    doc="INCREMENTAL weighted reservoir sampling "
+    "(streaming/incremental_sample.py): the A-Res rank key "
+    "ln(u)/weight is deterministic per doc, so the weighted sample "
+    "without replacement is 'the k largest keys seen so far' — a "
+    "MERGEABLE top-k reservoir. A standing reservoir is built from "
+    f"docs below {_ISAMPLE_SPLIT}, a batch covering docs >= "
+    f"{_ISAMPLE_OVERLAP} folds in through the same union + "
+    "dedupe-by-doc + trim merge the streaming sink applies (the "
+    "overlap is a simulated redelivery, a no-op because a re-seen doc "
+    "carries the identical key), and the served sample is compared "
+    "against the FULL-corpus one-shot A-Res oracle — a green row "
+    "proves reservoir-merge == batch sample at the value level. "
+    "State and every fold are <= k rows regardless of stream size.",
+)
+def curation_incremental_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.streaming.incremental_sample import (
+        rank_keyed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    res0 = (
+        rank_keyed(docs.filter(F.col("doc_id") < _ISAMPLE_SPLIT))
+        .orderBy(F.desc("rk"), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+    batch = rank_keyed(
+        docs.filter(F.col("doc_id") >= _ISAMPLE_OVERLAP)
+    )
+    merged = (
+        res0.unionByName(batch)
+        .dropDuplicates(["doc_id"])
+        .orderBy(F.desc("rk"), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+    return merged.select(
+        "doc_id",
+        "source",
+        "weight",
+        biased_round(F.col("rk")).alias("rank_key"),
+    ).orderBy(F.desc("rank_key"), "doc_id")
