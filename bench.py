@@ -143,6 +143,9 @@ HEADLINE = [
     "ts_granger_lead_test",
     "training_dataset_card",
     "sketch_kll_quantiles",
+    "sketch_kmv_distinct_rollup",
+    "sketch_kmv_set_overlap",
+    "sketch_kmv_incremental",
     "agg_price_index_chained",
     "agg_quantity_index_fisher",
 ]

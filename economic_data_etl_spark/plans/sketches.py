@@ -457,3 +457,413 @@ def inv_kll_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "q double, within_bound int"
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: the VALUE-CHECKED twin of the HLL
+# rollup, plus the set-operation estimates HLL cannot provide.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_HASH_RANGE_SQL = "1152921504606846976.0"  # 2^60
+
+
+def _kmv_rollup_oracle() -> str:
+    from economic_data_etl_spark.operators.kmv import KMV_HASH_SQL
+
+    h = KMV_HASH_SQL.format(key="user_id")
+    return f"""
+        WITH dh AS (
+            SELECT DISTINCT event_type AS grp, {h} AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), sk AS (
+            SELECT grp, h, rn FROM (
+                SELECT grp, h,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+                           AS rn
+                FROM dh
+            ) WHERE rn <= {_KMV_K}
+        ), allsk AS (
+            SELECT 'ALL' AS grp, h, rn FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM sk)
+            ) WHERE rn <= {_KMV_K}
+        ), est AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                   CASE WHEN COUNT(*) < {_KMV_K}
+                        THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K}
+                             THEN (h + 1) / {_KMV_HASH_RANGE_SQL} END)
+                   END AS est
+            FROM (SELECT * FROM sk UNION ALL SELECT * FROM allsk)
+            GROUP BY grp
+        ), exact AS (
+            SELECT event_type AS grp,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events
+        )
+        SELECT e.grp AS event_type, s.n_sketch,
+               ROUND(5e-10 + s.est, 4) AS approx_users,
+               e.exact_users
+        FROM est s JOIN exact e USING (grp)
+        ORDER BY event_type
+    """
+
+
+@register(
+    "sketch_kmv_distinct_rollup",
+    oracle=_kmv_rollup_oracle(),
+    doc="KMV (k-minimum-values, Beyer et al. 2007) distinct-user "
+    "rollup — the VALUE-CHECKED twin of sketch_hll_distinct_rollup: "
+    f"per event_type the {_KMV_K} smallest distinct md5 user hashes, "
+    "estimate (k-1)/U_k (exact below k); the overall level merges the "
+    "per-type sketches (k smallest of their union) WITHOUT re-touching "
+    "raw keys — the mergeable-rollup property, but with every sketch "
+    "row and estimate replayed by DuckDB because the hash is the "
+    "repo's portable md5 and the long->double normalization rounds "
+    "IEEE-identically on both engines (HLL's estimates are "
+    "implementation-specific; KMV's are bit-portable). Scale: distinct "
+    "collapses map-side, rank<=k compiles to WindowGroupLimit, merges "
+    "read k-bounded sketch rows only.",
+)
+def sketch_kmv_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch_by,
+    )
+    from economic_data_etl_spark.plans.catalog import biased_round
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_by(ev, "user_id", "event_type", _KMV_K)
+    ests = kmv_estimate(sk, _KMV_K).unionByName(
+        kmv_estimate(kmv_merge(sk, _KMV_K), _KMV_K)
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").alias("exact_users")
+            ).select(F.lit("ALL").alias("grp"), "exact_users")
+        )
+    )
+    return (
+        ests.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_sketch",
+            biased_round(F.col("est")).alias("approx_users"),
+            F.col("exact_users").cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "inv_kmv_error_bound",
+    oracle="""
+        SELECT grp, CAST(1 AS INT) AS within_bound
+        FROM (SELECT unnest(['ALL', 'click', 'error', 'purchase',
+                             'signup', 'view']) AS grp)
+        ORDER BY grp
+    """,
+    doc="Certificate for the KMV sketch: at every rollup level the "
+    "measured relative error |est - exact| / exact must stay within "
+    f"3/sqrt(k-2) (~{3 / (62 ** 0.5):.3f} at k={_KMV_K} — three "
+    "standard deviations of the Beyer et al. estimator; groups below "
+    "k distinct are exact, error 0). The oracle is the constant "
+    "all-TRUE table, so a bound violation at sf0.01 fails the "
+    "driver's value hash — the statistical-quality claim the "
+    "value-equality check alone cannot express (both engines would "
+    "agree on a BAD estimate).",
+)
+def inv_kmv_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_by(ev, "user_id", "event_type", _KMV_K)
+    ests = kmv_estimate(sk, _KMV_K).unionByName(
+        kmv_estimate(kmv_merge(sk, _KMV_K), _KMV_K)
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact")).select(
+                F.lit("ALL").alias("grp"), "exact"
+            )
+        )
+    )
+    bound = 3.0 / float((_KMV_K - 2) ** 0.5)
+    return (
+        ests.join(exact, "grp")
+        .select(
+            "grp",
+            F.when(
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact")
+                <= F.lit(bound),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard from two sketches.
+# ---------------------------------------------------------------------------
+_KMV_SO_K = 128
+_KMV_PRIOS = ("1-URGENT", "2-HIGH")
+
+
+def _kmv_overlap_oracle() -> str:
+    from economic_data_etl_spark.operators.kmv import KMV_HASH_SQL
+
+    h = KMV_HASH_SQL.format(key="o_custkey")
+    y_a, y_b = _KMV_PRIOS
+    k = _KMV_SO_K
+    return f"""
+        WITH keys AS (
+            SELECT o_orderpriority AS grp, o_custkey, {h} AS h
+            FROM orders
+            WHERE o_orderpriority IN ('{y_a}', '{y_b}')
+        ), dh AS (
+            SELECT DISTINCT grp, h FROM keys
+        ), sk AS (
+            SELECT grp, h, rn FROM (
+                SELECT grp, h,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+                           AS rn
+                FROM dh
+            ) WHERE rn <= {k}
+        ), comb AS (
+            SELECT h, rn FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM sk)
+            ) WHERE rn <= {k}
+        ), marked AS (
+            SELECT c.h, c.rn,
+                   CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END
+                   * CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+            FROM comb c
+            LEFT JOIN (SELECT h FROM sk WHERE grp = '{y_a}') a
+                   ON c.h = a.h
+            LEFT JOIN (SELECT h FROM sk WHERE grp = '{y_b}') b
+                   ON c.h = b.h
+        ), est AS (
+            SELECT COUNT(*) AS n_comb,
+                   SUM(in_both) AS n_both,
+                   CASE WHEN COUNT(*) < {k}
+                        THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE {k - 1}.0 / MAX(CASE WHEN rn = {k}
+                             THEN (h + 1) / {_KMV_HASH_RANGE_SQL} END)
+                   END AS est_union
+            FROM marked
+        ), exact AS (
+            SELECT
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union,
+              CAST(COUNT(DISTINCT CASE WHEN in_a AND in_b
+                                       THEN o_custkey END) AS BIGINT)
+                  AS exact_intersect
+            FROM (
+              SELECT o_custkey,
+                     BOOL_OR(o_orderpriority = '{y_a}') AS in_a,
+                     BOOL_OR(o_orderpriority = '{y_b}') AS in_b
+              FROM orders
+              WHERE o_orderpriority IN ('{y_a}', '{y_b}')
+              GROUP BY o_custkey
+            )
+        )
+        SELECT ROUND(5e-10 + e.est_union, 4) AS est_union,
+               ROUND(5e-10 + e.n_both * 1.0 / e.n_comb, 4)
+                   AS est_jaccard,
+               ROUND(5e-10 + (e.n_both * 1.0 / e.n_comb) * e.est_union,
+                     4) AS est_intersect,
+               x.exact_union, x.exact_intersect
+        FROM est e, exact x
+    """
+
+
+@register(
+    "sketch_kmv_set_overlap",
+    oracle=_kmv_overlap_oracle(),
+    doc="KMV multiset operations (Beyer et al. 2007) — the estimates "
+    "an HLL cannot provide without inclusion-exclusion error blowup: "
+    f"customers with {_KMV_PRIOS[0]} vs {_KMV_PRIOS[1]} orders are "
+    f"sketched (k={_KMV_SO_K} smallest distinct md5 customer hashes "
+    "each; the fixture sets genuinely part-overlap, Jaccard ~0.76), "
+    "union sketch is the k smallest of the two sketches' union, "
+    "Jaccard = |combined AND in-both| / |combined|, and the "
+    "intersection estimate is Jaccard x union estimate. Exact "
+    "union/intersection computed alongside for the visible-error "
+    "report; DuckDB replays sketches and every estimate value-for-"
+    "value (the md5 hash and the long->double normalization are "
+    "bit-portable). Scale: only sketch rows (k-bounded) ever join; "
+    "the raw part keys collapse map-side in the distinct.",
+)
+def sketch_kmv_set_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.kmv import (
+        HASH_RANGE,
+        kmv_merge,
+        kmv_sketch_by,
+    )
+    from economic_data_etl_spark.plans.catalog import biased_round
+
+    y_a, y_b = _KMV_PRIOS
+    k = _KMV_SO_K
+    li = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(*_KMV_PRIOS))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            "o_custkey",
+        )
+    )
+    sk = kmv_sketch_by(li, "o_custkey", "grp", k)
+    comb = kmv_merge(sk, k)
+    a_h = sk.filter(F.col("grp") == y_a).select(
+        "h", F.lit(1).alias("ina")
+    )
+    b_h = sk.filter(F.col("grp") == y_b).select(
+        "h", F.lit(1).alias("inb")
+    )
+    marked = (
+        comb.join(F.broadcast(a_h), "h", "left")
+        .join(F.broadcast(b_h), "h", "left")
+        .select(
+            "h",
+            "rn",
+            (F.coalesce("ina", F.lit(0)) * F.coalesce("inb", F.lit(0))
+             ).alias("both"),
+        )
+    )
+    est = marked.agg(
+        F.count(F.lit(1)).alias("n_comb"),
+        F.sum("both").alias("n_both"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1))
+            / F.max(
+                F.when(
+                    F.col("rn") == k,
+                    (F.col("h") + 1) / F.lit(HASH_RANGE),
+                )
+            )
+        )
+        .alias("est_union"),
+    )
+    exact = (
+        li.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("grp") == y_a).alias("in_a"),
+            F.max(F.col("grp") == y_b).alias("in_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                (F.col("in_a") & F.col("in_b")).cast("long")
+            ).cast("long").alias("exact_intersect"),
+        )
+    )
+    jac = F.col("n_both") / F.col("n_comb")
+    return est.crossJoin(F.broadcast(exact)).select(
+        biased_round(F.col("est_union")).alias("est_union"),
+        biased_round(jac).alias("est_jaccard"),
+        biased_round(jac * F.col("est_union")).alias("est_intersect"),
+        "exact_union",
+        "exact_intersect",
+    )
+
+
+_KMVI_SPLIT = 600
+_KMVI_OVERLAP = 400
+
+
+@register(
+    "sketch_kmv_incremental",
+    oracle=_kmv_rollup_oracle(),
+    doc="INCREMENTAL KMV (streaming/incremental_kmv.py): per-group "
+    "k-minimum-values state is mergeable exactly like the weighted "
+    "reservoir — the k smallest distinct hashes of a union come from "
+    "the k smallest of each side, and the md5 hash is deterministic "
+    "per key. A standing sketch is built from events below event_id "
+    f"{_KMVI_SPLIT}, a batch covering event_id >= {_KMVI_OVERLAP} "
+    "folds in through the same union+distinct+trim merge the "
+    "streaming sink applies (the overlap is a simulated redelivery, a "
+    "no-op by the math), and the served rollup estimates are compared "
+    "against the FULL-corpus one-shot KMV oracle — a green row proves "
+    "sketch-merge == batch sketch at the value level, per group AND "
+    "at the merged ALL level.",
+)
+def sketch_kmv_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch_by,
+    )
+    from economic_data_etl_spark.plans.catalog import biased_round
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sk0 = kmv_sketch_by(
+        ev.filter(F.col("event_id") < _KMVI_SPLIT),
+        "user_id",
+        "event_type",
+        _KMV_K,
+    )
+    sk_batch = kmv_sketch_by(
+        ev.filter(F.col("event_id") >= _KMVI_OVERLAP),
+        "user_id",
+        "event_type",
+        _KMV_K,
+    )
+    merged = (
+        sk0.select("grp", "h")
+        .unionByName(sk_batch.select("grp", "h"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    sk = merged.select("grp", "h", rn.alias("rn")).filter(
+        F.col("rn") <= _KMV_K
+    )
+    ests = kmv_estimate(sk, _KMV_K).unionByName(
+        kmv_estimate(kmv_merge(sk, _KMV_K), _KMV_K)
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").alias("exact_users")
+            ).select(F.lit("ALL").alias("grp"), "exact_users")
+        )
+    )
+    return (
+        ests.join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n_sketch",
+            biased_round(F.col("est")).alias("approx_users"),
+            F.col("exact_users").cast("long"),
+        )
+        .orderBy("event_type")
+    )
