@@ -134,6 +134,7 @@ HEADLINE = [
     "agg_gini_revenue_concentration",
     "ts_seasonal_decompose",
     "ts_incremental_cusum",
+    "ts_holt_winters_forecast",
     "agg_price_index_fisher",
     "agg_herfindahl_concentration",
     "text_corpus_divergence_kl",

@@ -822,3 +822,141 @@ def ts_cross_correlation_lags(
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters forecasting (the engine's first true forecaster).
+# --------------------------------------------------------------------------
+_HW_H = 7
+
+
+def _hw_oracle() -> str:
+    from economic_data_etl_spark.operators.holtwinters import (
+        ALPHA,
+        BETA,
+        GAMMA,
+        ONE_M_ALPHA,
+        ONE_M_BETA,
+        ONE_M_GAMMA,
+    )
+
+    ys = [f"y{i}" for i in range(1, 15)]
+    pivot = ",\n                   ".join(
+        f"MAX(CASE WHEN p = {i} THEN total END) AS y{i}"
+        for i in range(1, 15)
+    )
+    sum1 = "(" * 6 + "+".join([]) or ""
+    # explicit left-associated sums, matching the Spark fold exactly
+    def lsum(names):
+        expr = names[0]
+        for nm in names[1:]:
+            expr = f"({expr}+{nm})"
+        return expr
+
+    l0 = f"{lsum(ys[:7])}/7.0"
+    b0 = f"(({lsum(ys[7:14])}/7.0) - ({l0}))/7.0"
+    s_init = ",\n                   ".join(
+        f"y{j + 1} - ({l0}) AS s{j}" for j in range(7)
+    )
+    s_j = (
+        "CASE s.t % 7 "
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END"
+    )
+    l_new = f"{ALPHA}*(r.total - {s_j}) + {ONE_M_ALPHA}*(s.l + s.b)"
+    s_cols = ",\n                   ".join(
+        f"CASE WHEN s.t % 7 = {j} "
+        f"THEN {GAMMA}*(r.total - ({l_new})) + {ONE_M_GAMMA}*({s_j}) "
+        f"ELSE s.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    s_fc = (
+        "CASE (f.n + h.h - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN f.s{j}" for j in range(7))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), rn AS (
+            SELECT event_type, day, total,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS p,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   MAX(day) OVER (PARTITION BY event_type) AS last_day
+            FROM daily
+        ), keys AS (
+            SELECT event_type, MAX(n) AS n, MAX(last_day) AS last_day
+            FROM rn GROUP BY 1 HAVING MAX(n) >= 14
+        ), piv AS (
+            SELECT event_type,
+                   {pivot}
+            FROM rn WHERE p <= 14 GROUP BY event_type
+        ), init AS (
+            SELECT p.event_type,
+                   {l0} AS l,
+                   {b0} AS b,
+                   {s_init}
+            FROM piv p JOIN keys USING (event_type)
+        ), state AS (
+            SELECT event_type, 7 AS t, l, b, s0, s1, s2, s3, s4, s5, s6
+            FROM init
+            UNION ALL
+            SELECT s.event_type, s.t + 1,
+                   {l_new} AS l,
+                   {BETA}*(({l_new}) - s.l) + {ONE_M_BETA}*s.b AS b,
+                   {s_cols}
+            FROM state s JOIN rn r
+              ON r.event_type = s.event_type AND r.p = s.t + 1
+        ), fitted AS (
+            SELECT s.* , k.n, k.last_day
+            FROM state s JOIN keys k
+              ON k.event_type = s.event_type AND s.t = k.n
+        )
+        SELECT f.event_type,
+               CAST(h.h AS INT) AS h,
+               CAST(f.last_day AS DATE) + CAST(h.h AS INT) AS forecast_day,
+               ROUND(5e-10 + f.l + h.h * f.b + {s_fc}, 4) AS yhat
+        FROM fitted f
+        CROSS JOIN (SELECT unnest(generate_series(1, {_HW_H})) AS h) h
+        ORDER BY f.event_type, h.h
+    """
+
+
+@register(
+    "ts_holt_winters_forecast",
+    oracle=_hw_oracle(),
+    doc="Additive Holt-Winters (triple exponential smoothing) 7-day "
+    "forecast per event_type over the daily totals — the engine's "
+    "first true FORECASTER next to the descriptive seasonal/CUSUM/"
+    "trend lanes (operators/holtwinters.py). Level/trend/weekly-"
+    "seasonal recurrence with fixed (0.3, 0.1, 0.2) smoothing and "
+    "classical first-two-weeks init, every sum written left-"
+    "associated and every 1-x complement passed as its own literal so "
+    "the DuckDB oracle — which replays the ENTIRE recurrence as a "
+    "recursive CTE — reproduces each IEEE double bit-for-bit. Scale "
+    "shape: one (key, day) shuffle collapses the stream, then the "
+    "whole fit is a Catalyst aggregate-fold over a days-sized array "
+    "per key — zero Python, zero further shuffles, parallel across "
+    "keys.",
+)
+def ts_holt_winters_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    daily = _daily_totals(spark, sf_dir).select(
+        "event_type", "day", "total"
+    )
+    fc = holt_winters_forecast(daily, horizon=_HW_H)
+    return fc.select(
+        "event_type",
+        "h",
+        "forecast_day",
+        _r(F.col("yhat")).alias("yhat"),
+    ).orderBy("event_type", "h")

@@ -207,3 +207,61 @@ def test_quantity_index_on_uniform_volume_growth(spark):
         r = out[yr]
         for c in ("laspeyres_q", "paasche_q", "fisher_q", "value_ratio"):
             assert abs(getattr(r, c) - want) < 1e-12, (yr, c)
+
+
+def test_holt_winters_tracks_planted_trend_plus_seasonality(spark):
+    """Noiseless y_t = a + b*t + s_{t mod 7} (zero-sum weekly
+    pattern): after enough observations the smoother's forecasts must
+    track the true continuation closely (the recurrence is a
+    contraction; init bias decays geometrically). Also pins horizon
+    shape and date arithmetic."""
+    import datetime
+
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    a, b = 100.0, 2.0
+    s = [6.0, -3.0, 1.0, -4.0, 5.0, -2.0, -3.0]  # sums to 0
+    n = 140  # 20 weeks
+    rows = [
+        (
+            "k",
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=t),
+            a + b * t + s[t % 7],
+        )
+        for t in range(n)
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day timestamp, total double"
+    )
+    got = holt_winters_forecast(daily, horizon=7).collect()
+    assert len(got) == 7
+    for r in got:
+        t = n + r.h - 1  # forecast position (0-based)
+        truth = a + b * t + s[t % 7]
+        assert abs(r.yhat - truth) / truth < 0.02, (r.h, r.yhat, truth)
+        assert r.forecast_day == (
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=t)
+        )
+
+
+def test_holt_winters_drops_short_series(spark):
+    import datetime
+
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    rows = [
+        (
+            "short",
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=t),
+            float(t),
+        )
+        for t in range(13)  # < 2*M
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day timestamp, total double"
+    )
+    assert holt_winters_forecast(daily, horizon=7).count() == 0
