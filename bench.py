@@ -135,6 +135,7 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "ts_incremental_cusum",
     "ts_holt_winters_forecast",
+    "ts_incremental_holt_winters",
     "agg_price_index_fisher",
     "agg_herfindahl_concentration",
     "text_corpus_divergence_kl",

@@ -960,3 +960,50 @@ def ts_holt_winters_forecast(
         "forecast_day",
         _r(F.col("yhat")).alias("yhat"),
     ).orderBy("event_type", "h")
+
+
+@register(
+    "ts_incremental_holt_winters",
+    oracle=_hw_oracle(),
+    doc="INCREMENTAL Holt-Winters: the forecaster served from the "
+    "SAME standing daily-totals index the CUSUM and seasonal lanes "
+    f"maintain — events arrive in {_CUSUM_BATCHES} simulated "
+    "micro-batches (one REDELIVERED, dropped by the batch-id-keyed "
+    "dedup), the additive fold rebuilds days x types, and the "
+    "Catalyst-fold recurrence fits on the folded index. The oracle is "
+    "the FULL-DATA recursive-CTE replay, so a green row proves "
+    "fold-then-forecast equals one-shot-forecast at the value level — "
+    "one standing index now serves changepoint, seasonal, and "
+    "forecasting without re-touching the event stream.",
+)
+def ts_incremental_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.cusum import daily_totals
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = []
+    for b in range(_CUSUM_BATCHES):
+        batch = ev.filter(F.col("event_id") % _CUSUM_BATCHES == b)
+        part = daily_totals(batch).withColumn("batch_id", F.lit(b))
+        partials.append(part)
+        if b == 1:  # redelivered micro-batch: same id, same content
+            partials.append(part)
+    appended = partials[0]
+    for p in partials[1:]:
+        appended = appended.unionByName(p)
+    merged = (
+        appended.dropDuplicates(["batch_id", "event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(F.sum("total").alias("total"))
+    )
+    fc = holt_winters_forecast(merged, horizon=_HW_H)
+    return fc.select(
+        "event_type",
+        "h",
+        "forecast_day",
+        _r(F.col("yhat")).alias("yhat"),
+    ).orderBy("event_type", "h")
