@@ -110,6 +110,8 @@ HEADLINE = [
     "text_bm25_incremental",
     "text_phrase_search",
     "text_phrase_incremental",
+    "governance_erasure_bm25",
+    "governance_erasure_phrase",
     "retrieval_hybrid_rrf",
     "curation_source_quota",
     "graph_triangle_census",

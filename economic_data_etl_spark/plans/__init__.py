@@ -39,6 +39,7 @@ from economic_data_etl_spark.plans import jdbc_sink  # noqa: E402,F401
 from economic_data_etl_spark.plans import media_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401
 from economic_data_etl_spark.plans import events2  # noqa: E402,F401
+from economic_data_etl_spark.plans import governance  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph  # noqa: E402,F401
 from economic_data_etl_spark.plans import graph2  # noqa: E402,F401
 from economic_data_etl_spark.plans import statistics  # noqa: E402,F401
