@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_chunk_exact",
     "training_chunk_documents",
     "training_corpus_prep",
+    "training_span_corruption",
     "dedup_cluster_representatives",
     "sketch_heavy_hitters_bigrams",
     "sketch_cms_frequency",
@@ -104,6 +105,7 @@ HEADLINE = [
     "curation_bloom_decontaminate",
     "curation_decontam_excision",
     "curation_incremental_sample",
+    "curation_blocklist_filter",
     "text_compression_ratio",
     "text_importance_weights",
     "text_bm25_retrieval",

@@ -732,3 +732,117 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_incremental_pairs(
         index, batch, cents, _SEM_TAU, probes=_SEM_PROBES
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Blocklist gating: word + phrase lexicon filter.
+# --------------------------------------------------------------------------
+_BLOCK_WORDS = ("error", "slow")
+_BLOCK_PHRASES = (("stream", "table", "hash"),)
+_BLOCK_MAX_WORD_FRAC = 0.05  # > 5% blocked tokens -> drop
+# any phrase hit -> drop
+
+
+@register(
+    "curation_blocklist_filter",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, source, len(w) AS n_tokens,
+                 len(list_filter(w, t -> t IN
+                     ({", ".join(f"'{{x}}'".format(x=x) for x in _BLOCK_WORDS)}))) AS word_hits,
+                 len(list_filter(
+                     CASE WHEN len(w) >= 3
+                          THEN generate_series(1, len(w) - 2)
+                          ELSE [] END,
+                     i -> w[i] = 'stream' AND w[i+1] = 'table'
+                          AND w[i+2] = 'hash')) AS phrase_hits
+          FROM toks
+        ), verdicts AS (
+          SELECT source,
+                 CAST(word_hits AS BIGINT) AS word_hits,
+                 CAST(phrase_hits AS BIGINT) AS phrase_hits,
+                 (phrase_hits > 0 OR (n_tokens > 0 AND
+                  word_hits * 1.0 / n_tokens > {_BLOCK_MAX_WORD_FRAC}))
+                     AS dropped
+          FROM scored
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(word_hits) AS BIGINT) AS total_word_hits,
+               CAST(SUM(phrase_hits) AS BIGINT) AS total_phrase_hits
+        FROM verdicts
+        GROUP BY source ORDER BY source
+    """,
+    doc="Blocklist gating — the lexicon filter every production "
+    "curation pipeline runs (profanity/spam/boilerplate lists): "
+    f"token-exact word hits against {_BLOCK_WORDS!r} and exact "
+    "phrase hits against the 3-gram "
+    f"{' '.join(_BLOCK_PHRASES[0])!r}; a doc drops on ANY phrase hit "
+    f"or a blocked-word fraction above {_BLOCK_MAX_WORD_FRAC}. "
+    "Per-source accounting (docs, drops, hit totals). EVERYTHING is "
+    "per-row narrow array expressions over one tokenization — the "
+    "blocklist is a literal, the corpus never shuffles before the "
+    "sources-sized summary. The oracle replays hits, verdicts, and "
+    "accounting per source.",
+)
+def curation_blocklist_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.substring import word_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", word_array(F.col("text")).alias("w")
+    )
+    w = F.col("w")
+    words = F.array(*[F.lit(x) for x in _BLOCK_WORDS])
+    word_hits = F.size(
+        F.filter(w, lambda t: F.array_contains(words, t))
+    )
+    ph = _BLOCK_PHRASES[0]
+    phrase_hits = F.when(
+        F.size(w) >= len(ph),
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(w) - (len(ph) - 1)),
+                lambda i: (F.element_at(w, i) == ph[0])
+                & (F.element_at(w, i + 1) == ph[1])
+                & (F.element_at(w, i + 2) == ph[2]),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    scored = toks.select(
+        "source",
+        F.size(w).alias("n_tokens"),
+        word_hits.cast("long").alias("word_hits"),
+        phrase_hits.cast("long").alias("phrase_hits"),
+    )
+    dropped = (F.col("phrase_hits") > 0) | (
+        (F.col("n_tokens") > 0)
+        & (
+            F.col("word_hits") / F.col("n_tokens")
+            > F.lit(_BLOCK_MAX_WORD_FRAC)
+        )
+    )
+    return (
+        scored.withColumn("dropped", dropped)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("dropped").cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("word_hits").cast("long").alias("total_word_hits"),
+            F.sum("phrase_hits")
+            .cast("long")
+            .alias("total_phrase_hits"),
+        )
+        .orderBy("source")
+    )

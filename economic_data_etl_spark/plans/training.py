@@ -688,3 +688,140 @@ def curation_incremental_sample(
         "weight",
         biased_round(F.col("rk")).alias("rank_key"),
     ).orderBy(F.desc("rank_key"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (denoising-objective training data).
+# --------------------------------------------------------------------------
+_T5_PCT = 5
+_T5_LEN = 3
+
+
+def _t5_oracle() -> str:
+    from economic_data_etl_spark.operators.corruption import SALT
+
+    b = (
+        "(('0x' || substring(md5('"
+        + SALT
+        + "' || CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(p AS VARCHAR)), 1, 4))::BIGINT)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, len(w) AS n,
+                 unnest(CASE WHEN len(w) >= 1
+                             THEN generate_series(0, len(w) - 1)
+                             ELSE [] END) AS p
+          FROM toks
+        ), starts AS (
+          SELECT doc_id, p, LEAST(p + {_T5_LEN}, n) AS e
+          FROM pos WHERE {b} % 100 < {_T5_PCT}
+        ), marked AS (
+          SELECT doc_id, p, e,
+                 CASE WHEN p <= MAX(e) OVER (
+                          PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+                      THEN 0 ELSE 1 END AS new_span
+          FROM starts
+        ), islands AS (
+          SELECT doc_id,
+                 SUM(new_span) OVER (
+                     PARTITION BY doc_id ORDER BY p) AS sid,
+                 p, e
+          FROM marked
+        ), spans AS (
+          SELECT doc_id, MIN(p) AS st, MAX(e) AS en,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY MIN(p)) - 1
+                     AS INT) AS i
+          FROM islands GROUP BY doc_id, sid
+        ), tp AS (
+          SELECT t.doc_id, t.w,
+                 unnest(CASE WHEN len(t.w) >= 1
+                             THEN generate_series(0, len(t.w) - 1)
+                             ELSE [] END) AS p
+          FROM toks t
+        ), rendered AS (
+          SELECT t.doc_id, t.p,
+                 CASE WHEN s_at.i IS NOT NULL
+                      THEN '<extra_id_' || CAST(s_at.i AS VARCHAR)
+                           || '>'
+                      WHEN s_in.doc_id IS NOT NULL THEN NULL
+                      ELSE t.w[t.p + 1]
+                 END AS part
+          FROM tp t
+          LEFT JOIN spans s_at
+            ON s_at.doc_id = t.doc_id AND s_at.st = t.p
+          LEFT JOIN spans s_in
+            ON s_in.doc_id = t.doc_id
+           AND t.p > s_in.st AND t.p < s_in.en
+        ), inputs AS (
+          SELECT doc_id,
+                 string_agg(part, ' ' ORDER BY p) AS input_text
+          FROM rendered WHERE part IS NOT NULL GROUP BY doc_id
+        ), targets AS (
+          SELECT s.doc_id,
+                 string_agg('<extra_id_' || CAST(s.i AS VARCHAR)
+                            || '> ' || array_to_string(
+                                t.w[s.st + 1 : s.en], ' '),
+                            ' ' ORDER BY s.i) AS target_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(s.en - s.st) AS BIGINT) AS n_masked
+          FROM spans s JOIN toks t USING (doc_id)
+          GROUP BY s.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(g.n_spans, 0) AS n_spans,
+               COALESCE(g.n_masked, 0) AS n_masked,
+               md5(COALESCE(i.input_text, '')) AS input_md5,
+               md5(COALESCE(g.target_text, '')) AS target_md5
+        FROM toks t
+        LEFT JOIN inputs i USING (doc_id)
+        LEFT JOIN targets g USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+
+@register(
+    "training_span_corruption",
+    oracle=_t5_oracle(),
+    doc="T5-style span corruption, derandomized "
+    "(operators/corruption.py): position p starts a mask span when "
+    f"the portable md5 bucket of (doc, p) falls below {_T5_PCT}%, "
+    f"nominal span length {_T5_LEN} (~15% of tokens mask), "
+    "overlapping/adjacent spans merge; input = unmasked tokens with "
+    "one <extra_id_N> sentinel per span, target = sentinels + the "
+    "masked tokens — the denoising-objective pair T5/UL2 training "
+    "consumes, reproducible across engines and runs. EVERYTHING is "
+    "per-row narrow expressions (span starts, an in-row interval-"
+    "merge fold, both renderings in one projection): the corpus never "
+    "shuffles. The oracle replays the same decisions with the "
+    "row-based gaps-and-islands formulation and md5-checks both "
+    "rendered texts per document.",
+)
+def training_span_corruption(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.corruption import (
+        corrupt_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = corrupt_spans(
+        docs, start_rate_pct=_T5_PCT, span_len=_T5_LEN
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_masked",
+        F.md5(F.col("input_text")).alias("input_md5"),
+        F.md5(F.col("target_text")).alias("target_md5"),
+    ).orderBy("doc_id")
