@@ -276,3 +276,45 @@ def test_econometrics_and_curation_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_round11_scale_exponents(spark):
+    """Round-11 additions: the web-corpus composition (WARC + main
+    content + canonicalize + robots + frontier + quality + substring +
+    chunks — the heaviest composed plan in the catalog),
+    contamination excision (broadcast bench grams + hit-only span
+    merge), span corruption (pure per-row projection — should be
+    ~linear in corpus bytes), the two-phase global rank queries, the
+    KMV rollup, and Holt-Winters (days-sized fold after one daily
+    shuffle). A superlinear escape means a broadcast grew into a
+    shuffle or a span merge lost its hit-only pruning."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "training_web_corpus_prep",
+        "curation_decontam_excision",
+        "training_span_corruption",
+        "features_decile_bins",
+        "agg_gini_revenue_concentration",
+        "sketch_kmv_distinct_rollup",
+        "ts_holt_winters_forecast",
+        "governance_erasure_bm25",
+        "multimodal_html_main_content",
+        "curation_blocklist_filter",
+        "curation_incremental_sample",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
