@@ -135,6 +135,7 @@ HEADLINE = [
     "ml_logreg_gd",
     "profile_correlation_matrix",
     "features_decile_bins",
+    "ml_population_stability_index",
     "agg_gini_revenue_concentration",
     "ts_seasonal_decompose",
     "ts_incremental_cusum",

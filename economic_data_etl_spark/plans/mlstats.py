@@ -503,3 +503,151 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         "loss_monotone",
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index: distribution-drift monitoring.
+# --------------------------------------------------------------------------
+_PSI_BASE_YR = 1995
+_PSI_TARGET_YR = 2000
+
+
+@register(
+    "ml_population_stability_index",
+    oracle=f"""
+        WITH base AS (
+          SELECT o_totalprice AS v, o_orderkey AS k FROM orders
+          WHERE year(o_orderdate) = {_PSI_BASE_YR}
+        ), tgt AS (
+          SELECT o_totalprice AS v FROM orders
+          WHERE year(o_orderdate) = {_PSI_TARGET_YR}
+        ), rb AS (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM base
+        ), edges AS (
+          SELECT d,
+                 (SELECT MAX(CASE WHEN rn = CAST(FLOOR(n * d / 10.0)
+                                              AS BIGINT)
+                             THEN v END)
+                  FROM rb) AS e
+          FROM (SELECT unnest(generate_series(1, 9)) AS d)
+        ), bb AS (
+          SELECT (SELECT COUNT(*) FROM edges WHERE v > e) AS bin
+          FROM base
+        ), bt AS (
+          SELECT (SELECT COUNT(*) FROM edges WHERE v > e) AS bin
+          FROM tgt
+        ), grid AS (
+          SELECT unnest(generate_series(0, 9)) AS bin
+        ), cb AS (
+          SELECT g.bin,
+                 (SELECT COUNT(*) FROM bb WHERE bb.bin = g.bin)
+                     AS n_base,
+                 (SELECT COUNT(*) FROM bt WHERE bt.bin = g.bin)
+                     AS n_target
+          FROM grid g
+        ), tot AS (
+          SELECT SUM(n_base) AS nb, SUM(n_target) AS nt FROM cb
+        ), terms AS (
+          SELECT bin, n_base, n_target,
+                 ((n_base + 1.0) / (t.nb + 10.0)
+                  - (n_target + 1.0) / (t.nt + 10.0))
+                 * LN(((n_base + 1.0) / (t.nb + 10.0))
+                      / ((n_target + 1.0) / (t.nt + 10.0))) AS term
+          FROM cb, tot t
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_target AS BIGINT) AS n_target,
+               ROUND(5e-10 + term, 4) AS psi_term,
+               ROUND(5e-10 + (SELECT SUM(term) FROM terms), 4)
+                   AS psi_total
+        FROM terms
+        ORDER BY bin
+    """,
+    doc="Population Stability Index — the standard drift monitor "
+    "between a baseline and a current score/feature distribution "
+    f"(order value, {_PSI_BASE_YR} vs {_PSI_TARGET_YR}): decile bins "
+    "are FIT on the baseline with EXACT edges (the value at global "
+    "rank floor(n*d/10), extracted by the two-phase rank and "
+    "collected — 9 rows), both cohorts bin by pure comparison against "
+    "those literals, and PSI = sum (p_i - q_i) ln(p_i / q_i) with "
+    "add-one smoothing so empty bins stay finite. Per-bin terms plus "
+    "the total; the oracle replays edges, binning, smoothing, and the "
+    "sum. Scale: after the baseline's one ranked shuffle, both "
+    "cohorts stream through a literal-comparison projection into a "
+    "10-row aggregate.",
+)
+def ml_population_stability_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.rank import (
+        with_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.year("o_orderdate") == _PSI_BASE_YR
+    ).select(F.col("o_totalprice").alias("v"), "o_orderkey")
+    tgt = orders.filter(
+        F.year("o_orderdate") == _PSI_TARGET_YR
+    ).select(F.col("o_totalprice").alias("v"))
+    ranked = with_global_row_number(base, ["v", "o_orderkey"], out="rn")
+    n = base.count()  # one scalar action; scan-only lineage
+    ranks = [int(n * d / 10) for d in range(1, 10)]
+    edges = sorted(
+        r.v
+        for r in ranked.filter(F.col("rn").isin(ranks))
+        .select("v")
+        .collect()
+    )  # 9 rows, bounded by construction
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    bin_of = F.size(F.filter(earr, lambda e: F.col("v") > e)).alias(
+        "bin"
+    )
+    cb = (
+        base.select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    ct = (
+        tgt.select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_target"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(cb, "bin", "left")
+        .join(ct, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_target", F.lit(0))
+            .cast("long")
+            .alias("n_target"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("nb"), F.sum("n_target").alias("nt")
+    )
+    p = (F.col("n_base") + 1.0) / (F.col("nb") + 10.0)
+    q = (F.col("n_target") + 1.0) / (F.col("nt") + 10.0)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_target",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    total = terms.agg(F.sum("term").alias("psi_sum"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_base",
+            "n_target",
+            biased_round(F.col("term")).alias("psi_term"),
+            biased_round(F.col("psi_sum")).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
