@@ -136,6 +136,7 @@ HEADLINE = [
     "profile_correlation_matrix",
     "features_decile_bins",
     "ml_population_stability_index",
+    "ml_ks_two_sample",
     "agg_gini_revenue_concentration",
     "ts_seasonal_decompose",
     "ts_incremental_cusum",

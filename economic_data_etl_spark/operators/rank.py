@@ -123,3 +123,72 @@ def ntile_from_row_number(
         )
         .cast("int")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append running totals of sum_cols in (order_cols) ascending
+    order — the distributed prefix-sum, built like the two-phase rank:
+    collected approx-quantile boundary literals bucket every row by
+    pure projection (reuse-independent), per-bucket totals are
+    collected (a config-bounded table) and turned into literal offset
+    arrays, and the final value = offset[bucket] + a bucket-PARTITIONED
+    window cumsum. Output columns are named cum_<col>.
+
+    order_cols must form a total order with a numeric leading column;
+    NULL leading keys land in bucket 0 (NULLS FIRST)."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    key = order_cols[0]
+    fracs = [i / parts for i in range(1, parts)]
+    brow = df.agg(
+        F.percentile_approx(
+            key, F.array(*[F.lit(f) for f in fracs]), 10_000
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    bounds = sorted(set(brow)) if brow else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: F.col(key) > b)
+        ).alias("__b")
+    else:
+        bucket = F.lit(0).alias("__b")
+    withb = df.select("*", bucket)
+    # bounded collect: one row per non-empty bucket
+    tot_rows = (
+        withb.groupBy("__b")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    n_buckets = len(bounds) + 1
+    offs = {c: [0] * n_buckets for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    totals = {r["__b"]: r for r in tot_rows}
+    for b in range(n_buckets):
+        for c in sum_cols:
+            offs[c][b] = acc[c]
+            if b in totals and totals[b][c] is not None:
+                acc[c] += totals[b][c]
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = withb
+    for c in sum_cols:
+        oarr = F.array(*[F.lit(int(v)) for v in offs[c]])
+        out = out.withColumn(
+            f"cum_{c}",
+            (
+                F.element_at(oarr, F.col("__b") + 1)
+                + F.sum(c).over(w)
+            ).cast("long"),
+        )
+    return out.drop("__b")

@@ -651,3 +651,104 @@ def ml_population_stability_index(
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "ml_ks_two_sample",
+    oracle=f"""
+        WITH a AS (
+          SELECT o_totalprice AS v FROM orders
+          WHERE year(o_orderdate) = {_PSI_BASE_YR}
+        ), b AS (
+          SELECT o_totalprice AS v FROM orders
+          WHERE year(o_orderdate) = {_PSI_TARGET_YR}
+        ), u AS (
+          SELECT v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+            SELECT v, 1 AS ca, 0 AS cb FROM a
+            UNION ALL
+            SELECT v, 0, 1 FROM b
+          ) GROUP BY v
+        ), cum AS (
+          SELECT v,
+                 SUM(ca) OVER (ORDER BY v) AS cum_a,
+                 SUM(cb) OVER (ORDER BY v) AS cum_b
+          FROM u
+        ), tot AS (
+          SELECT (SELECT COUNT(*) FROM a) AS na,
+                 (SELECT COUNT(*) FROM b) AS nb
+        )
+        SELECT CAST(t.na AS BIGINT) AS n_a,
+               CAST(t.nb AS BIGINT) AS n_b,
+               ROUND(5e-10 + MAX(ABS(c.cum_a * 1.0 / t.na
+                                     - c.cum_b * 1.0 / t.nb)), 4)
+                   AS ks_d,
+               ROUND(5e-10 + 1.358 * SQRT((t.na + t.nb) * 1.0
+                                          / (t.na * t.nb)), 4)
+                   AS crit_05
+        FROM cum c, tot t
+        GROUP BY t.na, t.nb
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the "
+    f"same cohorts as the PSI monitor ({_PSI_BASE_YR} vs "
+    f"{_PSI_TARGET_YR} order values): D = max |F_A(x) - F_B(x)| over "
+    "the merged value set, computed EXACTLY and DISTRIBUTED — the "
+    "global CDFs come from the two-phase prefix-sum "
+    "(operators/rank.py:with_global_cumsum — boundary-literal "
+    "buckets, per-bucket totals as literal offsets, bucket-"
+    "partitioned window cumsum; the value table never funnels through "
+    "one task). Reported next to the alpha=0.05 critical value "
+    "1.358*sqrt((n+m)/nm) for the drift verdict the reader applies. "
+    "The oracle replays the merged CDF with a plain window cumsum.",
+)
+def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.rank import (
+        with_global_cumsum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == _PSI_BASE_YR).select(
+        F.col("o_totalprice").alias("v"),
+        F.lit(1).alias("ca"),
+        F.lit(0).alias("cb"),
+    )
+    b = orders.filter(
+        F.year("o_orderdate") == _PSI_TARGET_YR
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.lit(0).alias("ca"),
+        F.lit(1).alias("cb"),
+    )
+    u = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    cum = with_global_cumsum(u, ["v"], ["ca", "cb"])
+    tot = u.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = F.max(
+        F.abs(
+            F.col("cum_ca") / F.col("na")
+            - F.col("cum_cb") / F.col("nb")
+        )
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("na") + F.col("nb")) * F.lit(1.0)
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            biased_round(d).alias("ks_d"),
+            biased_round(F.max(crit)).alias("crit_05"),
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "ks_d",
+            "crit_05",
+        )
+    )

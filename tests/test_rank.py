@@ -99,3 +99,35 @@ def test_ntile_fewer_rows_than_buckets(spark):
         ).collect()
     )
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_global_cumsum_matches_sorted_prefix_sums(spark):
+    from economic_data_etl_spark.operators.rank import with_global_cumsum
+
+    rows = [(float((v * 37) % 101), v, v % 5, 2 * v % 7) for v in range(400)]
+    df = spark.createDataFrame(rows, "k double, id long, x long, y long")
+    got = {
+        r.id: (r.cum_x, r.cum_y)
+        for r in with_global_cumsum(
+            df, ["k", "id"], ["x", "y"], num_partitions=8
+        ).collect()
+    }
+    run_x = run_y = 0
+    for k, vid, x, y in sorted(rows):
+        run_x += x
+        run_y += y
+        assert got[vid] == (run_x, run_y), vid
+
+
+def test_global_cumsum_heavy_ties_one_bucket(spark):
+    from economic_data_etl_spark.operators.rank import with_global_cumsum
+
+    rows = [(5.0, v, 1) for v in range(300)]
+    df = spark.createDataFrame(rows, "k double, id long, x long")
+    got = sorted(
+        r.cum_x
+        for r in with_global_cumsum(
+            df, ["k", "id"], ["x"], num_partitions=8
+        ).collect()
+    )
+    assert got == list(range(1, 301))
