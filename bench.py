@@ -137,6 +137,7 @@ HEADLINE = [
     "features_decile_bins",
     "ml_population_stability_index",
     "ml_ks_two_sample",
+    "ml_incremental_psi",
     "agg_gini_revenue_concentration",
     "ts_seasonal_decompose",
     "ts_incremental_cusum",

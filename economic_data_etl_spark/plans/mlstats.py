@@ -628,6 +628,13 @@ def ml_population_stability_index(
             .alias("n_target"),
         )
     )
+    return _psi_from_counts(counts)
+
+
+def _psi_from_counts(counts: DataFrame) -> DataFrame:
+    """(bin, n_base, n_target) -> the PSI report (per-bin smoothed
+    terms + total). Shared by the one-shot and incremental monitors —
+    one formula, so the two can never drift apart."""
     tot = counts.agg(
         F.sum("n_base").alias("nb"), F.sum("n_target").alias("nt")
     )
@@ -752,3 +759,103 @@ def ml_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crit_05",
         )
     )
+
+
+_PSI_BATCHES = 3
+
+
+@register(
+    "ml_incremental_psi",
+    oracle=None,  # set right below to the one-shot PSI oracle
+    doc="INCREMENTAL drift monitoring: the PSI target-side bin counts "
+    "are ADDITIVE against FROZEN baseline edges, so a standing "
+    "10-row count table folds per micro-batch exactly like the CUSUM "
+    f"daily index — target orders arrive in {_PSI_BATCHES} simulated "
+    "batches (one REDELIVERED, dropped by the batch-id-keyed dedup), "
+    "per-batch partial bin counts merge additively, and the PSI "
+    "report is computed from the folded table through the SAME "
+    "formula as the one-shot monitor. The oracle is the one-shot PSI "
+    "replay, so a green row proves fold-then-report equals "
+    "one-shot-report — continuous production monitoring with "
+    "10-rows-of-state per tracked feature.",
+)
+def ml_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.rank import (
+        with_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.year("o_orderdate") == _PSI_BASE_YR
+    ).select(F.col("o_totalprice").alias("v"), "o_orderkey")
+    ranked = with_global_row_number(base, ["v", "o_orderkey"], out="rn")
+    n = base.count()
+    ranks = [int(n * d / 10) for d in range(1, 10)]
+    edges = sorted(
+        r.v
+        for r in ranked.filter(F.col("rn").isin(ranks))
+        .select("v")
+        .collect()
+    )
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+
+    def binned(df):
+        return df.select(
+            F.size(
+                F.filter(earr, lambda e: F.col("v") > e)
+            ).alias("bin")
+        )
+
+    tgt = orders.filter(
+        F.year("o_orderdate") == _PSI_TARGET_YR
+    ).select(F.col("o_totalprice").alias("v"), "o_orderkey")
+    partials = []
+    for b in range(_PSI_BATCHES):
+        batch = tgt.filter(F.col("o_orderkey") % _PSI_BATCHES == b)
+        part = (
+            binned(batch)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_target"))
+            .withColumn("batch_id", F.lit(b))
+        )
+        partials.append(part)
+        if b == 1:  # redelivered micro-batch: same id, same content
+            partials.append(part)
+    appended = partials[0]
+    for p in partials[1:]:
+        appended = appended.unionByName(p)
+    folded = (
+        appended.dropDuplicates(["batch_id", "bin"])
+        .groupBy("bin")
+        .agg(F.sum("n_target").alias("n_target"))
+    )
+    base_counts = (
+        binned(base)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(base_counts, "bin", "left")
+        .join(folded, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_target", F.lit(0))
+            .cast("long")
+            .alias("n_target"),
+        )
+    )
+    return _psi_from_counts(counts)
+
+
+# the incremental monitor's oracle IS the one-shot monitor's oracle:
+# fold-then-report must equal one-shot-report at the value level.
+import dataclasses  # noqa: E402
+
+from economic_data_etl_spark.plans.catalog import REGISTRY as _REG  # noqa: E402
+
+_REG["ml_incremental_psi"] = dataclasses.replace(
+    _REG["ml_incremental_psi"],
+    oracle=_REG["ml_population_stability_index"].oracle,
+)
