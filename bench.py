@@ -143,6 +143,7 @@ HEADLINE = [
     "ts_incremental_cusum",
     "ts_holt_winters_forecast",
     "ts_incremental_holt_winters",
+    "ts_forecast_backtest",
     "agg_price_index_fisher",
     "agg_herfindahl_concentration",
     "text_corpus_divergence_kl",

@@ -1007,3 +1007,188 @@ def ts_incremental_holt_winters(
         "forecast_day",
         _r(F.col("yhat")).alias("yhat"),
     ).orderBy("event_type", "h")
+
+
+def _hw_backtest_oracle() -> str:
+    """The _hw_oracle recurrence fitted on daily totals TRUNCATED at
+    (global max day - 7 days), with the held-out week joined back as
+    actuals and summarized per key."""
+    from economic_data_etl_spark.operators.holtwinters import (
+        ALPHA,
+        BETA,
+        GAMMA,
+        ONE_M_ALPHA,
+        ONE_M_BETA,
+        ONE_M_GAMMA,
+    )
+
+    ys = [f"y{i}" for i in range(1, 15)]
+    pivot = ",\n                   ".join(
+        f"MAX(CASE WHEN p = {i} THEN total END) AS y{i}"
+        for i in range(1, 15)
+    )
+
+    def lsum(names):
+        expr = names[0]
+        for nm in names[1:]:
+            expr = f"({expr}+{nm})"
+        return expr
+
+    l0 = f"{lsum(ys[:7])}/7.0"
+    b0 = f"(({lsum(ys[7:14])}/7.0) - ({l0}))/7.0"
+    s_init = ",\n                   ".join(
+        f"y{j + 1} - ({l0}) AS s{j}" for j in range(7)
+    )
+    s_j = (
+        "CASE s.t % 7 "
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END"
+    )
+    l_new = f"{ALPHA}*(r.total - {s_j}) + {ONE_M_ALPHA}*(s.l + s.b)"
+    s_cols = ",\n                   ".join(
+        f"CASE WHEN s.t % 7 = {j} "
+        f"THEN {GAMMA}*(r.total - ({l_new})) + {ONE_M_GAMMA}*({s_j}) "
+        f"ELSE s.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    s_fc = (
+        "CASE (f.n + h.h - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN f.s{j}" for j in range(7))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE alldaily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), cut AS (
+            SELECT MAX(day) - INTERVAL 7 DAY AS cutoff FROM alldaily
+        ), daily AS (
+            SELECT a.* FROM alldaily a, cut WHERE a.day <= cut.cutoff
+        ), rn AS (
+            SELECT event_type, day, total,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS p,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   MAX(day) OVER (PARTITION BY event_type) AS last_day
+            FROM daily
+        ), keys AS (
+            SELECT event_type, MAX(n) AS n, MAX(last_day) AS last_day
+            FROM rn GROUP BY 1 HAVING MAX(n) >= 14
+        ), piv AS (
+            SELECT event_type,
+                   {pivot}
+            FROM rn WHERE p <= 14 GROUP BY event_type
+        ), init AS (
+            SELECT p.event_type,
+                   {l0} AS l,
+                   {b0} AS b,
+                   {s_init}
+            FROM piv p JOIN keys USING (event_type)
+        ), state AS (
+            SELECT event_type, 7 AS t, l, b, s0, s1, s2, s3, s4, s5, s6
+            FROM init
+            UNION ALL
+            SELECT s.event_type, s.t + 1,
+                   {l_new} AS l,
+                   {BETA}*(({l_new}) - s.l) + {ONE_M_BETA}*s.b AS b,
+                   {s_cols}
+            FROM state s JOIN rn r
+              ON r.event_type = s.event_type AND r.p = s.t + 1
+        ), fitted AS (
+            SELECT s.* , k.n, k.last_day
+            FROM state s JOIN keys k
+              ON k.event_type = s.event_type AND s.t = k.n
+        ), fc AS (
+            SELECT f.event_type, h.h,
+                   CAST(f.last_day AS DATE) + CAST(h.h AS INT)
+                       AS forecast_day,
+                   f.l + h.h * f.b + {s_fc} AS yhat,
+                   f.n
+            FROM fitted f
+            CROSS JOIN (SELECT unnest(generate_series(1, {_HW_H}))
+                        AS h) h
+        ), scored AS (
+            SELECT c.event_type, c.n, c.yhat, a.total
+            FROM fc c JOIN alldaily a
+              ON a.event_type = c.event_type
+             AND CAST(a.day AS DATE) = c.forecast_day
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               ROUND(5e-10 + AVG(ABS(yhat - total)), 4) AS mae,
+               ROUND(5e-10 + SUM(ABS(yhat - total))
+                     / SUM(ABS(total)), 4) AS wape
+        FROM scored
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle=_hw_backtest_oracle(),
+    doc="Forecast BACKTESTING — the evaluation half every forecaster "
+    "needs: Holt-Winters is fitted on the daily totals truncated at "
+    "(global max day - 7 days), the held-out week is forecast, and "
+    "per-key MAE and WAPE (sum |err| / sum |actual| — no per-row "
+    "division blow-ups) are reported against the actuals. The oracle "
+    "replays the truncated fit with the same recursive CTE plus the "
+    "holdout join, so the skill claim ('the forecaster would have "
+    "predicted last week this well') is value-checked cross-engine, "
+    "not self-reported.",
+)
+def ts_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_forecast,
+    )
+
+    daily = _daily_totals(spark, sf_dir).select(
+        "event_type", "day", "total"
+    )
+    max_day = daily.agg(F.max("day").alias("m")).collect()[0]["m"]
+    cutoff = max_day - datetime.timedelta(days=7)
+    train = daily.filter(F.col("day") <= F.lit(cutoff))
+    fc = holt_winters_forecast(train, horizon=_HW_H).withColumnRenamed(
+        "h", "hh"
+    )
+    # training length per key for the report (the fit's n)
+    n_train = train.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    scored = fc.join(
+        daily.select(
+            "event_type",
+            F.col("day").cast("date").alias("forecast_day"),
+            "total",
+        ),
+        ["event_type", "forecast_day"],
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            _r(F.avg(F.abs(F.col("yhat") - F.col("total")))).alias(
+                "mae"
+            ),
+            _r(
+                F.sum(F.abs(F.col("yhat") - F.col("total")))
+                / F.sum(F.abs(F.col("total")))
+            ).alias("wape"),
+        )
+        .join(n_train, "event_type")
+        .select(
+            "event_type",
+            F.col("n_train").cast("long"),
+            "n_scored",
+            "mae",
+            "wape",
+        )
+        .orderBy("event_type")
+    )
