@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "multimodal_image_resize",
     "multimodal_video_frames",
+    "multimodal_video_motion_decode",
     "multimodal_gif_animation",
     "multimodal_g711_audio_decode",
     "train_val_test_split",
