@@ -240,3 +240,104 @@ def decode_mc_avi(payload: bytes) -> list[np.ndarray]:
     if not frames:
         raise ValueError("AVI contains no video frames")
     return frames
+
+
+def decode_mc_avi_sampled(
+    payload: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Selective decode for the inter-frame codec: [(frame_idx,
+    pixels)] for every `every_n`-th frame, up to `max_frames`.
+
+    Inter-frame sampling cannot skip at single-frame granularity (a
+    P-frame needs its predecessors), but it CAN skip at GOP
+    granularity: the chunk walk collects byte references only, GOPs
+    containing no sampled frame are never touched by the entropy
+    coder, and a sampled GOP decodes just from its I-frame to its last
+    sampled frame. Decode cost is proportional to frames kept x GOP
+    depth — the inter-frame analogue of the MJPEG sampler's
+    frames-kept bound."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    dims: list[tuple[int, int]] = []
+    chunks: list[bytes] = []
+
+    def walk_hdrl(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if fourcc == b"LIST":
+                walk_hdrl(body[4:])
+            elif fourcc == b"strf" and len(body) >= 24:
+                _, w, h = struct.unpack("<Iii", body[:12])
+                dims.append((abs(h), w))
+            pos += 8 + ln + (ln & 1)
+
+    def walk_movi(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            if len(body) != ln:
+                raise ValueError("truncated movi chunk")
+            if fourcc[2:4] in (b"dc", b"db") and ln:
+                chunks.append(body)  # byte refs only — no decode yet
+            pos += 8 + ln + (ln & 1)
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated AVI chunk")
+        if fourcc == b"LIST":
+            if body[:4] == b"hdrl":
+                walk_hdrl(body[4:])
+            elif body[:4] == b"movi":
+                if not dims:
+                    raise ValueError("movi before stream header")
+                walk_movi(body[4:])
+        pos += 8 + ln + (ln & 1)
+    if not chunks:
+        raise ValueError("AVI contains no video frames")
+
+    h, w = dims[0]
+    sampled = [
+        t for t in range(len(chunks)) if t % every_n == 0
+    ]
+    if max_frames is not None:
+        sampled = sampled[:max_frames]
+    want = set(sampled)
+    # GOP boundaries: positions of I chunks
+    gop_starts = [
+        t for t, c in enumerate(chunks) if c[0] == MAGIC_I
+    ]
+    if not gop_starts or gop_starts[0] != 0:
+        raise ValueError("stream does not start with an I-frame")
+    out: list[tuple[int, np.ndarray]] = []
+    for gi, start in enumerate(gop_starts):
+        end = (
+            gop_starts[gi + 1]
+            if gi + 1 < len(gop_starts)
+            else len(chunks)
+        )
+        in_gop = [t for t in range(start, end) if t in want]
+        if not in_gop:
+            continue  # entire GOP skipped: entropy coder never runs
+        last = max(in_gop)
+        raw = zlib.decompress(chunks[start][1:])
+        if len(raw) != h * w:
+            raise ValueError("I-frame size mismatch")
+        prev = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        if start in want:
+            out.append((start, prev))
+        for t in range(start + 1, last + 1):
+            if chunks[t][0] != MAGIC_P:
+                raise ValueError("unknown MCDV frame kind")
+            prev = _decode_p(chunks[t][1:], prev)
+            if t in want:
+                out.append((t, prev))
+    return out

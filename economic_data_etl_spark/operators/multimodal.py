@@ -559,13 +559,26 @@ def sample_video_frames(
     from economic_data_etl_spark.operators.codecs import (
         decode_mjpeg_avi_sampled,
     )
+    from economic_data_etl_spark.operators.mcvideo import (
+        decode_mc_avi_sampled,
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                for idx, frame in decode_mjpeg_avi_sampled(
-                    bytes(payload), every_n, max_frames
+                blob = bytes(payload)
+                # stream fourcc routing: the engine's own inter-frame
+                # codec (GOP-granular seek) vs the intra MJPEG path
+                # (frame-granular seek). Both keep decode cost
+                # proportional to frames KEPT.
+                sampler = (
+                    decode_mc_avi_sampled
+                    if b"MCDV" in blob[:256]
+                    else decode_mjpeg_avi_sampled
+                )
+                for idx, frame in sampler(
+                    blob, every_n, max_frames
                 ):
                     arr = frame.astype(np.int64)
                     rows.append(

@@ -75,3 +75,63 @@ def test_malformed_streams_fail_loudly():
     corrupt[idx] = 0x5A
     with pytest.raises(ValueError):
         decode_mc_avi(bytes(corrupt))
+
+
+def test_sampled_equals_every_nth_of_full():
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        for _ in range(12)
+    ]
+    from economic_data_etl_spark.operators.mcvideo import (
+        decode_mc_avi_sampled,
+    )
+
+    blob = encode_mc_avi(frames, gop=4)
+    full = decode_mc_avi(blob)
+    for n in (1, 2, 3, 5):
+        got = decode_mc_avi_sampled(blob, every_n=n)
+        want = [(i, f) for i, f in enumerate(full) if i % n == 0]
+        assert [i for i, _ in got] == [i for i, _ in want]
+        assert all(
+            np.array_equal(a, b)
+            for (_, a), (_, b) in zip(got, want)
+        )
+    assert [
+        i for i, _ in decode_mc_avi_sampled(blob, 2, max_frames=3)
+    ] == [0, 2, 4]
+
+
+def test_unsampled_gops_are_truly_skipped():
+    """Proof of the GOP-granular seek: corrupt a P-frame inside a GOP
+    no sampled frame touches — the sampler must succeed (that GOP's
+    entropy coder never runs); sampling INTO the corrupt GOP must
+    raise."""
+    import struct as _s
+
+    frames = _translating(n=12)
+    blob = bytearray(encode_mc_avi(frames, gop=4))
+    # find the 6th video chunk (frame idx 5: a P-frame in GOP 2)
+    pos = blob.find(b"movi") + 4
+    idx = 0
+    target = None
+    while pos + 8 <= len(blob):
+        fourcc = bytes(blob[pos : pos + 4])
+        (ln,) = _s.unpack("<I", blob[pos + 4 : pos + 8])
+        if fourcc[2:4] == b"dc":
+            if idx == 5:
+                target = pos + 8
+                break
+            idx += 1
+        pos += 8 + ln + (ln & 1)
+    assert target is not None
+    blob[target + 1] ^= 0xFF  # corrupt the zlib stream, keep kind byte
+    from economic_data_etl_spark.operators.mcvideo import (
+        decode_mc_avi_sampled,
+    )
+
+    # sample only frames 0 and 8 (GOPs 1 and 3): corrupt GOP 2 skipped
+    got = decode_mc_avi_sampled(bytes(blob), every_n=8)
+    assert [i for i, _ in got] == [0, 8]
+    with pytest.raises(Exception):
+        decode_mc_avi_sampled(bytes(blob), every_n=5)  # hits frame 5
