@@ -825,3 +825,96 @@ def training_span_corruption(
         F.md5(F.col("input_text")).alias("input_md5"),
         F.md5(F.col("target_text")).alias("target_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "inv_corruption_rate",
+    oracle="""
+        SELECT CAST(1 AS INT) AS rate_in_band,
+               CAST(1 AS INT) AS spans_merged,
+               CAST(1 AS INT) AS conservation_exact
+        """,
+    doc="Certificate for the span-corruption operator: over the whole "
+    "corpus (a) the MEASURED masked-token fraction lands in the "
+    "designed band (5% start rate x nominal length 3 => ~15%; band "
+    "[0.08, 0.22] absorbs merge overlap and doc-end clipping), (b) at "
+    "least one document has fewer spans than md5-selected starts "
+    "(proof the interval MERGE actually fires on real data), and (c) "
+    "token conservation holds exactly on every doc: input tokens "
+    "minus sentinels plus masked tokens equals original tokens. The "
+    "oracle is the constant all-TRUE row, so any drift in the "
+    "corruption schedule fails the driver's value hash.",
+)
+def inv_corruption_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.corruption import (
+        _bucket,
+        corrupt_spans,
+    )
+    from economic_data_etl_spark.operators.substring import word_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = corrupt_spans(
+        docs, start_rate_pct=_T5_PCT, span_len=_T5_LEN
+    ).select(
+        "doc_id",
+        "n_spans",
+        "n_masked",
+        F.size(word_array(F.col("text"))).alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.split(F.col("input_text"), " "),
+                lambda t: t.startswith("<extra_id_"),
+            )
+        ).alias("n_sentinels"),
+        F.size(
+            F.filter(
+                F.split(F.col("input_text"), " "),
+                lambda t: (t != "") & ~t.startswith("<extra_id_"),
+            )
+        ).alias("n_kept"),
+        F.size(
+            F.when(
+                F.size(word_array(F.col("text"))) > 0,
+                F.filter(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(word_array(F.col("text"))) - 1,
+                    ),
+                    lambda p: (_bucket(F.col("doc_id"), p) % 100)
+                    < F.lit(_T5_PCT),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("n_starts"),
+    )
+    agg = out.agg(
+        (F.sum("n_masked") / F.sum("n_tokens")).alias("rate"),
+        F.sum(
+            F.when(F.col("n_spans") < F.col("n_starts"), 1).otherwise(0)
+        ).alias("n_merged_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_kept") + F.col("n_masked")
+                 == F.col("n_tokens"))
+                & (F.col("n_sentinels") == F.col("n_spans")),
+                0,
+            ).otherwise(1)
+        ).alias("n_violations"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("rate") >= 0.08) & (F.col("rate") <= 0.22), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rate_in_band"),
+        F.when(F.col("n_merged_docs") > 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("spans_merged"),
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("conservation_exact"),
+    )

@@ -113,3 +113,89 @@ def foreach_batch_incremental_bm25(
         batch_df.unpersist()
 
     return handle
+
+
+# ---------------------------------------------------------------------------
+# Erasure (license revocation / right-to-be-forgotten) for the standing
+# index — the streaming-side twin of plans/governance.py.
+# ---------------------------------------------------------------------------
+TOMBSTONES_SCHEMA = StructType(
+    [StructField("doc_id", LongType(), True)]
+)
+
+
+def read_index_erased(
+    spark: SparkSession,
+    postings_dir: str,
+    doclens_dir: str,
+    tombstones_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """read_index with tombstone masking: revoked docs are anti-joined
+    out of BOTH tables at read time, so serving is correct the moment
+    the tombstones land — regardless of whether (or how far) the
+    physical compaction has progressed. BM25's corpus statistics
+    (n_docs, avgdl, df) all derive from the masked tables, so they
+    shift exactly as a from-scratch rebuild would."""
+    postings, doclens = read_index(spark, postings_dir, doclens_dir)
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["doc_id"])
+    return (
+        postings.join(tombs, "doc_id", "left_anti"),
+        doclens.join(tombs, "doc_id", "left_anti"),
+    )
+
+
+def apply_erasure(
+    spark: SparkSession,
+    postings_dir: str,
+    doclens_dir: str,
+    tombstones_dir: str,
+    revoked: DataFrame,
+) -> None:
+    """Erase revoked doc_ids from the standing index.
+
+    Tombstone-then-compact, because the index is TWO tables and no
+    single physical rewrite order is crash-safe on its own (postings
+    gone but doclens present inflates n_docs/avgdl; the reverse
+    inflates df):
+
+    1. APPEND the revoked ids to the tombstone table — the commit
+       point; read_index_erased is correct from here on, and replaying
+       this step only adds duplicate tombstone rows (readers dedupe);
+    2. compact postings, then doclens: staged anti-join rewrite + swap
+       (shared recover_staging semantics — a partial staging dir is
+       discarded, a complete one promoted);
+    3. clear the tombstone table LAST. A crash anywhere before this
+       leaves tombstones masking rows that may or may not still exist
+       — the anti-join of already-deleted rows is a no-op, so every
+       interleaving of crash + replay converges to the reduced index.
+    """
+    import os
+    import shutil
+
+    from economic_data_etl_spark.streaming.util import recover_staging
+
+    ids = revoked.select(
+        F.col(revoked.columns[0]).cast("long").alias("doc_id")
+    )
+    ids.write.mode("append").parquet(tombstones_dir)  # commit point
+
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["doc_id"])
+    for path, schema in (
+        (postings_dir, POSTINGS_SCHEMA),
+        (doclens_dir, DOCLENS_SCHEMA),
+    ):
+        staging = f"{path}.staging"
+        recover_staging(staging, path)
+        kept = read_parquet_or_empty(spark, path, schema).join(
+            tombs, "doc_id", "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+    # tombstones cleared last: until here they keep masking reads
+    shutil.rmtree(tombstones_dir)

@@ -195,3 +195,124 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
         # doclens must be exactly-once per doc even after replay
         ldf = spark.read.parquet(l_dir)
         assert ldf.count() == ldf.select("doc_id").distinct().count()
+
+
+class TestErasure:
+    """Tombstone-then-compact erasure: served BM25 must equal a
+    from-scratch build on the reduced corpus at EVERY crash offset of
+    the erasure — including mid-crash reads before any recovery runs
+    (tombstone masking), and idempotent full replays."""
+
+    TERMS = ["stream", "batch", "window"]
+
+    def _build(self, spark, sf_dir, tmp_path, tag):
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        p = str(tmp_path / f"{tag}_postings")
+        dl = str(tmp_path / f"{tag}_doclens")
+        tb = str(tmp_path / f"{tag}_tombstones")
+        handle = foreach_batch_incremental_bm25(p, dl)
+        for b in range(3):
+            handle(docs.filter(F.col("doc_id") % 3 == b), b)
+        revoked = docs.filter(F.col("source") == "src2").select(
+            "doc_id"
+        )
+        return docs, p, dl, tb, revoked
+
+    def _served(self, spark, p, dl, tb):
+        from economic_data_etl_spark.operators.retrieval import (
+            bm25_from_index,
+        )
+        from economic_data_etl_spark.streaming.incremental_bm25 import (
+            read_index_erased,
+        )
+
+        postings, doclens = read_index_erased(spark, p, dl, tb)
+        return {
+            r.doc_id: round(r.score, 9)
+            for r in bm25_from_index(
+                postings, doclens, self.TERMS
+            ).collect()
+        }
+
+    def _want(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from economic_data_etl_spark.operators.retrieval import (
+            bm25_from_index,
+            build_postings,
+        )
+
+        reduced = docs.filter(F.col("source") != "src2")
+        postings, doclens = build_postings(reduced)
+        return {
+            r.doc_id: round(r.score, 9)
+            for r in bm25_from_index(
+                postings, doclens, self.TERMS
+            ).collect()
+        }
+
+    def test_erasure_equals_rebuild(self, spark, sf_dir, tmp_path):
+        from economic_data_etl_spark.streaming.incremental_bm25 import (
+            apply_erasure,
+        )
+
+        docs, p, dl, tb, revoked = self._build(
+            spark, sf_dir, tmp_path, "full"
+        )
+        apply_erasure(spark, p, dl, tb, revoked)
+        assert self._served(spark, p, dl, tb) == self._want(spark, docs)
+        # replaying the whole erasure is a no-op
+        apply_erasure(spark, p, dl, tb, revoked)
+        assert self._served(spark, p, dl, tb) == self._want(spark, docs)
+
+    def test_tombstones_mask_before_compaction(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Crash right after the tombstone append (nothing compacted):
+        reads must ALREADY serve the reduced index."""
+        docs, p, dl, tb, revoked = self._build(
+            spark, sf_dir, tmp_path, "mask"
+        )
+        revoked.select("doc_id").write.mode("append").parquet(tb)
+        assert self._served(spark, p, dl, tb) == self._want(spark, docs)
+
+    def test_crash_between_compactions_still_serves_reduced(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Crash after the postings compaction but before doclens:
+        tombstones still mask doclens, so serving stays correct; the
+        replayed erasure then converges."""
+        from economic_data_etl_spark.streaming.incremental_bm25 import (
+            DOCLENS_SCHEMA,
+            POSTINGS_SCHEMA,
+            apply_erasure,
+        )
+        from economic_data_etl_spark.streaming.util import (
+            read_parquet_or_empty,
+        )
+        import os
+        import shutil
+
+        docs, p, dl, tb, revoked = self._build(
+            spark, sf_dir, tmp_path, "mid"
+        )
+        revoked.select("doc_id").write.mode("append").parquet(tb)
+        # manually compact ONLY postings (simulating the mid-crash)
+        kept = read_parquet_or_empty(spark, p, POSTINGS_SCHEMA).join(
+            revoked.select("doc_id"), "doc_id", "left_anti"
+        )
+        staging = f"{p}.staging"
+        kept.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(p)
+        os.rename(staging, p)
+        assert self._served(spark, p, dl, tb) == self._want(spark, docs)
+        # replay the full erasure: converges and clears tombstones
+        apply_erasure(spark, p, dl, tb, revoked)
+        assert self._served(spark, p, dl, tb) == self._want(spark, docs)
+        assert not os.path.exists(tb)
