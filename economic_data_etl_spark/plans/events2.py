@@ -128,3 +128,64 @@ def events_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "next_view_ts")
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_second_order_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               LAG(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS p2,
+               LAG(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS p1,
+               event_type AS nxt
+        FROM events
+    ), counts AS (
+        SELECT p2, p1, nxt, COUNT(*) AS n
+        FROM seq
+        WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT p2, p1, nxt, CAST(n AS BIGINT) AS n,
+           ROUND(5e-10 + n * 1.0 /
+                 SUM(n) OVER (PARTITION BY p2, p1), 4) AS p_next
+    FROM counts
+    ORDER BY p2, p1, nxt
+    """,
+    doc="Second-order Markov transitions over per-user event "
+    "sequences — the context-length-2 next-event model next to the "
+    "first-order events_transition_matrix (the sequence-modeling "
+    "training-data shape: (context, next) pair statistics). Two lag() "
+    "windows share ONE (user_id, ts, event_id) sort/shuffle; "
+    "everything downstream operates on the <= |event_types|^3-row "
+    "counts table, with per-context probabilities from a window over "
+    "those counts.",
+)
+def events_second_order_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type").alias("nxt"),
+    ).filter(F.col("p2").isNotNull() & F.col("p1").isNotNull())
+    counts = seq.groupBy("p2", "p1", "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("p2", "p1")
+    return counts.select(
+        "p2",
+        "p1",
+        "nxt",
+        F.col("n").cast("long").alias("n"),
+        biased_round(F.col("n") / F.sum("n").over(wp)).alias(
+            "p_next"
+        ),
+    ).orderBy("p2", "p1", "nxt")
