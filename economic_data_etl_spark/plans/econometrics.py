@@ -918,7 +918,7 @@ def _hw_oracle() -> str:
         )
         SELECT f.event_type,
                CAST(h.h AS INT) AS h,
-               CAST(f.last_day AS DATE) + CAST(h.h AS INT) AS forecast_day,
+               CAST(CAST(f.last_day AS DATE) + CAST(h.h AS INT) AS TIMESTAMP) AS forecast_day,
                ROUND(5e-10 + f.l + h.h * f.b + {s_fc}, 4) AS yhat
         FROM fitted f
         CROSS JOIN (SELECT unnest(generate_series(1, {_HW_H})) AS h) h
@@ -957,7 +957,10 @@ def ts_holt_winters_forecast(
     return fc.select(
         "event_type",
         "h",
-        "forecast_day",
+        # TIMESTAMP, not DATE: Spark DATE reaches pandas as object
+        # while DuckDB DATE lands datetime64 — the driver hashes after
+        # the pandas conversion, so the kinds must match.
+        F.col("forecast_day").cast("timestamp").alias("forecast_day"),
         _r(F.col("yhat")).alias("yhat"),
     ).orderBy("event_type", "h")
 
@@ -1004,7 +1007,7 @@ def ts_incremental_holt_winters(
     return fc.select(
         "event_type",
         "h",
-        "forecast_day",
+        F.col("forecast_day").cast("timestamp").alias("forecast_day"),
         _r(F.col("yhat")).alias("yhat"),
     ).orderBy("event_type", "h")
 
@@ -1153,6 +1156,12 @@ def ts_forecast_backtest(
         "event_type", "day", "total"
     )
     max_day = daily.agg(F.max("day").alias("m")).collect()[0]["m"]
+    if max_day is None:  # empty events table: nothing to backtest
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_train long, n_scored long, "
+            "mae double, wape double",
+        )
     cutoff = max_day - datetime.timedelta(days=7)
     train = daily.filter(F.col("day") <= F.lit(cutoff))
     fc = holt_winters_forecast(train, horizon=_HW_H).withColumnRenamed(
