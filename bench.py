@@ -115,6 +115,10 @@ HEADLINE = [
     "text_phrase_incremental",
     "governance_erasure_bm25",
     "governance_erasure_phrase",
+    "governance_erasure_semantic",
+    "governance_erasure_substring",
+    "governance_erasure_frontier",
+    "governance_erasure_phash",
     "retrieval_hybrid_rrf",
     "curation_source_quota",
     "graph_triangle_census",
@@ -143,8 +147,10 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "ts_incremental_cusum",
     "ts_holt_winters_forecast",
+    "ts_streaming_holt_winters",
     "ts_incremental_holt_winters",
     "ts_forecast_backtest",
+    "ts_forecast_model_select",
     "agg_price_index_fisher",
     "agg_herfindahl_concentration",
     "text_corpus_divergence_kl",

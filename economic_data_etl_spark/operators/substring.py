@@ -258,6 +258,152 @@ def substring_incremental_dups_prov(
     return hit.unionByName(batch_dups), new_firsts
 
 
+def gram_index_firsts(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The standing provenance gram index of a corpus: one row per
+    distinct gram carrying its retained first occurrence —
+    (gram, first_id, first_pos), corpus order (id, pos). This is the
+    batch bootstrap of the layout the streaming twin
+    (streaming/incremental_substring.py) maintains."""
+    occ = kgram_occurrences(docs, id_col, text_col, k)
+    first_struct = F.min(
+        F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+    ).alias("f")
+    return (
+        occ.groupBy("gram")
+        .agg(first_struct)
+        .select(
+            "gram",
+            F.col("f.i").alias("first_id"),
+            F.col("f.p").alias("first_pos"),
+        )
+    )
+
+
+def erase_substring_index(
+    index: DataFrame,
+    spans: DataFrame,
+    revoked: DataFrame,
+    surviving_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Propagate a right-to-be-forgotten request through the standing
+    exact-substring state: the provenance gram index (gram, first_id,
+    first_pos) and the merged duplicated-span table. Returns the
+    (index, spans) a FROM-SCRATCH rebuild on the reduced corpus would
+    produce — without re-processing the corpus.
+
+    The sharp part is FIRST-OCCURRENCE REASSIGNMENT: a revoked doc can
+    BE the retained first of a gram, and merely deleting its index rows
+    would make the gram look never-seen (future occurrences would be
+    promoted to firsts a rebuild would call duplicates). Erasure
+    therefore moves each affected gram's first to its earliest
+    SURVIVING occurrence, exactly as a rebuild would:
+
+    1. affected grams = index rows whose first_id is revoked (anything
+       else is untouched — erasure only removes occurrences, so firsts
+       can only move LATER, never into an unaffected gram);
+    2. new firsts = min (id, pos) over the surviving corpus's
+       occurrences of the affected grams — ONE gram-build pass over the
+       surviving corpus semi-joined on the affected-gram set (broadcast
+       when revocations are few, the normal shape); grams with no
+       surviving occurrence leave the index;
+    3. span reassembly: only docs that own a NEW first can change
+       (exactly one occurrence per affected gram flips duplicate →
+       first; every other surviving occurrence keeps its status), so
+       those docs' spans are recomputed against the corrected index via
+       the prov-rule (duplicate iff not the retained first — the
+       corrected index covers every surviving gram, so the rule is
+       total) while revoked docs' spans are dropped and every other
+       doc's spans are kept verbatim.
+
+    Cost: O(revoked + new-first docs) text re-processing plus one
+    surviving-corpus gram pass filtered to affected grams; nothing
+    corpus² and no full re-tokenization of unaffected documents' state.
+    Rebuild equivalence is value-checked by the
+    governance_erasure_substring oracle and crash-fuzzed in the
+    streaming twin's tests.
+    """
+    new_firsts, redo_spans = substring_erasure_patch(
+        index, revoked, surviving_docs, id_col, text_col, k
+    )
+    rev_first = revoked.select(
+        F.col(revoked.columns[0]).alias("first_id")
+    )
+    index2 = (
+        index.join(rev_first, "first_id", "left_anti")
+        .unionByName(new_firsts)
+        .select("gram", "first_id", "first_pos")
+    )
+    redo_ids = new_firsts.select(
+        F.col("first_id").alias(id_col)
+    ).distinct()
+    rev_ids = revoked.select(F.col(revoked.columns[0]).alias(id_col))
+    spans2 = (
+        spans.join(rev_ids, id_col, "left_anti")
+        .join(redo_ids, id_col, "left_anti")
+        .unionByName(redo_spans)
+        .select(id_col, "span_start", "span_end")
+    )
+    return index2, spans2
+
+
+def substring_erasure_patch(
+    index: DataFrame,
+    revoked: DataFrame,
+    surviving_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """The REPLACEMENT rows an erasure must graft onto the standing
+    substring state (steps 2–3 of erase_substring_index, exposed
+    separately so the streaming twin can persist them as its patch
+    tables before the tombstone commit point):
+
+    - new firsts: for each gram whose retained first occurrence lives
+      in a revoked doc, the earliest surviving occurrence (absent when
+      the gram no longer occurs);
+    - redo spans: the full recomputed span set of every doc that owns a
+      new first (those docs' spans are the only surviving ones a
+      rebuild would change).
+    """
+    rev_first = revoked.select(
+        F.col(revoked.columns[0]).alias("first_id")
+    )
+    affected = index.join(rev_first, "first_id", "left_semi").select(
+        "gram"
+    )
+    kept_index = index.join(rev_first, "first_id", "left_anti")
+    occ_surv = kgram_occurrences(surviving_docs, id_col, text_col, k)
+    first_struct = F.min(
+        F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+    ).alias("f")
+    new_firsts = (
+        occ_surv.join(affected, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(first_struct)
+        .select(
+            "gram",
+            F.col("f.i").alias("first_id"),
+            F.col("f.p").alias("first_pos"),
+        )
+    )
+    index2 = kept_index.unionByName(new_firsts)
+    redo_ids = new_firsts.select(
+        F.col("first_id").alias(id_col)
+    ).distinct()
+    redo_docs = surviving_docs.join(redo_ids, id_col, "left_semi")
+    redo_dups, _ = substring_incremental_dups_prov(
+        index2, redo_docs, id_col, text_col, k
+    )
+    redo_spans = merge_spans(redo_dups, id_col, k)
+    return new_firsts, redo_spans
+
+
 def remove_duplicate_spans(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

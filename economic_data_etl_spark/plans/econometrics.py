@@ -1201,3 +1201,334 @@ def ts_forecast_backtest(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_streaming_holt_winters",
+    oracle=_hw_oracle(),
+    doc="STREAMING Holt-Winters — the true per-key fold state store "
+    "(streaming/incremental_holtwinters.py): the daily totals arrive "
+    "in three day-ordered batches, each batch folds through the SAME "
+    "hw_step Catalyst expression the one-shot fit uses, starting from "
+    "the stored (level, trend, seasonals, position) state — keys still "
+    "inside the two-week classical init window buffer raw values until "
+    "the threshold, then init + fold the remainder. The oracle is the "
+    "one-shot recursive-CTE replay over the FULL data, so a green row "
+    "proves stream == batch at the value level (the pytest twin pins "
+    "it bit-for-bit, plus redelivery-skip, out-of-order rejection, and "
+    "crash-at-every-offset staged-swap fuzz). State is key-sized: the "
+    "100 TB stream collapses to a handful of doubles per key.",
+)
+def ts_streaming_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.holtwinters import (
+        forecast_from_state,
+    )
+    from economic_data_etl_spark.streaming.incremental_holtwinters import (
+        STATE_SCHEMA,
+        _fold_batch,
+    )
+
+    daily = _daily_totals(spark, sf_dir).select(
+        "event_type", "day", "total"
+    )
+    days = [
+        r.day
+        for r in daily.select("day").distinct().orderBy("day").collect()
+    ]
+    state = spark.createDataFrame([], STATE_SCHEMA)
+    if days:
+        n3 = max(len(days) // 3, 1)
+        bounds = [days[n3 - 1], days[min(2 * n3, len(days)) - 1], None]
+        lo = None
+        for hi in bounds:
+            b = daily
+            if lo is not None:
+                b = b.filter(F.col("day") > F.lit(lo))
+            if hi is not None:
+                b = b.filter(F.col("day") <= F.lit(hi))
+            # localCheckpoint: each fold's plan otherwise nests the
+            # previous fold's full expression tree (3x blowup)
+            state = _fold_batch(state, b).localCheckpoint(eager=True)
+            lo = hi
+    fitted = state.filter(F.col("level").isNotNull())
+    fc = forecast_from_state(fitted, horizon=_HW_H)
+    return fc.select(
+        "event_type",
+        "h",
+        F.col("forecast_day").cast("timestamp").alias("forecast_day"),
+        _r(F.col("yhat")).alias("yhat"),
+    ).orderBy("event_type", "h")
+
+
+def _model_select_oracle() -> str:
+    """Three-candidate ETS-lite holdout selection, fully replayed:
+    additive Holt-Winters, damped-trend Holt-Winters, and SES are each
+    re-fitted on the truncated series as recursive CTEs (sharing the
+    train/pivot/init scaffolding), scored on the held-out week, and
+    the argmin taken over the BIASED-ROUNDED MAEs — the selection
+    binds on rounded values on both engines (raw-float argmins flip
+    borderline keys across engines), with fixed tie-break priority
+    holt_winters > damped_trend > ses."""
+    from economic_data_etl_spark.operators.holtwinters import (
+        ALPHA,
+        BETA,
+        DAMP_SUM,
+        GAMMA,
+        ONE_M_ALPHA,
+        ONE_M_BETA,
+        ONE_M_GAMMA,
+        PHI,
+    )
+
+    ys = [f"y{i}" for i in range(1, 15)]
+    pivot = ",\n                   ".join(
+        f"MAX(CASE WHEN p = {i} THEN total END) AS y{i}"
+        for i in range(1, 15)
+    )
+
+    def lsum(names):
+        expr = names[0]
+        for nm in names[1:]:
+            expr = f"({expr}+{nm})"
+        return expr
+
+    l0 = f"{lsum(ys[:7])}/7.0"
+    b0 = f"(({lsum(ys[7:14])}/7.0) - ({l0}))/7.0"
+    s_init = ",\n                   ".join(
+        f"y{j + 1} - ({l0}) AS s{j}" for j in range(7)
+    )
+    s_j = (
+        "CASE s.t % 7 "
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END"
+    )
+
+    def recurrence(trend_term: str) -> tuple[str, str, str]:
+        """(l_new, b_new, s_cols) with the given trend contribution
+        (s.b for additive, PHI*s.b for damped)."""
+        l_new = (
+            f"{ALPHA}*(r.total - {s_j}) "
+            f"+ {ONE_M_ALPHA}*(s.l + {trend_term})"
+        )
+        b_new = (
+            f"{BETA}*(({l_new}) - s.l) + {ONE_M_BETA}*({trend_term})"
+        )
+        s_cols = ",\n                   ".join(
+            f"CASE WHEN s.t % 7 = {j} "
+            f"THEN {GAMMA}*(r.total - ({l_new})) "
+            f"+ {ONE_M_GAMMA}*({s_j}) "
+            f"ELSE s.s{j} END AS s{j}"
+            for j in range(7)
+        )
+        return l_new, b_new, s_cols
+
+    l_hw, b_hw, sc_hw = recurrence("s.b")
+    l_dp, b_dp, sc_dp = recurrence(f"{PHI}*s.b")
+    s_fc = (
+        "CASE (f.n + h.h - 1) % 7 "
+        + " ".join(f"WHEN {j} THEN f.s{j}" for j in range(7))
+        + " END"
+    )
+    damp = (
+        "CASE h.h "
+        + " ".join(
+            f"WHEN {i + 1} THEN {DAMP_SUM[i]!r}" for i in range(7)
+        )
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE alldaily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(value) AS total
+            FROM events GROUP BY 1, 2
+        ), cut AS (
+            SELECT MAX(day) - INTERVAL 7 DAY AS cutoff FROM alldaily
+        ), daily AS (
+            SELECT a.* FROM alldaily a, cut WHERE a.day <= cut.cutoff
+        ), rn AS (
+            SELECT event_type, day, total,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS p,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   MAX(day) OVER (PARTITION BY event_type) AS last_day
+            FROM daily
+        ), keys AS (
+            SELECT event_type, MAX(n) AS n, MAX(last_day) AS last_day
+            FROM rn GROUP BY 1 HAVING MAX(n) >= 14
+        ), piv AS (
+            SELECT event_type,
+                   {pivot}
+            FROM rn WHERE p <= 14 GROUP BY event_type
+        ), init AS (
+            SELECT p.event_type,
+                   {l0} AS l,
+                   {b0} AS b,
+                   {s_init}
+            FROM piv p JOIN keys USING (event_type)
+        ), state_hw AS (
+            SELECT event_type, 7 AS t, l, b, s0, s1, s2, s3, s4, s5, s6
+            FROM init
+            UNION ALL
+            SELECT s.event_type, s.t + 1,
+                   {l_hw} AS l,
+                   {b_hw} AS b,
+                   {sc_hw}
+            FROM state_hw s JOIN rn r
+              ON r.event_type = s.event_type AND r.p = s.t + 1
+        ), state_dp AS (
+            SELECT event_type, 7 AS t, l, b, s0, s1, s2, s3, s4, s5, s6
+            FROM init
+            UNION ALL
+            SELECT s.event_type, s.t + 1,
+                   {l_dp} AS l,
+                   {b_dp} AS b,
+                   {sc_dp}
+            FROM state_dp s JOIN rn r
+              ON r.event_type = s.event_type AND r.p = s.t + 1
+        ), state_ses AS (
+            SELECT r.event_type, 1 AS t, r.total AS l
+            FROM rn r JOIN keys USING (event_type) WHERE r.p = 1
+            UNION ALL
+            SELECT s.event_type, s.t + 1,
+                   {ALPHA}*r.total + {ONE_M_ALPHA}*s.l AS l
+            FROM state_ses s JOIN rn r
+              ON r.event_type = s.event_type AND r.p = s.t + 1
+        ), fit_hw AS (
+            SELECT s.*, k.n, k.last_day FROM state_hw s JOIN keys k
+              ON k.event_type = s.event_type AND s.t = k.n
+        ), fit_dp AS (
+            SELECT s.*, k.n, k.last_day FROM state_dp s JOIN keys k
+              ON k.event_type = s.event_type AND s.t = k.n
+        ), fit_ses AS (
+            SELECT s.*, k.n, k.last_day FROM state_ses s JOIN keys k
+              ON k.event_type = s.event_type AND s.t = k.n
+        ), hs AS (
+            SELECT unnest(generate_series(1, 7)) AS h
+        ), fc AS (
+            SELECT f.event_type, 'hw' AS model,
+                   CAST(f.last_day AS DATE) + CAST(h.h AS INT)
+                       AS forecast_day,
+                   f.l + h.h * f.b + {s_fc} AS yhat
+            FROM fit_hw f CROSS JOIN hs h
+            UNION ALL
+            SELECT f.event_type, 'dp' AS model,
+                   CAST(f.last_day AS DATE) + CAST(h.h AS INT),
+                   f.l + ({damp}) * f.b + {s_fc}
+            FROM fit_dp f CROSS JOIN hs h
+            UNION ALL
+            SELECT f.event_type, 'ses' AS model,
+                   CAST(f.last_day AS DATE) + CAST(h.h AS INT),
+                   f.l
+            FROM fit_ses f CROSS JOIN hs h
+        ), scored AS (
+            SELECT c.event_type, c.model,
+                   ABS(c.yhat - a.total) AS err
+            FROM fc c JOIN alldaily a
+              ON a.event_type = c.event_type
+             AND CAST(a.day AS DATE) = c.forecast_day
+        ), mae AS (
+            SELECT event_type,
+                   ROUND(5e-10 + AVG(CASE WHEN model = 'hw'
+                                          THEN err END), 4) AS mae_hw,
+                   ROUND(5e-10 + AVG(CASE WHEN model = 'dp'
+                                          THEN err END), 4)
+                       AS mae_damped,
+                   ROUND(5e-10 + AVG(CASE WHEN model = 'ses'
+                                          THEN err END), 4) AS mae_ses
+            FROM scored GROUP BY event_type
+        )
+        SELECT event_type, mae_hw, mae_damped, mae_ses,
+               CASE WHEN mae_hw <= mae_damped AND mae_hw <= mae_ses
+                    THEN 'holt_winters'
+                    WHEN mae_damped <= mae_ses THEN 'damped_trend'
+                    ELSE 'ses' END AS best_model,
+               LEAST(mae_hw, mae_damped, mae_ses) AS best_mae
+        FROM mae
+        ORDER BY event_type
+    """
+
+
+@register(
+    "ts_forecast_model_select",
+    oracle=_model_select_oracle(),
+    doc="ETS-lite MODEL SELECTION — the step a real forecasting user "
+    "hits after the backtest: three candidate models (additive "
+    "Holt-Winters, phi-damped-trend Holt-Winters, level-only SES — "
+    "operators/holtwinters.py) are each fitted on the daily totals "
+    "truncated at max-day - 7, scored on the held-out week, and the "
+    "per-key argmin MAE picked. The selection binds on BIASED-ROUNDED "
+    "MAEs with fixed tie-break priority (hw > damped > ses) so both "
+    "engines choose identically; the oracle replays ALL THREE "
+    "recursive-CTE fits, the holdout joins, and the argmin. The "
+    "damped forecast multipliers (phi + ... + phi^h) are computed "
+    "once in Python and passed to both engines as the same literals. "
+    "Scale shape: three Catalyst folds over the same per-key "
+    "days-sized array — one (key, day) shuffle total, parallel across "
+    "keys.",
+)
+def ts_forecast_model_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    from economic_data_etl_spark.operators.holtwinters import (
+        holt_winters_damped_forecast,
+        holt_winters_forecast,
+        ses_forecast,
+    )
+
+    daily = _daily_totals(spark, sf_dir).select(
+        "event_type", "day", "total"
+    )
+    max_day = daily.agg(F.max("day").alias("m")).collect()[0]["m"]
+    if max_day is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, mae_hw double, mae_damped double, "
+            "mae_ses double, best_model string, best_mae double",
+        )
+    cutoff = max_day - datetime.timedelta(days=7)
+    train = daily.filter(F.col("day") <= F.lit(cutoff))
+    actuals = daily.select(
+        "event_type",
+        F.col("day").cast("date").alias("forecast_day"),
+        "total",
+    )
+
+    def mae_of(fc: DataFrame, name: str) -> DataFrame:
+        scored = fc.join(actuals, ["event_type", "forecast_day"])
+        return scored.groupBy("event_type").agg(
+            _r(F.avg(F.abs(F.col("yhat") - F.col("total")))).alias(
+                name
+            )
+        )
+
+    m_hw = mae_of(holt_winters_forecast(train, _HW_H), "mae_hw")
+    m_dp = mae_of(
+        holt_winters_damped_forecast(train, _HW_H), "mae_damped"
+    )
+    m_ses = mae_of(ses_forecast(train, _HW_H), "mae_ses")
+    joined = m_hw.join(m_dp, "event_type").join(m_ses, "event_type")
+    best_model = (
+        F.when(
+            (F.col("mae_hw") <= F.col("mae_damped"))
+            & (F.col("mae_hw") <= F.col("mae_ses")),
+            F.lit("holt_winters"),
+        )
+        .when(
+            F.col("mae_damped") <= F.col("mae_ses"),
+            F.lit("damped_trend"),
+        )
+        .otherwise(F.lit("ses"))
+    )
+    return joined.select(
+        "event_type",
+        "mae_hw",
+        "mae_damped",
+        "mae_ses",
+        best_model.alias("best_model"),
+        F.least("mae_hw", "mae_damped", "mae_ses").alias("best_mae"),
+    ).orderBy("event_type")

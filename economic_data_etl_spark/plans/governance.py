@@ -13,10 +13,27 @@ hides rows at serve time would score every survivor wrong — the green
 row proves the index layout is erasure-exact, not just
 membership-exact.
 
-Scale shape: the revoked set is doc-keyed; erasure is one anti-join
-per index table (postings shuffle on doc_id — the one pass erasure
-inherently costs; an index bucketed by doc_id makes it co-located).
-Nothing rebuilds, nothing re-tokenizes.
+Round 12 extends the lane to EVERY standing index the engine
+maintains: the SemDeDup cluster assignments + pairs and the pHash
+fingerprints + pairs (pure anti-join erasure — with frozen
+centroids/hashes each pair depends only on its endpoints, so the
+anti-join is rebuild-exact), and the two indexes where erasure must
+REASSIGN state to survivors: the substring gram index (a revoked doc
+can BE a gram's retained first occurrence — the first moves to the
+earliest surviving occurrence and that doc's spans are recomputed)
+and the crawl-frontier seen-set (a canonical's first_doc moves to the
+earliest surviving page, or leaves the seen-set so a re-crawl
+re-fetches). Streaming twins with tombstone-then-compact crash safety:
+streaming/incremental_{bm25,semantic,phash,substring}.py and
+streaming/crawl_frontier.py, fuzzed at every kill offset in
+tests/test_erasure_indexes.py.
+
+Scale shape: the revoked set is doc-keyed; anti-join erasure is one
+(broadcastable) anti-join per index table. The reassignment lanes add
+one surviving-corpus occurrence pass SEMI-JOINED to the affected
+key set (grams / canonicals whose first is revoked — small when
+revocations are small) plus re-processing of only the docs that own a
+new first. Nothing else rebuilds, nothing else re-tokenizes.
 """
 
 from __future__ import annotations
@@ -26,12 +43,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.plans.crawlq import _CANON_CTES
 from economic_data_etl_spark.sources.tables import load_table
 
 _REVOKED_SOURCE = "src2"
 _ERA_TERMS = ("stream", "batch", "window")
 _ERA_TAU = 0.8
 _ERA_PHRASE = ("stream", "table", "hash")
+
+# Semantic-erasure fixture: same clustering constants as the SemDeDup
+# queries (plans/curation.py) so the frozen-centroid contract is the
+# one the standing index was actually built with.
+_GSEM_K = 8
+_GSEM_DOCS_PER_CLUSTER = 250
+_GSEM_TAU = 0.4
+_GSEM_PROBES = 3
+_GSEM_REVOKED_MOD = 10
+_GSEM_REVOKED_REM = 3
+
+# Substring-erasure fixture: same k as the substring-dedup queries.
+# Revoked source chosen so FIRST-OCCURRENCE REASSIGNMENT actually
+# fires on the synthetic corpus: src2's duplicated grams are all
+# intra-source (zero reassignable), while ~140 (sf0.001) / ~80
+# (sf0.01) grams have their retained first in src10 and surviving
+# occurrences elsewhere — the sharp path is exercised, not vacuous.
+_GSUB_K = 20
+_GSUB_REVOKED_SOURCE = "src10"
 
 
 @register(
@@ -174,3 +211,454 @@ def governance_erasure_phrase(
     return phrase_from_index(postings_e, list(_ERA_PHRASE)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "governance_erasure_semantic",
+    oracle=f"""
+        WITH seeds AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings
+          WHERE vec_id < GREATEST({_GSEM_K},
+              (SELECT COUNT(*) // {_GSEM_DOCS_PER_CLUSTER}
+               FROM embeddings))
+        ), reduced AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % {_GSEM_REVOKED_MOD} <> {_GSEM_REVOKED_REM}
+        ), scored AS (
+          SELECT e.vec_id, s.cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], s.cv) AS d
+          FROM reduced e CROSS JOIN seeds s
+        ), ranked AS (
+          SELECT vec_id, CAST(cid AS INT) AS cluster,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d DESC, cid ASC
+                 ) AS rn
+          FROM scored
+        ), best AS (
+          SELECT vec_id, cluster FROM ranked WHERE rn = 1
+        ), probed AS (
+          SELECT vec_id, cluster FROM ranked WHERE rn <= {_GSEM_PROBES}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM probed a JOIN probed b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ), normed AS (
+          SELECT vec_id,
+                 list_transform(
+                     embedding::DOUBLE[],
+                     x -> x / sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], y -> y * y)))) AS nv
+          FROM reduced
+        ), pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN normed na ON na.vec_id = c.id_a
+          JOIN normed nb ON nb.vec_id = c.id_b
+          WHERE list_dot_product(na.nv, nb.nv) >= {_GSEM_TAU}
+        ), dropped AS (
+          SELECT DISTINCT id_b FROM pairs
+        )
+        SELECT d.id_b AS vec_id, b.cluster
+        FROM dropped d JOIN best b ON b.vec_id = d.id_b
+        ORDER BY vec_id
+    """,
+    doc="Erasure propagation through the standing SEMANTIC-DEDUP state "
+    f"(SemDeDup cluster assignments + near-dup pairs): revoked vectors "
+    f"(vec_id % {_GSEM_REVOKED_MOD} = {_GSEM_REVOKED_REM}) are "
+    "anti-joined out of the assignment index and out of EITHER end of "
+    "the pairs table, and the keep/drop decision is re-served from the "
+    "erased pairs. The oracle is a from-scratch SemDeDup pass over the "
+    "reduced corpus under the SAME frozen centroids (seeded from the "
+    "full corpus — the index's build-time contract; re-clustering is "
+    "the offline rebuild path, streaming/incremental_semantic.py). "
+    "Green pins the sharp case: a revoked vector that was a pair's "
+    "KEEPER (lower id) releases its surviving twin back into the keep "
+    "set exactly as the rebuild does — the twin must vanish from this "
+    "dropped-survivors listing. With frozen assignments each pair "
+    "depends only on its endpoints, so the anti-join erasure is "
+    "rebuild-EXACT, value-hash-checked here. One broadcast anti-join "
+    "per state table at scale; nothing re-scores.",
+)
+def governance_erasure_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.semantic import (
+        assign_topp_clusters,
+        seed_centroids,
+        semantic_near_dup_pairs,
+    )
+    from economic_data_etl_spark.streaming.util import erase_ids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(_GSEM_K, emb.count() // _GSEM_DOCS_PER_CLUSTER)
+    cent = seed_centroids(emb, k)  # frozen at index build (full corpus)
+    if not cent:
+        return spark.createDataFrame([], "vec_id long, cluster int")
+    # ONE ranking pass serves both the primary assignment (element 0)
+    # and the multi-probe candidate assignment (explode) — the
+    # semantic_dedup_summary pattern; the cache holds ids + p ints per
+    # row, released after the small result is materialized.
+    caches: list = []
+    topp = (
+        assign_topp_clusters(
+            emb, cent, "embedding", _GSEM_PROBES, _resources=caches
+        )
+        .select("vec_id", "__clusters")
+        .persist()
+    )
+    caches.append(topp)
+    primary = topp.select(
+        "vec_id",
+        F.col("__clusters")[0].cast("int").alias("cluster"),
+    )
+    assigned = topp.select(
+        F.explode("__clusters").alias("cluster"),
+        F.col("vec_id").alias("__id"),
+    )
+    pairs = semantic_near_dup_pairs(
+        emb, cent, _GSEM_TAU, "vec_id", "embedding", _GSEM_PROBES,
+        _caches=caches, _assigned=assigned,
+    )
+    revoked = emb.filter(
+        F.col("vec_id") % _GSEM_REVOKED_MOD == _GSEM_REVOKED_REM
+    ).select("vec_id")
+    erased = erase_ids(pairs, revoked, ["id_a", "id_b"])
+    result = (
+        erased.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .join(primary, "vec_id")
+        .orderBy("vec_id")
+        # dropped-survivor rows only: eager materialization detaches
+        # the result so the ranking caches release NOW
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    return result
+
+
+@register(
+    "governance_erasure_substring",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                     x -> x <> '') AS w
+  FROM documents WHERE source <> '{_GSUB_REVOKED_SOURCE}'
+), g0 AS (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) >= {_GSUB_K}
+                     THEN generate_series(1, len(w) - {_GSUB_K} + 1)
+                     ELSE [] END) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i+{_GSUB_K}-1], ' ') AS gram
+  FROM g0
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+), dup AS (
+  SELECT doc_id, pos, pos + {_GSUB_K} AS e FROM ranked WHERE rn > 1
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos <= MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_span
+  FROM dup
+), spans AS (
+  SELECT doc_id,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id,
+         pos, e
+  FROM marked
+), agg AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(e) AS e
+  FROM spans GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_tokens
+  FROM agg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM toks t
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+""",
+    doc="Erasure propagation through the standing EXACT-SUBSTRING "
+    "state (provenance gram index + merged duplicated spans, k="
+    f"{_GSUB_K}): revoked docs (source {_GSUB_REVOKED_SOURCE!r}) leave, and "
+    "— the sharp part — every gram whose RETAINED FIRST occurrence "
+    "lived in a revoked doc has its first reassigned to the earliest "
+    "surviving occurrence, whose owning doc's spans are then "
+    "recomputed (that occurrence flips duplicate → first, so the "
+    "rebuild shrinks exactly those docs' spans). Served per-doc dedup "
+    "accounting from the erased state must value-hash-equal the "
+    "oracle's FROM-SCRATCH rebuild on the reduced corpus. Cost is "
+    "O(revoked + reassigned docs) re-processing plus one surviving-"
+    "corpus gram pass semi-joined to the affected grams "
+    "(operators/substring.py:erase_substring_index) — never a full "
+    "re-tokenization of unaffected state.",
+)
+def governance_erasure_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.substring import (
+        duplicate_spans,
+        erase_substring_index,
+        gram_index_firsts,
+        word_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = gram_index_firsts(docs, "doc_id", "text", _GSUB_K)
+    spans = duplicate_spans(docs, "doc_id", "text", _GSUB_K)
+    revoked = docs.filter(
+        F.col("source") == _GSUB_REVOKED_SOURCE
+    ).select("doc_id")
+    surviving = docs.filter(F.col("source") != _GSUB_REVOKED_SOURCE)
+    _index2, spans2 = erase_substring_index(
+        index, spans, revoked, surviving, "doc_id", "text", _GSUB_K
+    )
+    per_doc = spans2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias(
+            "dup_tokens"
+        ),
+    )
+    base = surviving.select(
+        "doc_id",
+        F.size(word_array(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# pHash-erasure planted universe: doc e hosts its own original texture
+# (media id = e); docs with (e-1) % 3 == 0 additionally host a
+# JPEG-recompressed twin OF THE PREVIOUS DOC'S texture (media id =
+# e + _GPH_TWIN, the only CROSS-document near-dup pairs in the
+# universe); other docs with e % 7 == 0 host an unrelated decoy twin.
+_GPH_TWIN = 1 << 40
+
+
+@register(
+    "governance_erasure_phash",
+    oracle=f"""
+        WITH surv AS (
+          SELECT doc_id FROM documents WHERE source <> '{_REVOKED_SOURCE}'
+        )
+        SELECT r.doc_id,
+               CASE WHEN r.doc_id % 3 = 1 THEN 'twin_host'
+                    WHEN r.doc_id % 3 = 0 THEN 'pair_source'
+                    ELSE 'decoy_host' END AS role,
+               CAST(CASE WHEN r.doc_id % 3 = 0 AND EXISTS (
+                        SELECT 1 FROM surv s
+                        WHERE s.doc_id = r.doc_id + 1)
+                    THEN 1 ELSE 0 END AS BIGINT) AS partners_orig,
+               CAST(CASE WHEN r.doc_id % 3 = 1 AND EXISTS (
+                        SELECT 1 FROM surv s
+                        WHERE s.doc_id = r.doc_id - 1)
+                    THEN 1 ELSE 0 END AS BIGINT) AS partners_twin
+        FROM surv r
+        WHERE r.doc_id % 3 IN (0, 1) OR r.doc_id % 7 = 0
+        ORDER BY r.doc_id
+    """,
+    doc="Erasure propagation through the standing pHash fingerprint "
+    "state (index + near-dup pairs): the planted universe's only "
+    "near-dup pairs CROSS documents — doc e+1 hosts a JPEG-"
+    "recompressed twin of doc e's texture (e % 3 = 0), every other "
+    "planted texture sits at BCH-provable hamming >= 14 — so revoking "
+    f"source {_REVOKED_SOURCE!r} (each revoked doc takes its original "
+    "AND its hosted twin with it) must change a SURVIVOR's served "
+    "partner count: a surviving twin host whose pair-source was "
+    "revoked drops 1 → 0, and a surviving pair-source whose twin host "
+    "was revoked likewise. Served counts come from the anti-join-"
+    "erased pairs table (streaming/util.py:erase_ids — the same step "
+    "the streaming twin's apply_erasure compacts); the oracle "
+    "reconstructs the rebuild outcome arithmetically from the "
+    "planting rule over the reduced corpus, so a stale pair, a "
+    "missed erasure, or any false positive flips the value hash.",
+)
+def governance_erasure_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from economic_data_etl_spark.operators.phash import (
+        near_dup_pairs_by_phash,
+    )
+    from economic_data_etl_spark.streaming.util import erase_ids
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    ids = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def hash_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+        from economic_data_etl_spark.operators.phash import phash64
+        from economic_data_etl_spark.operators.planted import (
+            planted_texture,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows.append((d, phash64(planted_texture(2 * d))))
+                if d % 3 == 1:  # twin of the PREVIOUS doc's texture
+                    prev = planted_texture(2 * (d - 1))
+                    twin = decode_jpeg(encode_jpeg_gray(prev))
+                    rows.append((d + _GPH_TWIN, phash64(twin)))
+                elif d % 7 == 0:  # unrelated decoy twin
+                    rows.append(
+                        (d + _GPH_TWIN, phash64(planted_texture(2 * d + 1)))
+                    )
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    # hash once (2 longs per image) — the pair join scans this twice
+    hashes = ids.mapInPandas(
+        hash_batch, "id long, phash long"
+    ).localCheckpoint(eager=True)
+    pairs = near_dup_pairs_by_phash(hashes, "id", "phash").select(
+        "id_a", "id_b"
+    )
+
+    revoked_docs = docs.filter(
+        F.col("source") == _REVOKED_SOURCE
+    ).select("doc_id")
+    # a revoked doc takes every media object it hosts: its original
+    # texture AND its twin (derived media share the doc's fate)
+    revoked_media = revoked_docs.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + _GPH_TWIN)
+        ).alias("id")
+    )
+    erased_pairs = erase_ids(pairs, revoked_media, ["id_a", "id_b"])
+
+    touch = (
+        erased_pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+    surv = docs.filter(F.col("source") != _REVOKED_SOURCE)
+    listed = surv.filter(
+        (F.col("doc_id") % 3 == 0)
+        | (F.col("doc_id") % 3 == 1)
+        | (F.col("doc_id") % 7 == 0)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 1, F.lit("twin_host"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("pair_source"))
+        .otherwise(F.lit("decoy_host"))
+        .alias("role"),
+    )
+    return (
+        listed.join(
+            touch.select(
+                F.col("id").alias("doc_id"),
+                F.col("n_partners").alias("po"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            touch.select(
+                (F.col("id") - F.lit(_GPH_TWIN)).alias("doc_id"),
+                F.col("n_partners").alias("pt"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "role",
+            F.coalesce(F.col("po"), F.lit(0))
+            .cast("long")
+            .alias("partners_orig"),
+            F.coalesce(F.col("pt"), F.lit(0))
+            .cast("long")
+            .alias("partners_twin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "governance_erasure_frontier",
+    oracle=_CANON_CTES
+    + f"""
+SELECT c.canonical, CAST(MIN(c.doc_id) AS BIGINT) AS first_doc
+FROM canon c JOIN documents d USING (doc_id)
+WHERE d.source <> '{_REVOKED_SOURCE}'
+GROUP BY c.canonical
+ORDER BY c.canonical
+""",
+    doc="Erasure propagation through the standing crawl-frontier "
+    f"SEEN-SET: revoking source {_REVOKED_SOURCE!r} must not just hide "
+    "the revoked docs' rows — every canonical URL whose retained "
+    "first_doc was revoked is REASSIGNED to the earliest surviving doc "
+    "with that canonical, and canonicals with no surviving occurrence "
+    "leave the seen-set entirely (a future re-crawl re-fetches them — "
+    "the right-to-be-forgotten semantics). Served seen-set comes from "
+    "streaming/crawl_frontier.py:erase_frontier_index (the same "
+    "algebra the streaming twin's apply_erasure compacts); the oracle "
+    "is the from-scratch replay of the reduced stream (canonical → "
+    "min surviving doc_id). One canonicalize pass over the surviving "
+    "pages semi-joined to the affected canonicals; unaffected rows are "
+    "never touched.",
+)
+def governance_erasure_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.plans.crawlq import _canonicalized
+    from economic_data_etl_spark.streaming.crawl_frontier import (
+        erase_frontier_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    pages = _canonicalized(spark, sf_dir).select(
+        "doc_id", "url", "canonical"
+    )
+    index = pages.groupBy("canonical").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    revoked = docs.filter(
+        F.col("source") == _REVOKED_SOURCE
+    ).select("doc_id")
+    surviving_pages = pages.join(
+        revoked, "doc_id", "left_anti"
+    ).select("doc_id", "url")
+    return erase_frontier_index(
+        index, revoked, surviving_pages
+    ).orderBy("canonical")

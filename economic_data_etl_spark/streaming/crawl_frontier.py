@@ -40,6 +40,154 @@ INDEX_SCHEMA = StructType(
 )
 
 
+TOMBSTONES_SCHEMA = StructType(
+    [StructField("first_doc", LongType(), True)]
+)
+
+
+def frontier_erasure_patch(
+    index: DataFrame,
+    revoked: DataFrame,
+    surviving_pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Replacement rows for erasing revoked docs from the standing
+    seen-set: for each canonical whose retained first_doc is revoked,
+    the earliest SURVIVING doc with that canonical (one canonicalize
+    pass over the surviving pages, semi-joined to the affected
+    canonicals — broadcast when revocations are few). Canonicals with
+    no surviving occurrence leave the seen-set entirely, so a future
+    re-crawl re-fetches them — the right-to-be-forgotten semantics a
+    replay of the reduced stream would produce."""
+    rev = revoked.select(
+        F.col(revoked.columns[0]).alias("first_doc")
+    )
+    affected = index.join(rev, "first_doc", "left_semi").select(
+        "canonical"
+    )
+    return (
+        surviving_pages.select(
+            F.col(id_col).alias("first_doc"),
+            canonical_url(F.col(url_col)).alias("canonical"),
+        )
+        .join(affected, "canonical", "left_semi")
+        .groupBy("canonical")
+        .agg(F.min("first_doc").alias("first_doc"))
+        .select("canonical", "first_doc")
+    )
+
+
+def erase_frontier_index(
+    index: DataFrame,
+    revoked: DataFrame,
+    surviving_pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """The seen-set a from-scratch replay of the reduced stream would
+    build: unaffected rows verbatim, affected canonicals reassigned to
+    their earliest surviving doc (or dropped when none survives)."""
+    patch = frontier_erasure_patch(
+        index, revoked, surviving_pages, id_col, url_col
+    )
+    rev = revoked.select(
+        F.col(revoked.columns[0]).alias("first_doc")
+    )
+    return index.join(rev, "first_doc", "left_anti").unionByName(patch)
+
+
+def read_frontier_erased(
+    spark,
+    index_dir: str,
+    tombstones_dir: str,
+    patch_dir: str,
+) -> DataFrame:
+    """The seen-set with patch-carrying tombstone masking: rows whose
+    first_doc is tombstoned are replaced by the patch's reassigned
+    firsts. Rebuild-exact from the tombstone append on, at every
+    compaction offset (post-compaction the standing table already
+    carries the patch rows; re-unioning adds only identical rows,
+    deduped by canonical — the sink's at-least-once read key)."""
+    from economic_data_etl_spark.streaming.util import erase_ids
+
+    index = read_parquet_or_empty(
+        spark, index_dir, INDEX_SCHEMA
+    ).dropDuplicates(["canonical"])
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["first_doc"])
+    if tombs.limit(1).count() == 0:
+        # no erasure committed: a patch written before a crash that
+        # never reached the tombstone append must NOT be served.
+        return index
+    patch = read_parquet_or_empty(spark, patch_dir, INDEX_SCHEMA)
+    return (
+        erase_ids(index, tombs, ["first_doc"])
+        .unionByName(patch)
+        .dropDuplicates(["canonical"])
+    )
+
+
+def apply_erasure(
+    spark,
+    index_dir: str,
+    frontier_dir: str,
+    tombstones_dir: str,
+    patch_dir: str,
+    revoked: DataFrame,
+    surviving_pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Erase revoked docs from the standing seen-set AND the emitted
+    frontier table (both are (canonical, first_doc) layouts, so one
+    patch serves both). Patch-then-tombstone-then-compact — the same
+    sequence and crash contract as the substring twin
+    (streaming/incremental_substring.py:apply_erasure): the patch lands
+    before the tombstone commit point; a replay that finds tombstones
+    present SKIPS patch computation (the on-disk patch is still valid
+    for that tombstone set, while recomputing against a mid-compacted
+    index would conclude nothing is affected); patches are cleared
+    after compaction, tombstones LAST. Fuzzed at every crash offset in
+    tests/test_crawl_frontier_stream.py."""
+    import os
+    import shutil
+
+    from economic_data_etl_spark.streaming.util import recover_staging
+
+    for d in (index_dir, frontier_dir):
+        recover_staging(f"{d}.staging", d)
+
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    )
+    if tombs.limit(1).count() == 0:
+        index = read_parquet_or_empty(
+            spark, index_dir, INDEX_SCHEMA
+        ).dropDuplicates(["canonical"])
+        patch = frontier_erasure_patch(
+            index, revoked, surviving_pages, id_col, url_col
+        )
+        patch.write.mode("overwrite").parquet(patch_dir)
+        revoked.select(
+            F.col(revoked.columns[0]).cast("long").alias("first_doc")
+        ).write.mode("append").parquet(tombstones_dir)  # commit point
+
+    for path in (index_dir, frontier_dir):
+        masked = read_frontier_erased(
+            spark, path, tombstones_dir, patch_dir
+        )
+        staging = f"{path}.staging"
+        masked.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+    if os.path.exists(patch_dir):
+        shutil.rmtree(patch_dir)
+    shutil.rmtree(tombstones_dir)  # cleared last
+
+
 def foreach_batch_crawl_frontier(
     index_dir: str,
     frontier_dir: str,

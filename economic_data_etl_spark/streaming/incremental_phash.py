@@ -40,6 +40,77 @@ def _read_index(spark, index_dir: str) -> DataFrame:
     return read_parquet_or_empty(spark, index_dir, IDX_SCHEMA)
 
 
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), True),
+        StructField("id_b", LongType(), True),
+    ]
+)
+
+TOMBSTONES_SCHEMA = StructType([StructField("id", LongType(), True)])
+
+
+def read_index_erased(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+):
+    """(fingerprints, pairs) with tombstone masking: revoked media ids
+    are anti-joined out of the fingerprint index and out of either end
+    of the pairs table at read time — correct the moment the tombstones
+    land. Masking is rebuild-exact: a pHash pair's existence depends
+    only on its two endpoints' hashes (the banding is a complete
+    candidate generator up to the hamming bound), so the reduced
+    universe's pair set is the full set minus pairs touching a revoked
+    id. A doc's DERIVED media (recompression twins, keyframes) must be
+    revoked with it — the caller maps doc ids to all media ids it
+    planted/ingested for that doc, as governance_erasure_phash does."""
+    from economic_data_etl_spark.streaming.util import (
+        erase_ids,
+        read_parquet_or_empty,
+    )
+
+    index = _read_index(spark, index_dir).dropDuplicates(["id"])
+    pairs = read_parquet_or_empty(
+        spark, pairs_dir, PAIRS_SCHEMA
+    ).dropDuplicates(["id_a", "id_b"])
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["id"])
+    return (
+        erase_ids(index, tombs, ["id"]),
+        erase_ids(pairs, tombs, ["id_a", "id_b"]),
+    )
+
+
+def apply_erasure(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+    revoked: DataFrame,
+) -> None:
+    """Erase revoked media ids from the standing fingerprint state:
+    tombstone-then-compact over the (id, phash) index and the pairs
+    table (both endpoints) — shared sequence + crash contract in
+    streaming/util.py:tombstone_then_compact."""
+    from economic_data_etl_spark.streaming.util import (
+        tombstone_then_compact,
+    )
+
+    tombstone_then_compact(
+        spark,
+        tombstones_dir,
+        TOMBSTONES_SCHEMA,
+        revoked,
+        [
+            (index_dir, IDX_SCHEMA, ["id"]),
+            (pairs_dir, PAIRS_SCHEMA, ["id_a", "id_b"]),
+        ],
+    )
+
+
 def foreach_batch_incremental_phash(
     index_dir: str,
     pairs_dir: str,

@@ -54,6 +54,85 @@ def _read_index(spark, index_dir: str) -> DataFrame:
     return read_parquet_or_empty(spark, index_dir, IDX_SCHEMA)
 
 
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), True),
+        StructField("id_b", LongType(), True),
+    ]
+)
+
+TOMBSTONES_SCHEMA = StructType(
+    [StructField("vec_id", LongType(), True)]
+)
+
+
+def read_index_erased(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments, pairs) with tombstone masking: revoked vec_ids are
+    anti-joined out of the assignment index and out of EITHER end of
+    the pairs table at read time, so serving is correct the moment the
+    tombstones land, regardless of compaction progress.
+
+    This masking is REBUILD-EXACT, not just row hiding: with centroids
+    frozen (the module contract), each pair's existence depends only on
+    its two endpoints' assignments and dot product, so the pair set of
+    a from-scratch pass over the reduced corpus is precisely the full
+    pair set minus pairs touching a revoked id. The sharp SemDeDup case
+    falls out: when the revoked doc was a pair's KEEPER (the lower id),
+    its surviving twin loses that pair and re-enters the keep set
+    exactly as a rebuild would — pinned in tests and value-checked by
+    the governance_erasure_semantic oracle."""
+    from economic_data_etl_spark.streaming.util import erase_ids
+
+    index = _read_index(spark, index_dir).dropDuplicates(
+        ["cluster", "vec_id"]
+    )
+    pairs = read_parquet_or_empty(
+        spark, pairs_dir, PAIRS_SCHEMA
+    ).dropDuplicates(["id_a", "id_b"])
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["vec_id"])
+    return (
+        erase_ids(index, tombs, ["vec_id"]),
+        erase_ids(pairs, tombs, ["id_a", "id_b"]),
+    )
+
+
+def apply_erasure(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+    revoked: DataFrame,
+) -> None:
+    """Erase revoked vec_ids from the standing semantic-dedup state:
+    tombstone-then-compact over the assignment index (anti-join on
+    vec_id) and the pairs table (anti-join on both endpoints), shared
+    sequence + crash contract in streaming/util.py:
+    tombstone_then_compact. Idempotent under full replay; reads via
+    read_index_erased are rebuild-exact from the tombstone append on
+    (see its docstring for why masking alone is already exact here)."""
+    from economic_data_etl_spark.streaming.util import (
+        tombstone_then_compact,
+    )
+
+    tombstone_then_compact(
+        spark,
+        tombstones_dir,
+        TOMBSTONES_SCHEMA,
+        revoked,
+        [
+            (index_dir, IDX_SCHEMA, ["vec_id"]),
+            (pairs_dir, PAIRS_SCHEMA, ["id_a", "id_b"]),
+        ],
+    )
+
+
 def foreach_batch_incremental_semantic(
     index_dir: str,
     pairs_dir: str,

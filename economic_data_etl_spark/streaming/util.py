@@ -14,6 +14,7 @@ typo'd scheme) propagates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 # Error-class fragments Spark raises for a nonexistent read path; both
@@ -44,6 +45,75 @@ def read_parquet_or_empty(
         if any(m in str(e) for m in _MISSING_PATH_MARKERS):
             return spark.createDataFrame([], schema)
         raise
+
+
+def erase_ids(df: DataFrame, ids: DataFrame, cols: list[str]) -> DataFrame:
+    """Drop every row of `df` whose value in ANY of `cols` appears in
+    the single-column id frame `ids` — the shared masking/compaction
+    step of the standing-index erasure paths (a pairs table is erased
+    on BOTH endpoints, an index table on its one id column). One
+    anti-join per column; when the revoked set is small (the normal
+    right-to-be-forgotten shape) each anti-join broadcasts."""
+    ids = ids.select(F.col(ids.columns[0]).alias("__erase_id"))
+    out_cols = df.columns
+    for c in cols:
+        df = df.join(
+            ids.withColumnRenamed("__erase_id", c), c, "left_anti"
+        )
+    # a join moves its key to the front — restore the caller's order
+    return df.select(*out_cols)
+
+
+def tombstone_then_compact(
+    spark: SparkSession,
+    tombstones_dir: str,
+    tombstones_schema: StructType,
+    revoked: DataFrame,
+    tables: list[tuple[str, StructType, list[str]]],
+) -> None:
+    """The shared tombstone-then-compact erasure sequence for standing
+    indexes whose erasure is a pure per-table anti-join (BM25-shaped:
+    semantic pairs/assignments, pHash fingerprints/pairs). For indexes
+    that must REASSIGN state to survivors (substring gram firsts, crawl
+    frontier firsts) see their modules' patch-carrying variants.
+
+    1. APPEND revoked ids to the tombstone table — the commit point;
+       the caller's read_*_erased masks every table from here on, and
+       a replayed append only adds duplicate tombstone rows.
+    2. Compact each table in turn: staged anti-join rewrite + swap
+       (recover_staging promotes a complete staging dir, discards a
+       partial one). Re-erasing already-compacted rows is a no-op, so
+       any crash+replay interleaving converges.
+    3. Clear the tombstone table LAST — until then it keeps masking.
+
+    `tables`: (path, schema, match_cols) — a row is erased when any of
+    match_cols holds a tombstoned id.
+    """
+    import os
+    import shutil
+
+    id_col = tombstones_schema.fieldNames()[0]
+    ids = revoked.select(
+        F.col(revoked.columns[0])
+        .cast(tombstones_schema[id_col].dataType)
+        .alias(id_col)
+    )
+    ids.write.mode("append").parquet(tombstones_dir)  # commit point
+
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, tombstones_schema
+    ).dropDuplicates([id_col])
+    for path, schema, cols in tables:
+        staging = f"{path}.staging"
+        recover_staging(staging, path)
+        kept = erase_ids(
+            read_parquet_or_empty(spark, path, schema), tombs, cols
+        )
+        kept.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+    shutil.rmtree(tombstones_dir)  # cleared last
 
 
 def recover_staging(staging: str, target: str) -> None:
