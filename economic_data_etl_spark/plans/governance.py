@@ -24,7 +24,7 @@ earliest surviving occurrence and that doc's spans are recomputed)
 and the crawl-frontier seen-set (a canonical's first_doc moves to the
 earliest surviving page, or leaves the seen-set so a re-crawl
 re-fetches). Streaming twins with tombstone-then-compact crash safety:
-streaming/incremental_{bm25,semantic,phash,substring}.py and
+streaming/incremental_{bm25,semantic,phash,substring,dedup}.py and
 streaming/crawl_frontier.py, fuzzed at every kill offset in
 tests/test_erasure_indexes.py.
 
@@ -34,6 +34,16 @@ one surviving-corpus occurrence pass SEMI-JOINED to the affected
 key set (grams / canonicals whose first is revoked — small when
 revocations are small) plus re-processing of only the docs that own a
 new first. Nothing else rebuilds, nothing else re-tokenizes.
+
+Out of scope BY CONSTRUCTION: the lossy sketches (KMV, CMS, KLL,
+Bloom, HLL, heavy hitters) cannot delete — a sketch retains no
+per-doc rows to anti-join, and subtracting a contribution is
+information-theoretically impossible for most of them. Their erasure
+path is a REFIT from the reduced corpus (cheap: each is one linear
+pass producing KB of state), which is exactly what their incremental
+twins already do when pointed at the reduced stream. Stated here so
+nobody mistakes the standing-INDEX guarantee for a standing-SKETCH
+one.
 """
 
 from __future__ import annotations

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -40,6 +41,73 @@ SIG_SCHEMA = StructType(
 
 def _read_index(spark, index_dir: str) -> DataFrame:
     return read_parquet_or_empty(spark, index_dir, SIG_SCHEMA)
+
+
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), True),
+        StructField("id_b", LongType(), True),
+        StructField("est_jaccard", DoubleType(), True),
+    ]
+)
+
+TOMBSTONES_SCHEMA = StructType([StructField("doc", LongType(), True)])
+
+
+def read_index_erased(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+):
+    """(signatures, pairs) with tombstone masking: revoked docs are
+    anti-joined out of the signature index and out of either end of
+    the pairs table at read time. Masking is rebuild-exact: a MinHash
+    pair's existence depends only on its two endpoints' signatures
+    (band collision + verify), so the reduced corpus's pair set is
+    precisely the full set minus pairs touching a revoked doc — the
+    same frozen-per-row argument as the semantic and pHash twins."""
+    from economic_data_etl_spark.streaming.util import erase_ids
+
+    index = _read_index(spark, index_dir).dropDuplicates(["doc"])
+    pairs = read_parquet_or_empty(
+        spark, pairs_dir, PAIRS_SCHEMA
+    ).dropDuplicates(["id_a", "id_b"])
+    tombs = read_parquet_or_empty(
+        spark, tombstones_dir, TOMBSTONES_SCHEMA
+    ).dropDuplicates(["doc"])
+    return (
+        erase_ids(index, tombs, ["doc"]),
+        erase_ids(pairs, tombs, ["id_a", "id_b"]),
+    )
+
+
+def apply_erasure(
+    spark,
+    index_dir: str,
+    pairs_dir: str,
+    tombstones_dir: str,
+    revoked: DataFrame,
+) -> None:
+    """Erase revoked docs from the standing MinHash state:
+    tombstone-then-compact over the signature index (anti-join on doc)
+    and the pairs table (both endpoints) — shared sequence + crash
+    contract in streaming/util.py:tombstone_then_compact; fuzzed in
+    tests/test_erasure_indexes.py."""
+    from economic_data_etl_spark.streaming.util import (
+        tombstone_then_compact,
+    )
+
+    tombstone_then_compact(
+        spark,
+        tombstones_dir,
+        TOMBSTONES_SCHEMA,
+        revoked,
+        [
+            (index_dir, SIG_SCHEMA, ["doc"]),
+            (pairs_dir, PAIRS_SCHEMA, ["id_a", "id_b"]),
+        ],
+    )
 
 
 def foreach_batch_incremental_dedup(

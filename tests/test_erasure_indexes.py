@@ -556,3 +556,76 @@ class TestFrontierErasure:
                     == want
                 ), f"post-replay kill_at={kill_at}"
             assert not os.path.exists(tb)
+
+
+# =====================================================================
+# MinHash signature index + pairs
+# =====================================================================
+_SHARED = " ".join(f"w{i}" for i in range(30))
+MINHASH_DOCS = [
+    (1, _SHARED + " x1 x2"),
+    (2, _SHARED + " x1 x3"),          # near-dup of 1 and 3
+    (3, _SHARED + " x2 x4"),
+    (4, " ".join(f"z{i}" for i in range(30))),  # unrelated
+]
+
+
+class TestMinhashErasure:
+    def _build(self, spark, tmp_path, tag, ids):
+        from economic_data_etl_spark.streaming.incremental_dedup import (
+            foreach_batch_incremental_dedup,
+        )
+
+        idx = str(tmp_path / f"{tag}_idx")
+        pairs = str(tmp_path / f"{tag}_pairs")
+        tb = str(tmp_path / f"{tag}_tb")
+        df = spark.createDataFrame(
+            [d for d in MINHASH_DOCS if d[0] in ids],
+            "doc_id long, text string",
+        )
+        handle = foreach_batch_incremental_dedup(idx, pairs)
+        handle(df.filter(F.col("doc_id") <= 2), 0)
+        handle(df.filter(F.col("doc_id") > 2), 1)
+        return idx, pairs, tb
+
+    def _served(self, spark, idx, pairs, tb):
+        from economic_data_etl_spark.streaming.incremental_dedup import (
+            read_index_erased,
+        )
+
+        index, prs = read_index_erased(spark, idx, pairs, tb)
+        return _rows(index), _rows(prs)
+
+    def test_erasure_equals_rebuild_with_masking_and_replay(
+        self, spark, tmp_path
+    ):
+        from economic_data_etl_spark.streaming.incremental_dedup import (
+            apply_erasure,
+        )
+
+        t = self._build(
+            spark, tmp_path, "truth", ids={2, 3, 4}
+        )
+        want = self._served(spark, *t)
+        assert any(
+            (a, b) == (2, 3) for a, b, _ in want[1]
+        )  # survivors still pair
+
+        idx, pairs, tb = self._build(
+            spark, tmp_path, "full", ids={1, 2, 3, 4}
+        )
+        full = self._served(spark, idx, pairs, tb)
+        assert any(1 in (a, b) for a, b, _ in full[1])
+        revoked = spark.createDataFrame([(1,)], "doc long")
+        # masking alone is already rebuild-exact
+        revoked.write.mode("append").parquet(tb)
+        assert self._served(spark, idx, pairs, tb) == want
+        # full erasure converges and is idempotent
+        import shutil
+
+        shutil.rmtree(tb)
+        apply_erasure(spark, idx, pairs, tb, revoked)
+        assert self._served(spark, idx, pairs, tb) == want
+        apply_erasure(spark, idx, pairs, tb, revoked)
+        assert self._served(spark, idx, pairs, tb) == want
+        assert not os.path.exists(tb)

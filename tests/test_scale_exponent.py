@@ -318,3 +318,39 @@ def test_round11_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_r12_lanes_scale_exponent(spark):
+    """Round-12 headliners: the four standing-index erasure queries
+    (anti-join lanes should be ~linear; the substring/frontier
+    reassignment lanes add one surviving-corpus pass semi-joined to the
+    affected key set — still linear), the streaming Holt-Winters fold
+    replay (three folds over the same days-sized arrays), and the
+    three-model selection (three folds + holdout joins). A superlinear
+    escape means an anti-join grew into something corpus², or a
+    reassignment pass lost its semi-join pruning."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "governance_erasure_semantic",
+        "governance_erasure_phash",
+        "governance_erasure_substring",
+        "governance_erasure_frontier",
+        "ts_streaming_holt_winters",
+        "ts_forecast_model_select",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
