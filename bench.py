@@ -165,6 +165,9 @@ HEADLINE = [
     "sketch_kmv_incremental",
     "agg_price_index_chained",
     "agg_quantity_index_fisher",
+    "crawl_link_extract",
+    "crawl_anchor_text_index",
+    "crawl_pagerank_links",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -356,3 +356,189 @@ def write_page(title: str, paragraphs: list[str]) -> str:
         f"<div id=\"main\" data-note='a > b'>{body}</div>"
         "</body></html>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperlink extraction + reference resolution (the link-graph layer).
+# ---------------------------------------------------------------------------
+# A web-corpus pipeline needs the LINK GRAPH next to the text: anchor
+# text is a labeled description of the *target* page (the classic
+# anchor-text index), and host-level link statistics (out-degree,
+# intra-host fraction) feed spam/quality priors. This layer extracts
+# <a href> edges with the same tag-soup rules as html_to_text and
+# resolves references RFC 3986-style (absolute, protocol-relative,
+# root-relative, query-only, dot-segment relative). Fragment-only
+# references are navigation within the page, not edges.
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
+def _parse_tag(s: str, i: int) -> tuple[int, str, bool, dict]:
+    """i points at '<'. Return (index after '>', lowercased tag name,
+    is_closing, attrs). Same quote rules as _skip_tag; attribute values
+    may be double-quoted, single-quoted, or bare."""
+    j, name = _skip_tag(s, i)
+    inner = s[i + 1 : j - 1] if j <= len(s) and j > i else s[i + 1 :]
+    is_close = inner.startswith("/")
+    attrs: dict[str, str] = {}
+    if not is_close:
+        m = re.match(r"[a-zA-Z][a-zA-Z0-9-]*", inner)
+        rest = inner[m.end():] if m else ""
+        for am in _ATTR_RE.finditer(rest):
+            key = am.group(1).lower()
+            val = am.group(2) or ""
+            if val[:1] in ("'", '"'):
+                val = val[1:-1]
+            if key not in attrs:
+                attrs[key] = decode_entities(val)
+    return j, name, is_close, attrs
+
+
+def html_links(html: str) -> list[tuple[str, str]]:
+    """All (href, anchor_text) pairs of <a href=...> elements, in
+    document order. Anchor text is the visible text between the open
+    tag and the matching </a> (a new <a> implicitly closes the previous
+    one, per the HTML parser spec), whitespace-collapsed and
+    entity-decoded. Comment / script / style content never yields
+    links; <a> without an href attribute yields nothing."""
+    links: list[tuple[str, str]] = []
+    cur_href: str | None = None
+    cur_text: list[str] = []
+
+    def close() -> None:
+        nonlocal cur_href, cur_text
+        if cur_href is not None:
+            links.append(
+                (cur_href, _WS_RE.sub(" ", "".join(cur_text)).strip())
+            )
+        cur_href, cur_text = None, []
+
+    i, n = 0, len(html)
+    while i < n:
+        c = html[i]
+        if c != "<":
+            nxt = html.find("<", i)
+            if nxt == -1:
+                nxt = n
+            if cur_href is not None:
+                cur_text.append(decode_entities(html[i:nxt]))
+            i = nxt
+            continue
+        if html.startswith("<!--", i):
+            end = html.find("-->", i + 4)
+            i = n if end == -1 else end + 3
+            continue
+        j, name, is_close, attrs = _parse_tag(html, i)
+        if name in _RAW_TEXT_TAGS and not is_close:
+            m = re.compile(rf"</{name}\s*>", re.IGNORECASE).search(html, j)
+            j = n if m is None else m.end()
+        elif name == "a":
+            close()
+            if not is_close and "href" in attrs:
+                cur_href = attrs["href"]
+        i = j
+    close()
+    return links
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 (iterative segment algorithm)."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    if path.endswith(("/.", "/..")):
+        out.append("")
+    return "/".join(out) or "/"
+
+
+def resolve_url(base: str, href: str) -> str | None:
+    """Resolve an href against the page URL, RFC 3986 §5-lite:
+    absolute and protocol-relative pass through (scheme lowered),
+    root-relative and dot-segment-relative merge against the base
+    path, query-only replaces the base query. Fragments are always
+    stripped; a fragment-ONLY reference is within-page navigation and
+    returns None (not a link-graph edge). Unsupported schemes
+    (mailto:, javascript:) return None."""
+    href = href.strip()
+    base = base.split("#", 1)[0]
+    frag_cut = href.split("#", 1)
+    href = frag_cut[0]
+    if not href:
+        return None
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", href)
+    if m:
+        scheme = m.group(1).lower()
+        if scheme not in ("http", "https"):
+            return None
+        return scheme + ":" + href[m.end():]
+    bm = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?]*)([^?]*)(\?.*)?$",
+                  base)
+    if not bm:
+        return None
+    b_scheme, b_auth, b_path, b_query = (
+        bm.group(1).lower(), bm.group(2), bm.group(3) or "/",
+        bm.group(4) or "",
+    )
+    if href.startswith("//"):
+        return f"{b_scheme}:{href}"
+    if href.startswith("?"):
+        return f"{b_scheme}://{b_auth}{b_path}{href}"
+    q = ""
+    if "?" in href:
+        href, q = href.split("?", 1)
+        q = "?" + q
+    if href.startswith("/"):
+        path = _remove_dot_segments(href)
+    else:
+        merged = b_path[: b_path.rfind("/") + 1] + href
+        path = _remove_dot_segments(merged)
+    return f"{b_scheme}://{b_auth}{path}{q}"
+
+
+def linked_page_base_url(did: int) -> str:
+    """The deterministic URL the certification page for doc `did` is
+    served from: host is sharded by did % 7."""
+    return f"https://site{did % 7}.example.com/doc/{did}"
+
+
+def write_linked_page(did: int, n_docs: int) -> str:
+    """Deterministic article page for doc `did` whose body plants one
+    link per reference form the resolver must handle — absolute,
+    protocol-relative (entity-encoded anchor), root-relative
+    (single-quoted href), dot-segment relative (unquoted href),
+    query-only — plus two nav chrome links, and three planted
+    NON-edges: a fragment-only href, an <a> without href, a commented-
+    out link, and a script-body link. The target arithmetic
+    (t1..t4 below) is the contract the DuckDB oracle replays."""
+    t1 = (7 * did + 3) % n_docs
+    t2 = (13 * did + 5) % n_docs
+    t3 = (3 * did + 1) % n_docs
+    t4 = (5 * did + 2) % n_docs
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>Doc {did}</title>"
+        "<script>var x = '<a href=\"/decoy\">DECOYSCRIPTLINK</a>';"
+        "</script></head><body>"
+        "<!-- <a href='/decoy'>DECOYCOMMENTLINK</a> -->"
+        "<nav><a href=\"/nav/home\">Home</a> "
+        "<a href=\"/nav/about\">About</a></nav>"
+        f"<p>Doc {did} body. "
+        f"<a href=\"https://site{t1 % 7}.example.com/doc/{t1}\">"
+        f"Topic {t1 % 13} in full</a> "
+        f"<a href=\"//site{t2 % 7}.example.com/doc/{t2}\">"
+        f"Q&amp;A page {t2}</a> "
+        f"<a href='/doc/{t3}'>See also {t3}</a> "
+        f"<a href=../doc/{t4}>Related {t4}</a> "
+        f"<a href=\"?ref={did % 5}\">Sorted view</a> "
+        "<a href=\"#top\">Back to top</a> "
+        "<a name=\"x\">No href here</a></p>"
+        "</body></html>"
+    )

@@ -1,0 +1,351 @@
+"""Link-graph queries: hyperlink extraction, the anchor-text index,
+host-level link statistics, and PageRank over the crawled graph.
+
+The layer of a web-corpus pipeline that sits NEXT to the text funnel
+(plans/crawlq.py): a crawler does not just keep page text — it keeps
+the edges. Anchor text is a labeled description of the *target* page
+(the classic anchor-text index used for retrieval and for describing
+pages the crawler has not fetched yet), and host-level out-degree /
+intra-host-fraction statistics feed link-spam and quality priors.
+PageRank over the harvested edges is the canonical authority score.
+
+Certification follows the planted-page pattern of the HTML lanes
+(plans/compressq.py): each sampled document is wrapped in a
+deterministic page (operators/html.py: write_linked_page) planting one
+link per reference form the resolver must handle — absolute,
+protocol-relative (with an entity-encoded anchor), root-relative
+(single-quoted href), dot-segment relative (unquoted href), and
+query-only — plus nav chrome links and four planted NON-edges
+(fragment-only href, <a> without href, commented-out link, script-body
+link). The Spark side runs the real extractor + resolver in Arrow
+mapInPandas lanes; the DuckDB oracle replays the planted target
+arithmetic exactly, so a decoy leak or a resolution bug is a
+row-count / value-hash mismatch, never a silent pass.
+
+Scale: extraction is O(page) per row in an Arrow lane with no shuffle;
+the downstream index/stat queries are single hash aggregations on the
+edge set; PageRank reuses operators/pagerank.py (edges cached once,
+per-round shuffles move only the rank vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.catalog import biased_round, register
+from economic_data_etl_spark.sources.tables import load_table
+
+# Bounded certification universe, like compressq._CERT_DOCS: the lane
+# is certified on a fixed 64-doc slice so the planted-link arithmetic
+# is SF-independent; production runs drop the filter.
+_LINK_DOCS = 64
+
+# DuckDB twin of operators/html.py: write_linked_page target arithmetic
+# + linked_page_base_url. Keep in lockstep with the page writer.
+_EDGES_SQL = f"""
+    WITH t AS (
+        SELECT doc_id AS d,
+               (7 * doc_id + 3) % {_LINK_DOCS} AS t1,
+               (13 * doc_id + 5) % {_LINK_DOCS} AS t2,
+               (3 * doc_id + 1) % {_LINK_DOCS} AS t3,
+               (5 * doc_id + 2) % {_LINK_DOCS} AS t4,
+               'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com' AS h
+        FROM documents WHERE doc_id < {_LINK_DOCS}
+    ), edges AS (
+        SELECT d AS src_doc_id, h || '/doc/' || CAST(d AS VARCHAR)
+                   AS src_url,
+               1 AS pos, h || '/nav/home' AS dst_url, 'Home' AS anchor
+        FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 2,
+               h || '/nav/about', 'About' FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 3,
+               'https://site' || CAST(t1 % 7 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(t1 AS VARCHAR),
+               'Topic ' || CAST(t1 % 13 AS VARCHAR) || ' in full' FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 4,
+               'https://site' || CAST(t2 % 7 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(t2 AS VARCHAR),
+               'Q&A page ' || CAST(t2 AS VARCHAR) FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 5,
+               h || '/doc/' || CAST(t3 AS VARCHAR),
+               'See also ' || CAST(t3 AS VARCHAR) FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 6,
+               h || '/doc/' || CAST(t4 AS VARCHAR),
+               'Related ' || CAST(t4 AS VARCHAR) FROM t
+        UNION ALL
+        SELECT d, h || '/doc/' || CAST(d AS VARCHAR), 7,
+               h || '/doc/' || CAST(d AS VARCHAR) || '?ref='
+                   || CAST(d % 5 AS VARCHAR),
+               'Sorted view' FROM t
+    )
+"""
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_doc_id, src_url, pos, dst_url, anchor) — the real
+    extractor + resolver over deterministic planted pages, in one
+    Arrow lane, no shuffle. Non-edges (fragment-only, missing href,
+    commented/script links) never reach the output; positions number
+    the RESOLVED edges in document order, matching the oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _LINK_DOCS)
+        .select("doc_id")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from economic_data_etl_spark.operators.html import (
+            html_links,
+            linked_page_base_url,
+            resolve_url,
+            write_linked_page,
+        )
+
+        for pdf_b in batches:
+            rows = []
+            for did in pdf_b["doc_id"]:
+                did = int(did)
+                base = linked_page_base_url(did)
+                pos = 0
+                for href, anchor in html_links(
+                    write_linked_page(did, _LINK_DOCS)
+                ):
+                    dst = resolve_url(base, href)
+                    if dst is None:
+                        continue
+                    pos += 1
+                    rows.append(
+                        {
+                            "src_doc_id": did,
+                            "src_url": base,
+                            "pos": pos,
+                            "dst_url": dst,
+                            "anchor": anchor,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        extract,
+        "src_doc_id long, src_url string, pos int, dst_url string, "
+        "anchor string",
+    )
+
+
+@register(
+    "crawl_link_extract",
+    oracle=_EDGES_SQL
+    + """
+    SELECT src_doc_id, pos, dst_url, anchor
+    FROM edges
+    ORDER BY src_doc_id, pos
+    """,
+    doc="Hyperlink extraction + reference resolution "
+    "(operators/html.py: html_links + resolve_url): each sampled "
+    "document is wrapped in a deterministic page planting one link per "
+    "reference form — absolute, protocol-relative (entity-encoded "
+    "anchor), root-relative (single-quoted href), dot-segment relative "
+    "(unquoted href), query-only — plus nav chrome, and four planted "
+    "NON-edges (fragment-only href, missing href, commented-out link, "
+    "script-body link). The oracle replays the planted target "
+    "arithmetic, so a decoy leak is an extra row and a resolution bug "
+    "is a value mismatch. O(page) Arrow lane, no shuffle before the "
+    "output sort.",
+)
+def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _link_edges(spark, sf_dir)
+        .select("src_doc_id", "pos", "dst_url", "anchor")
+        .orderBy("src_doc_id", "pos")
+    )
+
+
+@register(
+    "crawl_anchor_text_index",
+    oracle=_EDGES_SQL
+    + """
+    SELECT dst_url,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT src_doc_id % 7) AS BIGINT) AS n_src_hosts,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+           MIN(anchor) AS top_anchor
+    FROM edges
+    GROUP BY dst_url
+    ORDER BY dst_url
+    """,
+    doc="Anchor-text index — the per-TARGET aggregation of link text "
+    "(how the web describes a page, usable even for pages never "
+    "fetched): in-degree, number of distinct linking hosts (host "
+    "parsed from the page URL by operators/urls.py, not replayed "
+    "arithmetic), distinct anchor strings, and the lexicographic top "
+    "anchor. One hash aggregation over the extracted edge set — "
+    "at 100 TB this is a single groupBy(dst_url) shuffle with "
+    "map-side partial aggregation.",
+)
+def crawl_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.urls import url_host
+
+    edges = _link_edges(spark, sf_dir)
+    return (
+        edges.groupBy("dst_url")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct(url_host(F.col("src_url"))).alias(
+                "n_src_hosts"
+            ),
+            F.countDistinct("anchor").alias("n_anchors"),
+            F.min("anchor").alias("top_anchor"),
+        )
+        .orderBy("dst_url")
+    )
+
+
+@register(
+    "crawl_host_link_stats",
+    oracle=_EDGES_SQL
+    + """
+    SELECT regexp_extract(src_url, '^https://([^/]+)/', 1) AS src_host,
+           CAST(COUNT(DISTINCT src_doc_id) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS out_degree,
+           CAST(SUM(CASE WHEN regexp_extract(dst_url,
+                        '^https://([^/]+)/', 1)
+                    = regexp_extract(src_url, '^https://([^/]+)/', 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS intra_links,
+           ROUND(5e-10 + SUM(CASE WHEN regexp_extract(dst_url,
+                        '^https://([^/]+)/', 1)
+                    = regexp_extract(src_url, '^https://([^/]+)/', 1)
+                    THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS intra_frac
+    FROM edges
+    GROUP BY 1
+    ORDER BY src_host
+    """,
+    doc="Host-level link statistics — the link-spam / quality prior of "
+    "a crawl pipeline: per source host, page count, out-degree, "
+    "intra-host link count and fraction (a host that links mostly to "
+    "itself is a farm signal; one that never does is a hub). Hosts are "
+    "parsed from URLs by operators/urls.py on the Spark side; the "
+    "oracle parses with regexp. One hash aggregation, broadcast-free.",
+)
+def crawl_host_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.urls import url_host
+
+    edges = _link_edges(spark, sf_dir).select(
+        url_host(F.col("src_url")).alias("src_host"),
+        url_host(F.col("dst_url")).alias("dst_host"),
+        "src_doc_id",
+    )
+    intra = F.when(F.col("dst_host") == F.col("src_host"), 1).otherwise(0)
+    return (
+        edges.groupBy("src_host")
+        .agg(
+            F.countDistinct("src_doc_id").alias("n_pages"),
+            F.count(F.lit(1)).alias("out_degree"),
+            F.sum(intra).cast("long").alias("intra_links"),
+            biased_round(
+                F.sum(intra.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("intra_frac"),
+        )
+        .orderBy("src_host")
+    )
+
+
+_PAGERANK_TAIL = """
+    , deg AS (
+        SELECT src_url AS src, COUNT(*) AS deg FROM edges GROUP BY 1
+    ), nodes AS (
+        SELECT DISTINCT src_url AS node FROM edges
+        UNION
+        SELECT DISTINCT dst_url FROM edges
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        FROM nodes CROSS JOIN nn
+    ), c1 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r0 r ON r.node = e.src_url
+        GROUP BY 1
+    ), r1 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c1.contrib, 0.0)
+                   AS rank
+        FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node
+    ), c2 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r1 r ON r.node = e.src_url
+        GROUP BY 1
+    ), r2 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c2.contrib, 0.0)
+                   AS rank
+        FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node
+    ), c3 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r2 r ON r.node = e.src_url
+        GROUP BY 1
+    ), r3 AS (
+        SELECT nd.node,
+               CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(c3.contrib, 0.0)
+                   AS rank
+        FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node
+    )
+    SELECT node, ROUND(5e-10 + r3.rank * nn.n, 4) AS rank_scaled
+    FROM r3 CROSS JOIN nn
+    ORDER BY rank_scaled DESC, node
+    LIMIT 20
+"""
+
+
+@register(
+    "crawl_pagerank_links",
+    oracle=_EDGES_SQL + _PAGERANK_TAIL,
+    doc="PageRank over the harvested link graph — the canonical "
+    "authority score a crawler feeds back into scheduling and corpus "
+    "weighting. DIRECTED edges straight from crawl_link_extract "
+    "(nav targets and query variants are dangling sink nodes — the "
+    "documented mass-leak formulation of operators/pagerank.py), "
+    "3 iterations, damping 0.85, top-20 by rank scaled to mean 1. "
+    "Ordering breaks ties on the ROUNDED rank then node URL, so "
+    "cross-engine float noise below display precision cannot reorder. "
+    "Oracle = the identical three iterations unrolled as CTEs over the "
+    "replayed edge set. Edge table cached once; per-round shuffles "
+    "move only the rank vector.",
+)
+def crawl_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.pagerank import pagerank
+
+    edges = _link_edges(spark, sf_dir).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=False)
+    n_nodes = ranks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranks.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            biased_round(F.col("rank") * F.col("n")).alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+    )

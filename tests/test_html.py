@@ -175,3 +175,119 @@ def test_article_page_empty_text():
         html_main_content(write_article_page("T", ""))
         == PROSE_PREFIX + "\n" + CONST_PARA
     )
+
+
+# ---------------------------------------------------------------------------
+# Link extraction + reference resolution (the link-graph layer).
+# ---------------------------------------------------------------------------
+
+from economic_data_etl_spark.operators.html import (  # noqa: E402
+    html_links,
+    linked_page_base_url,
+    resolve_url,
+    write_linked_page,
+)
+
+
+def test_links_attribute_forms():
+    html = (
+        '<a href="/dq">double</a>'
+        "<a href='/sq'>single</a>"
+        "<a href=/bare>bare</a>"
+        "<a class='x' href=\"/later\" rel=nofollow>attrs around</a>"
+        "<a name='anchor-only'>no href</a>"
+        "<A HREF=\"/upper\">case</A>"
+    )
+    assert html_links(html) == [
+        ("/dq", "double"),
+        ("/sq", "single"),
+        ("/bare", "bare"),
+        ("/later", "attrs around"),
+        ("/upper", "case"),
+    ]
+
+
+def test_links_entities_and_whitespace():
+    html = '<a href="/a?x=1&amp;y=2">Q&amp;A\n  page</a>'
+    assert html_links(html) == [("/a?x=1&y=2", "Q&A page")]
+
+
+def test_links_not_in_comment_script_style():
+    html = (
+        "<!-- <a href='/c'>c</a> -->"
+        "<script>var a = '<a href=\"/s\">s</a>';</script>"
+        "<style>a[href='/st'] {}</style>"
+        '<a href="/real">real</a>'
+    )
+    assert html_links(html) == [("/real", "real")]
+
+
+def test_links_implicit_close():
+    # a new <a> implicitly closes the previous one (HTML parser spec)
+    html = '<a href="/1">one <a href="/2">two</a>'
+    assert html_links(html) == [("/1", "one"), ("/2", "two")]
+
+
+def test_links_nested_markup_in_anchor():
+    html = '<a href="/x"><b>bold</b> and <i>italic</i></a>'
+    assert html_links(html) == [("/x", "bold and italic")]
+
+
+def test_resolve_absolute_and_protocol_relative():
+    base = "https://h.example.com/doc/5"
+    assert resolve_url(base, "https://o.example.com/p") == (
+        "https://o.example.com/p"
+    )
+    assert resolve_url(base, "HTTP://UP.example.com/p") == (
+        "http://UP.example.com/p"
+    )
+    assert resolve_url(base, "//cdn.example.com/p") == (
+        "https://cdn.example.com/p"
+    )
+
+
+def test_resolve_relative_forms():
+    base = "https://h.example.com/doc/5?q=1#frag"
+    assert resolve_url(base, "/root") == "https://h.example.com/root"
+    assert resolve_url(base, "peer") == "https://h.example.com/doc/peer"
+    assert resolve_url(base, "../other/7") == (
+        "https://h.example.com/other/7"
+    )
+    assert resolve_url(base, "../../../deep") == (
+        "https://h.example.com/deep"
+    )
+    assert resolve_url(base, "./same") == "https://h.example.com/doc/same"
+    assert resolve_url(base, "?ref=2") == (
+        "https://h.example.com/doc/5?ref=2"
+    )
+
+
+def test_resolve_non_edges():
+    base = "https://h.example.com/doc/5"
+    assert resolve_url(base, "#top") is None
+    assert resolve_url(base, "") is None
+    assert resolve_url(base, "mailto:x@example.com") is None
+    assert resolve_url(base, "javascript:void(0)") is None
+
+
+def test_resolve_fragment_stripped():
+    base = "https://h.example.com/doc/5"
+    assert resolve_url(base, "/p#sec2") == "https://h.example.com/p"
+
+
+def test_linked_page_plants_seven_edges_and_four_non_edges():
+    for did in (0, 13, 63):
+        base = linked_page_base_url(did)
+        page = write_linked_page(did, 64)
+        pairs = html_links(page)
+        resolved = [resolve_url(base, h) for h, _ in pairs]
+        edges = [r for r in resolved if r is not None]
+        assert len(edges) == 7
+        # the four planted non-edges never become edges: fragment-only
+        # resolves to None; missing-href / commented / script links
+        # never extract
+        assert resolved.count(None) == 1
+        assert not any("decoy" in (r or "") for r in resolved)
+        # every edge is on an http(s) site*.example.com URL
+        assert all(re.match(r"https://site\d\.example\.com/", r)
+                   for r in edges)
