@@ -168,6 +168,8 @@ HEADLINE = [
     "crawl_link_extract",
     "crawl_anchor_text_index",
     "crawl_pagerank_links",
+    "layout_zorder_clustering",
+    "inv_zorder_locality",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -36,6 +36,7 @@ from economic_data_etl_spark.plans import curation  # noqa: E402,F401
 from economic_data_etl_spark.plans import econometrics  # noqa: E402,F401
 from economic_data_etl_spark.plans import invariants  # noqa: E402,F401
 from economic_data_etl_spark.plans import jdbc_sink  # noqa: E402,F401
+from economic_data_etl_spark.plans import layout  # noqa: E402,F401
 from economic_data_etl_spark.plans import linkgraph  # noqa: E402,F401
 from economic_data_etl_spark.plans import media_dedup  # noqa: E402,F401
 from economic_data_etl_spark.plans import events  # noqa: E402,F401

@@ -1,71 +1,105 @@
-"""Z-order clustering: the skipping win is measured, not assumed.
-
-A layout linear-sorted on column A gives perfect per-file ranges for A
-but useless ones for B (every file spans B's whole domain). The Z-curve
-layout must (a) skip most files for BOTH columns and (b) strictly beat
-the linear layout's worst column."""
+"""Z-order interleave: cross-engine correctness of the bitwise
+expression, locality bounds, and the actual file-skipping win the
+layout exists for (per-file min/max stats on BOTH columns)."""
 
 from __future__ import annotations
 
+import random
+
+import duckdb
 from pyspark.sql import functions as F
 
 from economic_data_etl_spark.operators.zorder import (
-    file_scan_fraction,
-    with_zorder_key,
-    write_zordered,
+    zvalue,
+    zvalue_py,
+    zvalue_sql,
 )
-from economic_data_etl_spark.sources.tables import load_table
-
-COLS = ["l_partkey", "l_extendedprice"]
 
 
-class TestZOrder:
-    def test_zkey_is_deterministic_and_total(self, spark, sf_dir):
-        li = load_table(spark, sf_dir, "lineitem").limit(2000)
-        keyed = with_zorder_key(li, COLS, bits=4)
-        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
-        # 4 bits × 2 cols → 8-bit key space
-        mx = keyed.agg(F.max("__zkey")).collect()[0][0]
-        assert 0 <= mx < (1 << 10)  # null bucket can exceed 2^8 slightly
+def test_zvalue_python_reference():
+    assert zvalue_py(0, 0) == 0
+    assert zvalue_py(1, 0) == 1
+    assert zvalue_py(0, 1) == 2
+    assert zvalue_py(1, 1) == 3
+    assert zvalue_py(1023, 1023) == (1 << 20) - 1
+    # x owns even bits, y owns odd bits
+    assert zvalue_py(1023, 0) == 0b0101010101010101010101 >> 2
+    assert zvalue_py(0, 1023) == 0b1010101010101010101010 >> 2
 
-    def test_zorder_skips_on_both_columns(self, spark, sf_dir, tmp_path):
-        li = load_table(spark, sf_dir, "lineitem").select(*COLS)
-        med = {
-            c: li.stat.approxQuantile(c, [0.5], 0.01)[0] for c in COLS
-        }
 
-        linear = str(tmp_path / "linear")
-        (
-            li.repartitionByRange(16, F.col(COLS[0]))
-            .sortWithinPartitions(COLS[0])
-            .write.mode("overwrite")
-            .parquet(linear)
+def test_zvalue_spark_matches_reference(spark):
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.zv
+        for r in df.select(
+            "x", "y", zvalue(F.col("x"), F.col("y")).alias("zv")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == zvalue_py(x, y)
+
+
+def test_zvalue_sql_matches_reference():
+    con = duckdb.connect()
+    rng = random.Random(7)
+    pairs = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(200)]
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    rows = con.execute(
+        f"SELECT x, y, {zvalue_sql('x', 'y')} AS zv FROM t"
+    ).fetchall()
+    for x, y, zv in rows:
+        assert zv == zvalue_py(x, y)
+
+
+def test_zvalue_is_pure_projection(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") % 17).alias("y")
+    )
+    plan = (
+        df.select(zvalue(F.col("x"), F.col("y")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_file_skipping_on_both_columns(spark, tmp_path):
+    """The point of the layout: files cut at ALIGNED z-bucket
+    boundaries (zv >> 16, 16 buckets) confine BOTH columns to 256-wide
+    bands, so a 128-wide band predicate on either column overlaps at
+    most half the files (2 of 4 top-2-bit bands); the same data laid
+    out randomly leaves essentially every file overlapping. Aligned
+    buckets, not repartitionByRange: sampled range cuts straddle
+    bucket boundaries and a straddling file's span on a dimension is
+    unbounded (Morton order jumps at high-bit carries)."""
+    rng = random.Random(3)
+    pairs = [(rng.randrange(1024), rng.randrange(1024))
+             for _ in range(20_000)]
+    df = spark.createDataFrame(pairs, "x long, y long").withColumn(
+        "zb", F.shiftright(zvalue(F.col("x"), F.col("y")), 16)
+    )
+
+    zpath = str(tmp_path / "bylayout")
+    rpath = str(tmp_path / "random")
+    df.repartition(16, "zb").write.partitionBy("zb").parquet(zpath)
+    df.drop("zb").repartition(16).write.parquet(rpath)
+
+    def overlap_fraction(path: str, col: str, lo: int, hi: int) -> float:
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
         )
-        zpath = str(tmp_path / "zorder")
-        write_zordered(li, zpath, COLS, bits=8, num_files=16)
+        hit = sum(1 for r in stats if r.lo <= hi and r.hi >= lo)
+        return hit / len(stats)
 
-        lin_frac = [file_scan_fraction(linear, c, med[c]) for c in COLS]
-        z_frac = [file_scan_fraction(zpath, c, med[c]) for c in COLS]
-
-        # Absolute bounds are deliberately loose: RangePartitioner samples
-        # its split points, so exact file boundaries wobble run-to-run.
-        # Linear layout: tight on its sort column, near-useless on the
-        # other.
-        assert lin_frac[0] <= 0.4, f"linear fractions {lin_frac}"
-        assert lin_frac[1] >= 0.7, f"linear fractions {lin_frac}"
-        # Z-order: a point filter on EITHER column skips a healthy
-        # majority of files...
-        assert max(z_frac) <= 0.6, f"z-order fractions {z_frac}"
-        # ...and the worst column beats linear's worst column outright —
-        # the claim that actually matters, and it is not borderline
-        # (≈0.3 vs ≈1.0).
-        assert max(z_frac) < 0.75 * max(lin_frac)
-
-    def test_zkey_on_timestamp_ntz_column(self, spark, sf_dir):
-        # Spark 4.1 forbids TIMESTAMP_NTZ → DOUBLE casts; the bucketizer
-        # must route NTZ through ts_epoch_seconds (regression: the old
-        # dtype dispatch only knew "timestamp" and fell into cast).
-        ev = load_table(spark, sf_dir, "events").limit(2000)
-        assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
-        keyed = with_zorder_key(ev, ["ts", "user_id"], bits=4)
-        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+    # 128-wide band on each dimension
+    for col in ("x", "y"):
+        assert overlap_fraction(zpath, col, 300, 427) <= 0.5
+        assert overlap_fraction(rpath, col, 300, 427) >= 0.9
