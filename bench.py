@@ -168,6 +168,8 @@ HEADLINE = [
     "crawl_link_extract",
     "crawl_anchor_text_index",
     "crawl_pagerank_links",
+    "crawl_incremental_links",
+    "governance_erasure_linkgraph",
     "layout_zorder_clustering",
     "inv_zorder_locality",
 ]

@@ -89,59 +89,19 @@ _EDGES_SQL = f"""
 
 
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src_doc_id, src_url, pos, dst_url, anchor) — the real
-    extractor + resolver over deterministic planted pages, in one
-    Arrow lane, no shuffle. Non-edges (fragment-only, missing href,
-    commented/script links) never reach the output; positions number
-    the RESOLVED edges in document order, matching the oracle."""
-    from collections.abc import Iterator
-
-    import pandas as pd
+    """The certification edge set: the real extractor + resolver
+    (operators/linkgraph.py:link_edges_for_docs) over the bounded
+    64-doc planted universe."""
+    from economic_data_etl_spark.operators.linkgraph import (
+        link_edges_for_docs,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _LINK_DOCS)
         .select("doc_id")
     )
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from economic_data_etl_spark.operators.html import (
-            html_links,
-            linked_page_base_url,
-            resolve_url,
-            write_linked_page,
-        )
-
-        for pdf_b in batches:
-            rows = []
-            for did in pdf_b["doc_id"]:
-                did = int(did)
-                base = linked_page_base_url(did)
-                pos = 0
-                for href, anchor in html_links(
-                    write_linked_page(did, _LINK_DOCS)
-                ):
-                    dst = resolve_url(base, href)
-                    if dst is None:
-                        continue
-                    pos += 1
-                    rows.append(
-                        {
-                            "src_doc_id": did,
-                            "src_url": base,
-                            "pos": pos,
-                            "dst_url": dst,
-                            "anchor": anchor,
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
-
-    return docs.mapInPandas(
-        extract,
-        "src_doc_id long, src_url string, pos int, dst_url string, "
-        "anchor string",
-    )
+    return link_edges_for_docs(docs, _LINK_DOCS)
 
 
 @register(
@@ -195,21 +155,11 @@ def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side partial aggregation.",
 )
 def crawl_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from economic_data_etl_spark.operators.urls import url_host
-
-    edges = _link_edges(spark, sf_dir)
-    return (
-        edges.groupBy("dst_url")
-        .agg(
-            F.count(F.lit(1)).alias("in_degree"),
-            F.countDistinct(url_host(F.col("src_url"))).alias(
-                "n_src_hosts"
-            ),
-            F.countDistinct("anchor").alias("n_anchors"),
-            F.min("anchor").alias("top_anchor"),
-        )
-        .orderBy("dst_url")
+    from economic_data_etl_spark.operators.linkgraph import (
+        anchor_index_from_edges,
     )
+
+    return anchor_index_from_edges(_link_edges(spark, sf_dir))
 
 
 @register(
@@ -348,4 +298,126 @@ def crawl_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_scaled"), "node")
         .limit(20)
+    )
+
+
+_LINK_SPLIT = 40  # standing index: docs < 40; batch: docs >= 32 (overlap)
+_LINK_OVERLAP = 32
+
+_ANCHOR_AGG_SQL = """
+    SELECT dst_url,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(COUNT(DISTINCT src_doc_id % 7) AS BIGINT) AS n_src_hosts,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+           MIN(anchor) AS top_anchor
+"""
+
+
+@register(
+    "crawl_incremental_links",
+    oracle=_EDGES_SQL
+    + _ANCHOR_AGG_SQL
+    + """
+    FROM edges
+    GROUP BY dst_url
+    ORDER BY dst_url
+    """,
+    doc="INCREMENTAL link index: the standing edge table holds docs "
+    f"below {_LINK_SPLIT}; the arriving batch (docs >= {_LINK_OVERLAP}"
+    f", so {_LINK_SPLIT - _LINK_OVERLAP} docs are REDELIVERED) is "
+    "membership-anti-joined against the stored source ids, the "
+    "survivors link-extracted once, and the anchor-text index served "
+    "from the union. The oracle is the ONE-SHOT full-corpus "
+    "aggregation — green means index-served == one-shot; a broken "
+    "anti-join would double the redelivered docs' in-degree "
+    "contributions and fail the value hash. The streaming twin "
+    "(streaming/incremental_linkgraph.py) is proven stream == batch "
+    "with redelivery no-op in tests/test_incremental_linkgraph_"
+    "stream.py. Per-batch cost O(batch pages) + one anti-join; the "
+    "edge table never self-joins.",
+)
+def crawl_incremental_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.linkgraph import (
+        anchor_index_from_edges,
+        link_edges_for_docs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _LINK_DOCS)
+        .select("doc_id")
+    )
+    standing = link_edges_for_docs(
+        docs.filter(F.col("doc_id") < _LINK_SPLIT), _LINK_DOCS
+    )
+    batch = docs.filter(F.col("doc_id") >= _LINK_OVERLAP)
+    fresh = batch.join(
+        standing.select(F.col("src_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    appended = link_edges_for_docs(fresh, _LINK_DOCS)
+    return anchor_index_from_edges(standing.unionByName(appended))
+
+
+@register(
+    "governance_erasure_linkgraph",
+    oracle=_EDGES_SQL
+    + f"""
+    , revoked AS (
+        SELECT doc_id,
+               'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS base_url
+        FROM documents WHERE doc_id < {_LINK_DOCS} AND source = 'src2'
+    ), reduced AS (
+        SELECT * FROM edges
+        WHERE src_doc_id NOT IN (SELECT doc_id FROM revoked)
+          AND split_part(dst_url, '?', 1)
+              NOT IN (SELECT base_url FROM revoked)
+    )
+    """
+    + _ANCHOR_AGG_SQL
+    + """
+    FROM reduced
+    GROUP BY dst_url
+    ORDER BY dst_url
+    """,
+    doc="Erasure propagation through the standing LINK GRAPH, "
+    "two-sided (the Google-Spain shape, operators/linkgraph.py:"
+    "erase_link_edges): revoking source 'src2' must remove its docs "
+    "as LINKERS (their out-edges) and as TARGETS — other pages' "
+    "anchor text describing the revoked pages' URLs, including every "
+    "query-string variant (?ref= rows strip to the tombstoned base "
+    "URL). The target side is deliberately STRONGER than "
+    "replay-on-reduced-corpus (surviving pages still emit those "
+    "links); the oracle replays both filters, so the served "
+    "anchor-text index's in-degree / n_src_hosts / top_anchor shifts "
+    "are value-checked. Both anti-joins broadcast — the revoked set "
+    "is small by nature. Streaming twin with tombstone-then-compact "
+    "+ crash fuzz in tests/test_incremental_linkgraph_stream.py.",
+)
+def governance_erasure_linkgraph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.linkgraph import (
+        anchor_index_from_edges,
+        erase_link_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _LINK_DOCS
+    )
+    revoked = docs.filter(F.col("source") == "src2").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("base_url"),
+    )
+    edges = _link_edges(spark, sf_dir)
+    return anchor_index_from_edges(
+        erase_link_edges(edges, F.broadcast(revoked))
     )
