@@ -170,6 +170,7 @@ HEADLINE = [
     "crawl_pagerank_links",
     "crawl_incremental_links",
     "governance_erasure_linkgraph",
+    "retrieval_bm25f_anchor",
     "layout_zorder_clustering",
     "inv_zorder_locality",
 ]

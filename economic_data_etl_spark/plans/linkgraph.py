@@ -421,3 +421,176 @@ def governance_erasure_linkgraph(
     return anchor_index_from_edges(
         erase_link_edges(edges, F.broadcast(revoked))
     )
+
+
+# --------------------------------------------------------------------------
+# Fielded retrieval: body BM25 + anchor-text BM25 (the BM25F-lite /
+# Lucene multi-field shape — anchor text is the classic second field).
+# --------------------------------------------------------------------------
+_BM25F_TERMS = ("table", "view", "topic")
+_BM25F_WA = 2.0  # anchor-field weight (anchor text is high-precision)
+_BM25F_TOPK = 20
+
+# Shared BM25 scoring tail (k1=1.2, b=0.75), parameterized over the
+# tokenized CTE names — keep in lockstep with operators/retrieval.py.
+def _bm25_sql(ex: str, dl: str, stats: str, out: str, terms) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        {out}_tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM {ex}
+          WHERE token IN ({tlist})
+          GROUP BY 1, 2
+        ), {out}_df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM {ex}
+          WHERE token IN ({tlist})
+          GROUP BY token
+        ), {out} AS (
+          SELECT t.doc_id,
+                 ROUND(5e-10 + SUM(
+                     ln(1.0 + ((SELECT n_docs FROM {stats}) - d.df + 0.5)
+                              / (d.df + 0.5))
+                     * t.tf * {1.2 + 1.0}
+                     / (t.tf + 1.2 * (1 - 0.75
+                          + 0.75 * l.dl / (SELECT avgdl FROM {stats})))
+                 ), 4) AS score
+          FROM {out}_tf t JOIN {out}_df d USING (token)
+               JOIN {dl} l USING (doc_id)
+          GROUP BY t.doc_id
+        )
+    """
+
+
+@register(
+    "retrieval_bm25f_anchor",
+    oracle=_EDGES_SQL
+    + f"""
+    , btoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bex AS (
+      SELECT doc_id, unnest(w) AS token FROM btoks
+    ), bdl AS (
+      SELECT doc_id, len(w) AS dl FROM btoks
+    ), bstats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM bdl
+    ), {_bm25_sql("bex", "bdl", "bstats", "bsc", _BM25F_TERMS)}
+    , ae AS (
+      SELECT TRY_CAST(regexp_extract(split_part(dst_url, '?', 1),
+                 '/doc/([0-9]+)$', 1) AS BIGINT) AS doc_id,
+             anchor, split_part(dst_url, '?', 1) AS db
+      FROM edges
+    ), tgt AS (
+      SELECT doc_id, anchor FROM ae
+      WHERE doc_id IS NOT NULL
+        AND db = 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+    ), atoks_doc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(string_agg(anchor, ' '),
+                         '[ \\t\\n\\r]+'), x -> x <> '') AS w
+      FROM tgt GROUP BY doc_id
+    ), aex AS (
+      SELECT doc_id, unnest(w) AS token FROM atoks_doc
+    ), adl AS (
+      SELECT doc_id, len(w) AS dl FROM atoks_doc
+    ), astats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM adl
+    ), {_bm25_sql("aex", "adl", "astats", "asc_", _BM25F_TERMS)}
+    , fused AS (
+      SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+             COALESCE(b.score, 0.0) AS s_body,
+             COALESCE(a.score, 0.0) AS s_anchor
+      FROM bsc b FULL OUTER JOIN asc_ a ON a.doc_id = b.doc_id
+    ), ranked AS (
+      SELECT doc_id, s_body, s_anchor,
+             ROUND(5e-10 + s_body + {_BM25F_WA} * s_anchor, 4) AS score,
+             CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND(5e-10 + s_body + {_BM25F_WA} * s_anchor,
+                                4) DESC, doc_id) AS INT) AS rank
+      FROM fused
+    )
+    SELECT doc_id, s_body, s_anchor, score, rank
+    FROM ranked WHERE rank <= {_BM25F_TOPK} ORDER BY rank
+    """,
+    doc="Fielded retrieval (BM25F-lite, the Lucene multi-field-boost "
+    f"shape) for the query {_BM25F_TERMS}: body BM25 over the full "
+    "document corpus PLUS anchor-text BM25 over the per-target "
+    "aggregation of the link graph (how the web describes a page — "
+    "'view'/'topic' hit only anchors, 'table' only bodies, so the "
+    "fused ranking differs from either field alone), combined as "
+    f"s_body + {_BM25F_WA}*s_anchor. Each field is scored over its own "
+    "corpus statistics by the SAME certified operator "
+    "(operators/retrieval.py:bm25_scores); per-field scores are "
+    "4dp-biased-rounded BEFORE fusion and the rank binds on the "
+    "rounded fused score with doc_id tiebreak, so cross-engine libm "
+    "ulp noise cannot reorder. Anchor targets resolve by exact "
+    "canonical-URL match (query variants stripped). Top-20 cut "
+    "compiles to TakeOrderedAndProject; the anchor corpus is the "
+    "bounded 64-doc universe, the body lane is the same "
+    "postings-filtered shape as text_bm25_retrieval.",
+)
+def retrieval_bm25f_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.operators.linkgraph import dst_base
+    from economic_data_etl_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = bm25_scores(docs, list(_BM25F_TERMS)).select(
+        "doc_id", biased_round(F.col("score")).alias("s_body")
+    )
+
+    edges = _link_edges(spark, sf_dir)
+    base = dst_base(F.col("dst_url"))
+    cand = F.regexp_extract(base, r"/doc/([0-9]+)$", 1)
+    cand_id = F.nullif(cand, F.lit("")).cast("long")
+    targets = (
+        edges.select(
+            cand_id.alias("doc_id"), base.alias("db"), "anchor"
+        )
+        .filter(
+            F.col("doc_id").isNotNull()
+            & (
+                F.col("db")
+                == F.concat(
+                    F.lit("https://site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/doc/"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("anchor")).alias("text"))
+    )
+    anch = bm25_scores(targets, list(_BM25F_TERMS)).select(
+        "doc_id", biased_round(F.col("score")).alias("s_anchor")
+    )
+
+    fused = (
+        body.join(anch, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s_body"), F.lit(0.0)).alias("s_body"),
+            F.coalesce(F.col("s_anchor"), F.lit(0.0)).alias("s_anchor"),
+        )
+        .withColumn(
+            "score",
+            biased_round(
+                F.col("s_body") + F.lit(_BM25F_WA) * F.col("s_anchor")
+            ),
+        )
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        fused.select(
+            "doc_id", "s_body", "s_anchor", "score",
+            rank.cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= _BM25F_TOPK)
+        .orderBy("rank")
+    )

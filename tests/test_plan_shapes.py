@@ -320,3 +320,27 @@ class TestRound3PlanShapes:
         agg_pos = plan.find("HashAggregate")
         win_pos = plan.find("Window")
         assert agg_pos != -1 and win_pos != -1
+
+
+class TestLinkGraphPlans:
+    def test_bm25f_topk_is_take_ordered_not_corpus_window(
+        self, spark, sf_dir
+    ):
+        """The fused top-20 must push a limit BELOW the unpartitioned
+        rank window (LimitPushDownThroughWindow) so the window sorts
+        20 rows, never the corpus-sized match set into one task; the
+        two single-row BM25 stats aggregates are the only other
+        SinglePartition exchanges."""
+        plan = _plan(spark, sf_dir, "retrieval_bm25f_anchor")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Arguments: 20, [score" in plan, plan
+
+    def test_zvalue_reaches_scan_as_projection(self, spark, sf_dir):
+        """The interleave is part of the scan-side projection: only
+        the two key columns are read, and no Python node appears
+        anywhere in the plan."""
+        plan = _plan(spark, sf_dir, "layout_zorder_clustering")
+        read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "l_orderkey" in read and "l_linenumber" in read
+        assert "l_partkey" not in read
+        assert "Python" not in plan and "Arrow" not in plan

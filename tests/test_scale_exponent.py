@@ -354,3 +354,29 @@ def test_r12_lanes_scale_exponent(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_zorder_scale_exponent(spark):
+    """Z-order clustering stats scale with lineitem (the interleave is
+    a pure projection; the only shuffle is the bucket aggregation) —
+    the one r12 lane whose input grows with SF. The link-graph lanes
+    are certified on a BOUNDED 64-doc universe by design (constant
+    work at every SF), so there is nothing to measure there."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in ("layout_zorder_clustering", "inv_zorder_locality"):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
