@@ -173,6 +173,8 @@ HEADLINE = [
     "retrieval_bm25f_anchor",
     "layout_zorder_clustering",
     "inv_zorder_locality",
+    "training_curriculum_order",
+    "crawl_hits_links",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

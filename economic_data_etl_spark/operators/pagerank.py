@@ -122,3 +122,79 @@ def pagerank(
                 .localCheckpoint(eager=False)
             )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge DataFrame. Returns (node, hub, auth), each vector
+    L1-normalized (the classic formulation with the L2 norm swapped
+    for L1 — scale-free for ranking, and exactly SQL-replayable
+    without sqrt).
+
+    HITS is LINEAR, so per-half-step normalization only rescales the
+    iterates: the loop runs UNNORMALIZED (hub_i = Σ auth over
+    out-edges, auth_i = Σ hub over in-edges) and both vectors are
+    L1-normalized exactly once at the end — the same final vectors,
+    half the per-round shuffles. Magnitudes grow like
+    (max degree)^(2·iterations): for 3 iterations even degree-10^6
+    hubs stay below 1e36, far inside double range; callers running
+    many more iterations should renormalize periodically.
+
+    Same execution discipline as pagerank(): edges repartitioned on
+    src ONCE and persisted, per-round shuffles move only the score
+    vector (one double per node), lineage truncated per round, no
+    data-sized driver collects. Mid-loop score tables cover exactly
+    the nodes that can be nonzero (hubs live on sources, authorities
+    on targets — absent rows ARE the zeros, so no per-round left join
+    against the node set); nodes without out-edges surface with hub 0
+    and without in-edges with auth 0 in the final result.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n_part = max(4, e.sparkSession.sparkContext.defaultParallelism // 2)
+    linked = e.repartition(n_part, "src").persist()
+    linked.count()  # materialize before multi-branch consumers
+    nodes = (
+        linked.select(F.col("src").alias("node"))
+        .union(linked.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    # auth_0 = 1 on every node; from round 1 on, the auth table covers
+    # all DST nodes (every e.dst finds its row), so dropping src-only
+    # nodes from it is exact — they contribute nothing anywhere.
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    hub = None
+    for _ in range(iterations):
+        hub = (
+            linked.join(auth, linked["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint(eager=False)
+        )
+        auth = (
+            linked.join(hub, linked["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)
+        )
+
+    def _l1_over_nodes(scores: DataFrame, col: str) -> DataFrame:
+        full = nodes.join(scores, "node", "left").select(
+            "node", F.coalesce(F.col(col), F.lit(0.0)).alias(col)
+        )
+        total = full.agg(F.sum(col).alias("__t"))
+        return full.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("__t")).alias(col)
+        )
+
+    return _l1_over_nodes(hub, "hub").join(
+        _l1_over_nodes(auth, "auth"), "node"
+    )

@@ -594,3 +594,97 @@ def retrieval_bm25f_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25F_TOPK)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities over the harvested link graph.
+# --------------------------------------------------------------------------
+_HITS_ITERS = 3
+
+
+def _hits_oracle_tail(iterations: int = _HITS_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of operators/pagerank.py:hits — the
+    identical UNNORMALIZED half-steps (hub_i = sum of auth over
+    out-edges, auth_i = sum of hub over in-edges; absent rows are the
+    zeros) with one L1 normalization at the end, generated per
+    iteration so the SQL cannot drift from the loop."""
+    sql = """
+    , nodes AS (
+        SELECT DISTINCT src_url AS node FROM edges
+        UNION
+        SELECT DISTINCT dst_url FROM edges
+    ), a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS auth FROM nodes)
+    """
+    prev = "a0"
+    for i in range(1, iterations + 1):
+        sql += f"""
+    , h{i} AS (
+        SELECT e.src_url AS node, SUM(a.auth) AS hub
+        FROM edges e JOIN {prev} a ON a.node = e.dst_url
+        GROUP BY 1
+    ), a{i} AS (
+        SELECT e.dst_url AS node, SUM(h.hub) AS auth
+        FROM edges e JOIN h{i} h ON h.node = e.src_url
+        GROUP BY 1
+    )"""
+        prev = f"a{i}"
+    k = iterations
+    return sql + f"""
+    , hn AS (
+        SELECT nd.node, COALESCE(h.hub, 0.0) AS hub
+        FROM nodes nd LEFT JOIN h{k} h ON h.node = nd.node
+    ), an AS (
+        SELECT nd.node, COALESCE(a.auth, 0.0) AS auth
+        FROM nodes nd LEFT JOIN a{k} a ON a.node = nd.node
+    )
+    SELECT hn.node,
+           ROUND(5e-10 + hn.hub / (SELECT SUM(hub) FROM hn), 6) AS hub,
+           ROUND(5e-10 + an.auth / (SELECT SUM(auth) FROM an), 6)
+               AS auth,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(5e-10 + an.auth
+                              / (SELECT SUM(auth) FROM an), 6) DESC,
+                        hn.node)
+               AS INT) AS rank
+    FROM hn JOIN an USING (node)
+    ORDER BY rank
+    LIMIT 20
+    """
+
+
+@register(
+    "crawl_hits_links",
+    oracle=_EDGES_SQL + _hits_oracle_tail(),
+    doc="HITS hubs & authorities (Kleinberg) over the harvested link "
+    "graph — the mutual-reinforcement companion to PageRank: a good "
+    "hub links to good authorities, a good authority is linked from "
+    "good hubs (nav targets are pure authorities, article pages are "
+    f"the hubs). {_HITS_ITERS} iterations with L1 normalization per "
+    "half-step (operators/pagerank.py:hits — exactly SQL-replayable "
+    "without sqrt), top-20 by the 6dp-biased-rounded authority with "
+    "node-URL tiebreak so cross-engine sum-order noise cannot "
+    "reorder. Oracle = the identical half-steps unrolled as generated "
+    "CTEs. Edges cached once; per-round shuffles move only the two "
+    "score vectors.",
+)
+def crawl_hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.operators.pagerank import hits
+
+    edges = _link_edges(spark, sf_dir).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    scored = hits(edges, iterations=_HITS_ITERS).select(
+        "node",
+        biased_round(F.col("hub"), 6).alias("hub"),
+        biased_round(F.col("auth"), 6).alias("auth"),
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("auth"), F.asc("node"))
+    )
+    return (
+        scored.select("node", "hub", "auth", rank.cast("int").alias("rank"))
+        .orderBy("rank")
+        .limit(20)
+    )

@@ -918,3 +918,140 @@ def inv_corruption_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("conservation_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering: the CCNet head/middle/tail split + epoch schedule.
+# --------------------------------------------------------------------------
+_CURR_TIERS = 3
+
+
+@register(
+    "training_curriculum_order",
+    oracle=f"""
+        WITH tg AS (
+            SELECT d.doc_id,
+                   substring(lower(d.text), CAST(i AS INTEGER), 3) AS g
+            FROM documents d, UNNEST(range(1, length(d.text) - 1)) AS t(i)
+            WHERE length(d.text) >= 3
+        ), freq AS (
+            SELECT g, COUNT(*) AS c FROM tg GROUP BY 1
+        ), tot AS (
+            SELECT SUM(c) AS s FROM freq
+        ), doc_score AS (
+            SELECT tg.doc_id,
+                   ROUND(5e-10 + AVG(LN(freq.c / tot.s)), 4) AS lp
+            FROM tg JOIN freq USING (g) CROSS JOIN tot
+            GROUP BY 1
+        ), toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text,
+                       '[ \\t\\n\\r]+'), x -> x <> '')) AS n_tokens
+            FROM documents WHERE length(text) >= 3
+        ), tiered AS (
+            SELECT s.doc_id, s.lp, t.n_tokens,
+                   NTILE({_CURR_TIERS}) OVER (ORDER BY s.lp DESC,
+                                              s.doc_id) AS tier
+            FROM doc_score s JOIN toks t USING (doc_id)
+        )
+        SELECT e.epoch, tiered.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               ROUND(5e-10 + AVG(lp), 4) AS avg_lp
+        FROM tiered
+        CROSS JOIN (SELECT UNNEST(range(1, {_CURR_TIERS + 1})) AS epoch) e
+        WHERE tiered.tier <= e.epoch
+        GROUP BY 1, 2
+        ORDER BY epoch, tier
+    """,
+    doc="Curriculum ordering (the CCNet head/middle/tail pattern, "
+    "Wenzek et al. LREC 2020): every document is scored by the "
+    "corpus-trained character-trigram LM (same model as "
+    "text_lm_quality_score — the vocab-bounded trigram table "
+    "BROADCASTS, so scoring never shuffles the corpus), tier "
+    "membership binds on the 4dp-biased-rounded score with doc_id "
+    "tiebreak, and the exact 3-way NTILE runs through the two-phase "
+    "global rank (operators/rank.py — boundary literals + "
+    "bucket-partitioned window, never a corpus-sized single-task "
+    "sort). The epoch schedule is the standard expanding curriculum "
+    "(epoch e trains tiers <= e); output is the per-(epoch, tier) "
+    "doc/token/quality summary a training loop consumes. Oracle "
+    "replays the model, the rounded score, NTILE, and the schedule.",
+)
+def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.functions.text import (
+        WORD_SPLIT_RE as WORD_SPLIT,
+    )
+    from economic_data_etl_spark.operators.rank import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.lower(F.col("text")).alias("lt"),
+            F.length("text").alias("n"),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), WORD_SPLIT),
+                    lambda t: t != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    # trigram instances: positions over the ORIGINAL length, slices
+    # from the lowered text (the documented semantics of the LM lanes);
+    # lt/n are materialized attributes, so the lambda never re-lowers.
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 2),
+                lambda i: F.col("lt").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    freq = tg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("s"))
+    # vocab-bounded model (charset^3) -> broadcast; the corpus-sized
+    # trigram stream never shuffles for the join.
+    lp = (
+        tg.join(F.broadcast(freq), "g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            biased_round(F.avg(F.log(F.col("c") / F.col("s")))).alias(
+                "lp"
+            )
+        )
+    )
+    scored = lp.join(docs.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "lp", "n_tokens", (-F.col("lp")).alias("neg_lp")
+    )
+    ranked = with_global_row_number(scored, ["neg_lp", "doc_id"])
+    n_total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    tiered = ranked.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "lp",
+        "n_tokens",
+        ntile_from_row_number(
+            F.col("rn"), F.col("n_total"), _CURR_TIERS
+        ).alias("tier"),
+    )
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(1, _CURR_TIERS + 1)])
+    ).alias("epoch")
+    return (
+        tiered.select("*", epochs)
+        .filter(F.col("tier") <= F.col("epoch"))
+        .groupBy("epoch", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            biased_round(F.avg("lp")).alias("avg_lp"),
+        )
+        .orderBy("epoch", "tier")
+    )

@@ -78,3 +78,54 @@ def test_empty_graph(spark):
     row = _census(spark, [])
     assert row.n_triangles == 0
     assert row.n_edges == 0
+
+
+class TestHits:
+    def _reference(self, edge_list, iterations=3):
+        """Unnormalized half-step reference with one final L1 —
+        mirrors operators/pagerank.py:hits exactly."""
+        nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+        auth = {n: 1.0 for n in nodes}
+        hub = {}
+        for _ in range(iterations):
+            hub = {}
+            for u, v in edge_list:
+                hub[u] = hub.get(u, 0.0) + auth.get(v, 0.0)
+            auth = {}
+            for u, v in edge_list:
+                auth[v] = auth.get(v, 0.0) + hub.get(u, 0.0)
+        hs = sum(hub.values())
+        as_ = sum(auth.values())
+        return (
+            {n: hub.get(n, 0.0) / hs for n in nodes},
+            {n: auth.get(n, 0.0) / as_ for n in nodes},
+        )
+
+    def test_hub_authority_separation(self, spark):
+        from economic_data_etl_spark.operators.pagerank import hits
+
+        # A,B are pure hubs; C,D pure authorities; C is linked twice.
+        edge_list = [("A", "C"), ("A", "D"), ("B", "C")]
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r.node: (r.hub, r.auth) for r in hits(edges).collect()
+        }
+        want_h, want_a = self._reference(edge_list)
+        assert set(got) == set(want_h)
+        for n in want_h:
+            assert got[n][0] == pytest.approx(want_h[n], abs=1e-12), n
+            assert got[n][1] == pytest.approx(want_a[n], abs=1e-12), n
+        # structure: C out-ranks D in authority; A out-ranks B in hub;
+        # pure hubs have zero authority and vice versa
+        assert got["C"][1] > got["D"][1] > 0
+        assert got["A"][0] > got["B"][0] > 0
+        assert got["A"][1] == 0.0 and got["C"][0] == 0.0
+
+    def test_cycle_is_uniform(self, spark):
+        from economic_data_etl_spark.operators.pagerank import hits
+
+        edge_list = [("A", "B"), ("B", "C"), ("C", "A")]
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        for r in hits(edges).collect():
+            assert r.hub == pytest.approx(1 / 3, abs=1e-12)
+            assert r.auth == pytest.approx(1 / 3, abs=1e-12)
