@@ -175,6 +175,7 @@ HEADLINE = [
     "inv_zorder_locality",
     "training_curriculum_order",
     "crawl_hits_links",
+    "training_split_leakage",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -1055,3 +1055,104 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: semantic contamination ACROSS the train/test cut.
+# --------------------------------------------------------------------------
+_LEAK_TAU = 0.9
+_LEAK_TOPK = 10
+
+
+@register(
+    "training_split_leakage",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   CASE WHEN {_BUCKET_SQL.format(salt="split-v1",
+                                                 key="vec_id")}
+                             < {int(0.8 * 65536)} THEN 'train'
+                        WHEN {_BUCKET_SQL.format(salt="split-v1",
+                                                 key="vec_id")}
+                             < {int(0.9 * 65536)} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM embeddings
+        ), pairs AS (
+            SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+                   ROUND(5e-10 + list_cosine_similarity(t.e, r.e), 4)
+                       AS cos_r
+            FROM s t JOIN s r ON t.split = 'test' AND r.split = 'train'
+        ), best AS (
+            SELECT test_id, train_id, cos_r,
+                   ROW_NUMBER() OVER (PARTITION BY test_id
+                       ORDER BY cos_r DESC, train_id) AS rn
+            FROM pairs
+        ), ranked AS (
+            SELECT test_id, train_id, cos_r,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY cos_r DESC, test_id) AS INT) AS rank
+            FROM best WHERE rn = 1
+        )
+        SELECT rank, test_id, train_id, cos_r,
+               cos_r >= {_LEAK_TAU} AS leaked
+        FROM ranked WHERE rank <= {_LEAK_TOPK}
+        ORDER BY rank
+    """,
+    doc="Split-leakage audit — semantic contamination ACROSS the "
+    "train/test cut (the evaluation-integrity check next to the "
+    "n-gram decontamination lanes): every test vector's nearest train "
+    "vector by cosine, using the SAME leakage-safe md5 split the "
+    "corpus splitter certifies (train_val_test_split). The test split "
+    "is a small fixed fraction by construction, so it BROADCASTS "
+    "against the train side — one corpus scan, no corpus shuffle; at "
+    "larger test fractions the certified banded/IVF ANN lanes swap "
+    f"in. Nearness and the leaked verdict (cos >= {_LEAK_TAU}) bind "
+    "on the 4dp-biased-rounded cosine with id tiebreaks; top-"
+    f"{_LEAK_TOPK} closest pairs returned, limit-pushed below the "
+    "rank window.",
+)
+def training_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = training.hash_split(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", _SPLITS
+    ).select("vec_id", "embedding", "split")
+    test = emb.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("te"),
+    )
+    train = emb.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("re"),
+    )
+    pairs = train.join(F.broadcast(test)).select(
+        "test_id",
+        "train_id",
+        biased_round(
+            cosine_similarity(F.col("te"), F.col("re"))
+        ).alias("cos_r"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("test_id").orderBy(
+            F.desc("cos_r"), F.asc("train_id")
+        )
+    )
+    best = pairs.select("*", rn.alias("rn")).filter(F.col("rn") == 1)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cos_r"), F.asc("test_id"))
+    )
+    return (
+        best.select(
+            rank.cast("int").alias("rank"),
+            "test_id",
+            "train_id",
+            "cos_r",
+            (F.col("cos_r") >= _LEAK_TAU).alias("leaked"),
+        )
+        .filter(F.col("rank") <= _LEAK_TOPK)
+        .orderBy("rank")
+    )

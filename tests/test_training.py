@@ -120,3 +120,44 @@ class TestPackSequences:
         a = training.pack_sequences(docs, "doc_id", "n_chars", 2048)
         b = training.pack_sequences(docs.repartition(13), "doc_id", "n_chars", 2048)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestSplitLeakage:
+    def test_planted_leak_is_flagged(self, spark, tmp_path):
+        """A test-split vector planted (nearly) identical to a
+        train-split vector must surface as rank 1 with leaked=TRUE;
+        orthogonal vectors must not. Split membership under the md5
+        bucket (salt 'split-v1'): 12/15/29 -> test, 0/1/2 -> train."""
+        import math
+
+        from economic_data_etl_spark.plans import REGISTRY
+
+        def unit(i, n=8):
+            v = [0.0] * n
+            v[i] = 1.0
+            return v
+
+        rows = [
+            (0, unit(0)),           # train
+            (1, unit(1)),           # train
+            (2, unit(2)),           # train
+            (12, unit(0)),          # test: identical to train 0 -> leak
+            (15, [0.9, 0.1] + [0.0] * 6),  # test: cos ~0.9939 to 0
+            (29, unit(3)),          # test: orthogonal to all train
+        ]
+        df = spark.createDataFrame(
+            [(i, v, 0) for i, v in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.write.parquet(str(tmp_path / "embeddings.parquet"))
+        out = {
+            r.test_id: r
+            for r in REGISTRY["training_split_leakage"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert out[12].train_id == 0 and out[12].leaked
+        assert out[12].cos_r == 1.0 and out[12].rank == 1
+        assert out[15].train_id == 0 and out[15].leaked  # 0.9939 >= 0.9
+        assert math.isclose(out[15].cos_r, 0.9939, abs_tol=1e-9)
+        assert not out[29].leaked and out[29].cos_r == 0.0
