@@ -176,6 +176,8 @@ HEADLINE = [
     "training_curriculum_order",
     "crawl_hits_links",
     "training_split_leakage",
+    "layout_hilbert_clustering",
+    "inv_hilbert_continuity",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

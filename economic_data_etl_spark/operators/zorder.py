@@ -61,3 +61,101 @@ def zvalue_py(x: int, y: int, bits: int = 10) -> int:
         z |= ((x >> i) & 1) << (2 * i)
         z |= ((y >> i) & 1) << (2 * i + 1)
     return z
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality upgrade over Morton order.
+# ---------------------------------------------------------------------------
+# Z-order's aligned buckets bound both dimensions, but the curve JUMPS
+# at high-bit carries (consecutive z cells can be half the grid apart),
+# so unaligned range reads straddle distant regions. The Hilbert curve
+# is CONTINUOUS: consecutive d cells are Manhattan-distance-1 neighbors
+# — every contiguous d-range is one connected blob, the property
+# range-partitioned layout files actually exploit.
+
+
+def hilbert_py(x: int, y: int, bits: int = 10) -> int:
+    """Python reference: the standard xy->d iteration (rotate/flip per
+    level, top level first)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_d(x: Column, y: Column, bits: int = 10) -> Column:
+    """Hilbert index as ONE Catalyst in-row fold (F.aggregate over the
+    per-level scale literals, state = (x, y, d) struct) — the same
+    interpreted-fold pattern as the Holt-Winters lane: no codegen
+    blowup (a naive per-level expression chain re-inlines through
+    CollapseProject into a 3^bits-node tree), no Python, no shuffle."""
+    levels = F.array(
+        *[F.lit(1 << k) for k in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        fx = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        fy = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        return F.struct(
+            F.when(ry == 0, fy).otherwise(acc["x"]).alias("x"),
+            F.when(ry == 0, fx).otherwise(acc["y"]).alias("y"),
+            d2.cast("long").alias("d"),
+        )
+
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def hilbert_sql_ctes(
+    src: str, out: str, x_col: str = "x", y_col: str = "y",
+    bits: int = 10,
+) -> str:
+    """DuckDB twin of hilbert_d as a generated chain of per-level CTEs
+    (state columns hx, hy, hd; original columns pass through) — the
+    same rotate/flip sequence, so the two engines cannot drift. The
+    final CTE `out` exposes `hd`."""
+    sql = (
+        f", {out}_l{bits} AS (SELECT *, CAST({x_col} AS BIGINT) AS hx,"
+        f" CAST({y_col} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM {src})"
+    )
+    prev = f"{out}_l{bits}"
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        name = f"{out}_l{k}" if k > 0 else out
+        sql += f"""
+    , {name} AS (
+        SELECT * REPLACE (
+            CASE WHEN {ry} = 0 THEN
+                CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END
+            ELSE hx END AS hx,
+            CASE WHEN {ry} = 0 THEN
+                CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END
+            ELSE hy END AS hy,
+            hd + {s * s} * xor(3 * {rx}, {ry}) AS hd
+        ) FROM {prev}
+    )"""
+        prev = name
+    return sql

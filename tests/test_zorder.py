@@ -103,3 +103,67 @@ def test_file_skipping_on_both_columns(spark, tmp_path):
     for col in ("x", "y"):
         assert overlap_fraction(zpath, col, 300, 427) <= 0.5
         assert overlap_fraction(rpath, col, 300, 427) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+from economic_data_etl_spark.operators.zorder import (  # noqa: E402
+    hilbert_d,
+    hilbert_py,
+    hilbert_sql_ctes,
+)
+
+
+def test_hilbert_py_bijective_unit_steps():
+    n, bits = 16, 4
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[hilbert_py(x, y, bits)] = (x, y)
+    assert sorted(cells) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_fold_matches_reference(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(1024), rng.randrange(1024))
+             for _ in range(200)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.hd
+        for r in df.select(
+            "x", "y", hilbert_d(F.col("x"), F.col("y")).alias("hd")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == hilbert_py(x, y)
+
+
+def test_hilbert_sql_matches_reference():
+    con = duckdb.connect()
+    sql = (
+        "WITH c AS (SELECT x, y FROM (SELECT UNNEST(range(32)) x), "
+        "(SELECT UNNEST(range(32)) y))"
+        + hilbert_sql_ctes("c", "hil", bits=5)
+        + " SELECT x, y, hd FROM hil"
+    )
+    for x, y, hd in con.execute(sql).fetchall():
+        assert hd == hilbert_py(x, y, 5)
+
+
+def test_hilbert_fold_is_pure_projection(spark):
+    df = spark.range(50).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") % 17).alias("y")
+    )
+    plan = (
+        df.select(hilbert_d(F.col("x"), F.col("y")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
