@@ -178,6 +178,7 @@ HEADLINE = [
     "training_split_leakage",
     "layout_hilbert_clustering",
     "inv_hilbert_continuity",
+    "crawl_trustrank_links",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

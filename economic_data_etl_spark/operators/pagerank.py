@@ -34,6 +34,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     symmetric: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank. Returns (node, rank) with sum(rank) ~= 1.
 
@@ -44,10 +45,22 @@ def pagerank(
     contributions (no per-round left join against the node set) — two
     fewer shuffles per run and one fewer per round, same answer.
 
+    `seeds` (single node-id column, incompatible with ``symmetric``)
+    switches to PERSONALIZED PageRank — TrustRank (Gyongyi et al.,
+    VLDB 2004) when the seeds are a trusted set: the teleport mass
+    (1-d) lands uniformly on the SEEDS only, so rank can only flow out
+    of the trusted neighborhood along real links and spam farms with
+    no trusted in-path score ~0. Init mass starts on the seeds too
+    (the s-vector start). Seeds are joined once into the persisted
+    node table (one extra setup shuffle, broadcast when small); the
+    per-round cost is identical to the uniform case.
+
     Dangling nodes (no out-edges, impossible when symmetric) receive
     rank but leak their mass — the classic simplified formulation;
     callers needing mass conservation should add self-loops.
     """
+    if seeds is not None and symmetric:
+        raise ValueError("seeds requires the directed (non-symmetric) path")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # ONE shuffle builds the whole iteration substrate: repartition on
     # src gives the co-partitioning every round's rank join reuses, and
@@ -87,9 +100,37 @@ def pagerank(
         # empty graph: empty (node, rank) result, not a ZeroDivisionError
         # — empty partitions/slices are routine upstream at scale.
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    base = (1.0 - damping) / n
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        # Per-node teleport joined ONCE into the persisted node table:
+        # (1-d)/|S| on seeds, 0 elsewhere. |S| is one scalar like n.
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError("seeds must contain at least one node")
+        nodes = nodes.join(
+            seed_ids.withColumn("__s", F.lit(1)), "node", "left"
+        ).select(
+            "node",
+            F.when(
+                F.col("__s").isNotNull(),
+                F.lit((1.0 - damping) / n_seeds),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        ).persist()
+        init = F.when(F.col("tele") > 0, F.lit(1.0 / n_seeds)).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        nodes = nodes.withColumn(
+            "tele", F.lit((1.0 - damping) / n)
+        ).persist()
+        init = F.lit(1.0 / n)
+
+    ranks = nodes.select("node", init.alias("rank"))
     for _ in range(iterations):
         contribs = (
             linked.join(ranks, linked["src"] == ranks["node"])
@@ -98,13 +139,14 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         if symmetric:
-            # every node has in-edges: contribs already covers the full
-            # node set, no re-join needed.
+            # every node has in-edges and teleport is uniform: contribs
+            # already covers the full node set, no re-join needed.
             ranks = contribs.select(
                 F.col("dst").alias("node"),
-                (F.lit(base) + F.lit(damping) * F.col("contrib")).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("contrib")
+                ).alias("rank"),
             ).localCheckpoint(eager=False)
         else:
             ranks = (
@@ -114,7 +156,7 @@ def pagerank(
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        F.col("tele")
                         + F.lit(damping)
                         * F.coalesce(F.col("contrib"), F.lit(0.0))
                     ).alias("rank"),

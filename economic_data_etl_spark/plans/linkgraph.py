@@ -688,3 +688,123 @@ def crawl_hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TrustRank: personalized PageRank from a trusted seed set.
+# --------------------------------------------------------------------------
+_TRUST_TAIL = """
+    , seeds AS (
+        SELECT DISTINCT src_url AS node FROM edges
+        WHERE src_doc_id % 7 = 0
+    ), ns AS (
+        SELECT COUNT(*) AS s FROM seeds
+    ), deg AS (
+        SELECT src_url AS src, COUNT(*) AS deg FROM edges GROUP BY 1
+    ), nodes AS (
+        SELECT node,
+               CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN CAST(0.15 AS DOUBLE) / (SELECT s FROM ns)
+                    ELSE CAST(0.0 AS DOUBLE) END AS tele
+        FROM (
+            SELECT DISTINCT src_url AS node FROM edges
+            UNION
+            SELECT DISTINCT dst_url FROM edges
+        )
+    ), r0 AS (
+        SELECT node,
+               CASE WHEN tele > 0
+                    THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ns)
+                    ELSE CAST(0.0 AS DOUBLE) END AS rank
+        FROM nodes
+    ), c1 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r0 r ON r.node = e.src_url
+        GROUP BY 1
+    ), r1 AS (
+        SELECT nd.node,
+               nd.tele + CAST(0.85 AS DOUBLE) * COALESCE(c1.contrib, 0.0)
+                   AS rank
+        FROM nodes nd LEFT JOIN c1 ON c1.node = nd.node
+    ), c2 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r1 r ON r.node = e.src_url
+        GROUP BY 1
+    ), r2 AS (
+        SELECT nd.node,
+               nd.tele + CAST(0.85 AS DOUBLE) * COALESCE(c2.contrib, 0.0)
+                   AS rank
+        FROM nodes nd LEFT JOIN c2 ON c2.node = nd.node
+    ), c3 AS (
+        SELECT e.dst_url AS node, SUM(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN deg d ON d.src = e.src_url
+        JOIN r3src r ON r.node = e.src_url
+        GROUP BY 1
+    ), r3 AS (
+        SELECT nd.node,
+               nd.tele + CAST(0.85 AS DOUBLE) * COALESCE(c3.contrib, 0.0)
+                   AS rank
+        FROM nodes nd LEFT JOIN c3 ON c3.node = nd.node
+    )
+    SELECT node,
+           ROUND(5e-10 + r3.rank * 1000, 4) AS trust_x1000,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(5e-10 + r3.rank * 1000, 4) DESC, node)
+               AS INT) AS rank
+    FROM r3
+    ORDER BY rank
+    LIMIT 20
+"""
+
+
+@register(
+    "crawl_trustrank_links",
+    oracle=_EDGES_SQL + _TRUST_TAIL.replace("r3src", "r2"),
+    doc="TrustRank (Gyongyi et al., VLDB 2004) — personalized PageRank "
+    "whose teleport mass lands only on a TRUSTED seed set (here: the "
+    "site0 host's pages): trust flows out of the seeds along real "
+    "links, so pages with no in-path from the trusted neighborhood "
+    "score ~0 — the standard link-spam demotion signal a crawl "
+    "pipeline runs next to uniform PageRank. 3 iterations via "
+    "operators/pagerank.py:pagerank(seeds=...) — per-node teleport "
+    "joined once into the persisted node table, per-round cost "
+    "identical to the uniform case. Top-20 by the rounded "
+    "trust-x1000 score with URL tiebreak; oracle = the identical "
+    "seeded iterations unrolled as CTEs.",
+)
+def crawl_trustrank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from economic_data_etl_spark.operators.pagerank import pagerank
+
+    edges_full = _link_edges(spark, sf_dir)
+    edges = edges_full.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    seeds = (
+        edges_full.filter(F.col("src_doc_id") % 7 == 0)
+        .select("src_url")
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, symmetric=False, seeds=seeds
+    )
+    scored = ranks.select(
+        "node",
+        biased_round(F.col("rank") * 1000).alias("trust_x1000"),
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("trust_x1000"), F.asc("node"))
+    )
+    return (
+        scored.select(
+            "node", "trust_x1000", rank.cast("int").alias("rank")
+        )
+        .orderBy("rank")
+        .limit(20)
+    )

@@ -129,3 +129,33 @@ class TestHits:
         for r in hits(edges).collect():
             assert r.hub == pytest.approx(1 / 3, abs=1e-12)
             assert r.auth == pytest.approx(1 / 3, abs=1e-12)
+
+
+class TestPersonalizedPagerank:
+    def test_trust_stays_in_reachable_component(self, spark):
+        from economic_data_etl_spark.operators.pagerank import pagerank
+
+        # two components; only A is trusted -> C/D get exactly zero
+        edges = spark.createDataFrame(
+            [("A", "B"), ("C", "D")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("A",)], "node string")
+        got = {
+            r.node: r.rank
+            for r in pagerank(edges, seeds=seeds).collect()
+        }
+        assert got["C"] == 0.0 and got["D"] == 0.0
+        # A holds the full teleport mass (0.15); B receives only via
+        # the link: d * rank(A)/deg(A) = 0.85 * 0.15 at convergence
+        assert got["A"] == pytest.approx(0.15, abs=1e-12)
+        assert got["B"] == pytest.approx(0.85 * 0.15, abs=1e-12)
+
+    def test_seeds_with_symmetric_rejected(self, spark):
+        from economic_data_etl_spark.operators.pagerank import pagerank
+
+        edges = spark.createDataFrame(
+            [("A", "B")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("A",)], "node string")
+        with pytest.raises(ValueError):
+            pagerank(edges, symmetric=True, seeds=seeds)
