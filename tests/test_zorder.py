@@ -4,6 +4,69 @@ layout exists for (per-file min/max stats on BOTH columns)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.operators.zorder import (
+    file_scan_fraction,
+    with_zorder_key,
+    write_zordered,
+)
+from economic_data_etl_spark.sources.tables import load_table
+
+COLS = ["l_partkey", "l_extendedprice"]
+
+
+class TestZOrder:
+    def test_zkey_is_deterministic_and_total(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").limit(2000)
+        keyed = with_zorder_key(li, COLS, bits=4)
+        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+        # 4 bits × 2 cols → 8-bit key space
+        mx = keyed.agg(F.max("__zkey")).collect()[0][0]
+        assert 0 <= mx < (1 << 10)  # null bucket can exceed 2^8 slightly
+
+    def test_zorder_skips_on_both_columns(self, spark, sf_dir, tmp_path):
+        li = load_table(spark, sf_dir, "lineitem").select(*COLS)
+        med = {
+            c: li.stat.approxQuantile(c, [0.5], 0.01)[0] for c in COLS
+        }
+
+        linear = str(tmp_path / "linear")
+        (
+            li.repartitionByRange(16, F.col(COLS[0]))
+            .sortWithinPartitions(COLS[0])
+            .write.mode("overwrite")
+            .parquet(linear)
+        )
+        zpath = str(tmp_path / "zorder")
+        write_zordered(li, zpath, COLS, bits=8, num_files=16)
+
+        lin_frac = [file_scan_fraction(linear, c, med[c]) for c in COLS]
+        z_frac = [file_scan_fraction(zpath, c, med[c]) for c in COLS]
+
+        # Absolute bounds are deliberately loose: RangePartitioner samples
+        # its split points, so exact file boundaries wobble run-to-run.
+        # Linear layout: tight on its sort column, near-useless on the
+        # other.
+        assert lin_frac[0] <= 0.4, f"linear fractions {lin_frac}"
+        assert lin_frac[1] >= 0.7, f"linear fractions {lin_frac}"
+        # Z-order: a point filter on EITHER column skips a healthy
+        # majority of files...
+        assert max(z_frac) <= 0.6, f"z-order fractions {z_frac}"
+        # ...and the worst column beats linear's worst column outright —
+        # the claim that actually matters, and it is not borderline
+        # (≈0.3 vs ≈1.0).
+        assert max(z_frac) < 0.75 * max(lin_frac)
+
+    def test_zkey_on_timestamp_ntz_column(self, spark, sf_dir):
+        # Spark 4.1 forbids TIMESTAMP_NTZ → DOUBLE casts; the bucketizer
+        # must route NTZ through ts_epoch_seconds (regression: the old
+        # dtype dispatch only knew "timestamp" and fell into cast).
+        ev = load_table(spark, sf_dir, "events").limit(2000)
+        assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+        keyed = with_zorder_key(ev, ["ts", "user_id"], bits=4)
+        assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+
 import random
 
 import duckdb
