@@ -179,6 +179,7 @@ HEADLINE = [
     "layout_hilbert_clustering",
     "inv_hilbert_continuity",
     "crawl_trustrank_links",
+    "governance_erasure_audit",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -672,3 +672,211 @@ def governance_erasure_frontier(
     return erase_frontier_index(
         index, revoked, surviving_pages
     ).orderBy("canonical")
+
+
+# ---------------------------------------------------------------------------
+# The erasure AUDIT — the compliance report a data-protection officer
+# actually reads: per standing index, row counts before and after the
+# erasure and the RESIDUAL references to revoked documents left behind
+# (which must be zero everywhere).
+# ---------------------------------------------------------------------------
+
+
+def _audit_oracle() -> str:
+    from economic_data_etl_spark.plans.linkgraph import (
+        _EDGES_BODY,
+        _LINK_DOCS,
+    )
+
+    return (
+        _CANON_CTES
+        + ","
+        + _EDGES_BODY
+        + f"""
+    , toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, source, unnest(w) AS token FROM toks
+    ), rev AS (
+        SELECT doc_id FROM documents WHERE source = '{_REVOKED_SOURCE}'
+    ), revurl AS (
+        SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS u
+        FROM rev WHERE doc_id < {_LINK_DOCS}
+    )
+    SELECT * FROM (
+        SELECT 'bm25_postings' AS index_name,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, token
+                                      FROM ex)) AS rows_full,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, token
+                                      FROM ex
+                                      WHERE source <> '{_REVOKED_SOURCE}'))
+                   AS rows_erased,
+               CAST(0 AS BIGINT) AS residual_refs
+        UNION ALL
+        SELECT 'positional_postings',
+               (SELECT COUNT(*) FROM ex),
+               (SELECT COUNT(*) FROM ex
+                WHERE source <> '{_REVOKED_SOURCE}'),
+               0
+        UNION ALL
+        SELECT 'frontier_seen_set',
+               (SELECT COUNT(DISTINCT canonical) FROM canon),
+               (SELECT COUNT(DISTINCT canonical) FROM canon
+                JOIN documents USING (doc_id)
+                WHERE source <> '{_REVOKED_SOURCE}'),
+               0
+        UNION ALL
+        SELECT 'link_edges',
+               (SELECT COUNT(*) FROM edges),
+               (SELECT COUNT(*) FROM edges
+                WHERE src_doc_id NOT IN (SELECT doc_id FROM rev)
+                  AND split_part(dst_url, '?', 1)
+                      NOT IN (SELECT u FROM revurl)),
+               0
+    )
+    ORDER BY index_name
+    """
+    )
+
+
+@register(
+    "governance_erasure_audit",
+    oracle=_audit_oracle(),
+    doc="The erasure AUDIT — per standing index, rows before and after "
+    f"revoking source {_REVOKED_SOURCE!r} and the RESIDUAL references "
+    "to revoked docs the erased index still holds (constant-ZERO: the "
+    "residual is COMPUTED by re-probing each erased index for revoked "
+    "ids — a leaky anti-join shows up as a nonzero count, not a "
+    "silently-green row). Covers the doc-keyed indexes (BM25 tf "
+    "postings, positional postings), the reassignment-shaped frontier "
+    "seen-set (a canonical whose docs are all revoked LEAVES; a "
+    "shared canonical stays — counts shift accordingly), and the "
+    "two-sided link-edge index (linker AND target erasure, query "
+    "variants stripped). Before/after counts are genuinely replayed "
+    "by the oracle, so the report's numbers — not just the zeros — "
+    "are value-checked. Each audit row is a 1-row aggregate; revoked "
+    "sets broadcast.",
+)
+def governance_erasure_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.linkgraph import (
+        dst_base,
+        erase_link_edges,
+    )
+    from economic_data_etl_spark.operators.retrieval import (
+        build_positional_postings,
+        build_postings,
+    )
+    from economic_data_etl_spark.plans.crawlq import _canonicalized
+    from economic_data_etl_spark.plans.linkgraph import (
+        _LINK_DOCS,
+        _link_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    revoked = docs.filter(
+        F.col("source") == _REVOKED_SOURCE
+    ).select("doc_id")
+
+    def audit_row(name, full, erased, residual) -> DataFrame:
+        return (
+            full.agg(F.count(F.lit(1)).alias("rows_full"))
+            .crossJoin(
+                erased.agg(F.count(F.lit(1)).alias("rows_erased"))
+            )
+            .crossJoin(
+                residual.agg(
+                    F.count(F.lit(1)).alias("residual_refs")
+                )
+            )
+            .select(
+                F.lit(name).alias("index_name"),
+                "rows_full",
+                "rows_erased",
+                "residual_refs",
+            )
+        )
+
+    rows = []
+
+    postings, _ = build_postings(docs)
+    p_erased = postings.join(F.broadcast(revoked), "doc_id", "left_anti")
+    rows.append(
+        audit_row(
+            "bm25_postings",
+            postings,
+            p_erased,
+            p_erased.join(F.broadcast(revoked), "doc_id", "left_semi"),
+        )
+    )
+
+    pos = build_positional_postings(docs)
+    pos_erased = pos.join(F.broadcast(revoked), "doc_id", "left_anti")
+    rows.append(
+        audit_row(
+            "positional_postings",
+            pos,
+            pos_erased,
+            pos_erased.join(
+                F.broadcast(revoked), "doc_id", "left_semi"
+            ),
+        )
+    )
+
+    canon = _canonicalized(spark, sf_dir).select("doc_id", "canonical")
+    f_full = canon.select("canonical").distinct()
+    canon_kept = canon.join(F.broadcast(revoked), "doc_id", "left_anti")
+    f_erased = canon_kept.select("canonical").distinct()
+    # residual: canonicals in the erased seen-set reachable ONLY via
+    # revoked docs (none, by construction of the anti-join-then-distinct)
+    f_resid = f_erased.join(
+        canon.join(F.broadcast(revoked), "doc_id", "left_semi")
+        .select("canonical")
+        .distinct()
+        .join(canon_kept.select("canonical").distinct(),
+              "canonical", "left_anti"),
+        "canonical",
+        "left_semi",
+    )
+    rows.append(
+        audit_row("frontier_seen_set", f_full, f_erased, f_resid)
+    )
+
+    edges = _link_edges(spark, sf_dir)
+    rev_link = docs.filter(
+        (F.col("source") == _REVOKED_SOURCE)
+        & (F.col("doc_id") < _LINK_DOCS)
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("base_url"),
+    )
+    e_erased = erase_link_edges(edges, F.broadcast(rev_link))
+    e_resid = e_erased.join(
+        F.broadcast(rev_link.select(
+            F.col("doc_id").alias("src_doc_id"))),
+        "src_doc_id",
+        "left_semi",
+    ).unionByName(
+        e_erased.join(
+            F.broadcast(rev_link.select(
+                dst_base(F.col("base_url")).alias("__b"))),
+            dst_base(F.col("dst_url")) == F.col("__b"),
+            "left_semi",
+        )
+    )
+    rows.append(audit_row("link_edges", edges, e_erased, e_resid))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("index_name")

@@ -43,8 +43,9 @@ _LINK_DOCS = 64
 
 # DuckDB twin of operators/html.py: write_linked_page target arithmetic
 # + linked_page_base_url. Keep in lockstep with the page writer.
-_EDGES_SQL = f"""
-    WITH t AS (
+# _EDGES_BODY composes after other CTE chains (prepend WITH or a comma).
+_EDGES_BODY = f"""
+     t AS (
         SELECT doc_id AS d,
                (7 * doc_id + 3) % {_LINK_DOCS} AS t1,
                (13 * doc_id + 5) % {_LINK_DOCS} AS t2,
@@ -86,6 +87,8 @@ _EDGES_SQL = f"""
                'Sorted view' FROM t
     )
 """
+
+_EDGES_SQL = "WITH" + _EDGES_BODY
 
 
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
