@@ -180,6 +180,9 @@ HEADLINE = [
     "inv_hilbert_continuity",
     "crawl_trustrank_links",
     "governance_erasure_audit",
+    "ts_theil_sen_trend",
+    "ts_mann_kendall_trend",
+    "text_perplexity_backoff",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

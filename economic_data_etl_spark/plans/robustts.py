@@ -133,7 +133,10 @@ def _pairs(indexed: DataFrame) -> DataFrame:
     "elements bit-identically.",
 )
 def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return theil_sen(_indexed_daily(spark, sf_dir))
+    # The days x types frame is tiny and consumed by both pair-join
+    # sides: checkpoint it so the fact-table pre-aggregation runs once
+    # (the econometrics-lane pattern).
+    return theil_sen(_indexed_daily(spark, sf_dir).localCheckpoint())
 
 
 def theil_sen(indexed: DataFrame) -> DataFrame:
@@ -214,7 +217,9 @@ def theil_sen(indexed: DataFrame) -> DataFrame:
     "totals, so both engines see identical comparisons.",
 )
 def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mann_kendall(_indexed_daily(spark, sf_dir))
+    # Four consumers (pairs x2, n_days, ties) of the tiny daily frame:
+    # checkpoint so the fact-table pre-aggregation runs once.
+    return mann_kendall(_indexed_daily(spark, sf_dir).localCheckpoint())
 
 
 def mann_kendall(indexed: DataFrame) -> DataFrame:

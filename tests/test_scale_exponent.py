@@ -380,3 +380,36 @@ def test_zorder_scale_exponent(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_r12_second_wave_scale_exponents(spark):
+    """Round-12 second wave: the robust trend pair (one corpus shuffle
+    into the calendar-bounded daily frame; the O(days²) pair join runs
+    over that bounded frame, so 10× data should move only the
+    pre-aggregation) and the Stupid Backoff LM (two corpus passes —
+    unified count shuffle + broadcast-join scoring; the model is
+    top-K-pruned so the broadcast never grows with SF). A superlinear
+    escape means the pair join leaked onto the fact table or a model
+    join lost its broadcast."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "ts_theil_sen_trend",
+        "ts_mann_kendall_trend",
+        "text_perplexity_backoff",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
