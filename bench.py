@@ -183,6 +183,7 @@ HEADLINE = [
     "ts_theil_sen_trend",
     "ts_mann_kendall_trend",
     "text_perplexity_backoff",
+    "crawl_labelprop_communities",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

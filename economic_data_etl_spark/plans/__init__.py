@@ -16,6 +16,7 @@ from economic_data_etl_spark.plans import relational5  # noqa: E402,F401
 from economic_data_etl_spark.plans import relational6  # noqa: E402,F401
 from economic_data_etl_spark.plans import profiling  # noqa: E402,F401
 from economic_data_etl_spark.plans import quality  # noqa: E402,F401
+from economic_data_etl_spark.plans import communities  # noqa: E402,F401
 from economic_data_etl_spark.plans import lmppl  # noqa: E402,F401
 from economic_data_etl_spark.plans import robustts  # noqa: E402,F401
 from economic_data_etl_spark.plans import scd2  # noqa: E402,F401
