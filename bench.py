@@ -184,6 +184,7 @@ HEADLINE = [
     "ts_mann_kendall_trend",
     "text_perplexity_backoff",
     "crawl_labelprop_communities",
+    "text_unigram_tokenize",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -64,6 +64,7 @@ from economic_data_etl_spark.plans import text2  # noqa: E402,F401
 from economic_data_etl_spark.plans import textnormq  # noqa: E402,F401
 from economic_data_etl_spark.plans import timeseries  # noqa: E402,F401
 from economic_data_etl_spark.plans import training  # noqa: E402,F401
+from economic_data_etl_spark.plans import unigramq  # noqa: E402,F401
 from economic_data_etl_spark.plans import variant  # noqa: E402,F401
 from economic_data_etl_spark.plans import vectors  # noqa: E402,F401
 from economic_data_etl_spark.plans import vectors2  # noqa: E402,F401

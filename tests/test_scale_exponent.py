@@ -413,3 +413,29 @@ def test_r12_second_wave_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_unigram_tokenizer_scale_exponent(spark):
+    """The unigram tokenizer's every pass runs over the Zipf-bounded
+    word-frequency table (one corpus shuffle builds it); candidate
+    generation, the prune, and the Viterbi fold all scale with
+    DISTINCT words, which grow far slower than tokens. A superlinear
+    escape means a pass leaked onto the corpus."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in ("text_unigram_tokenize", "inv_unigram_em_monotone"):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
