@@ -185,6 +185,7 @@ HEADLINE = [
     "text_perplexity_backoff",
     "crawl_labelprop_communities",
     "text_unigram_tokenize",
+    "text_incremental_perplexity",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

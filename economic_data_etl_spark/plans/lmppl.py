@@ -146,15 +146,19 @@ _ORACLE = f"""
 
 
 def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_arrays(load_table(spark, sf_dir, "documents"))
+
+
+def token_arrays(docs: DataFrame) -> DataFrame:
     """Per-doc token arrays behind a projection boundary (the lambda-CSE
     rule: HOFs below must never re-split the document), lazily
     checkpointed because BOTH the count pass and the scoring pass
     consume it — without the checkpoint the regex tokenization runs
     once per consumer (no CSE across joins)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    lowered = docs.select(
         "doc_id", "source", F.lower(F.col("text")).alias("lt")
     )
-    toks = docs.select(
+    toks = lowered.select(
         "doc_id",
         "source",
         F.filter(
@@ -266,7 +270,15 @@ def backoff_score(toks: DataFrame) -> DataFrame:
     frame; see the registered query's doc for the full design."""
     pos = _positions(toks)
     cnt = _gram_counts(pos).localCheckpoint(eager=False)
+    return score_with_counts(pos, cnt)
 
+
+def score_with_counts(pos: DataFrame, cnt: DataFrame) -> DataFrame:
+    """Score a (doc_id, source, tri, big, uni) position frame against a
+    (ord, g, c) count table — the serve half of the pipeline, shared
+    with the standing incremental index (streaming/incremental_lm.py):
+    counts are ADDITIVE, so a count table folded batch-by-batch scores
+    identically to the one-shot build."""
     # N = total token instances (the unigram mass), a 1-row bounded
     # collect — embedded as a literal so the OOV floor and the unigram
     # denominator are the SAME double expression on both engines.
@@ -361,3 +373,48 @@ def backoff_score(toks: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LMI_SPLIT1 = 150
+_LMI_SPLIT2 = 300
+
+
+@register(
+    "text_incremental_perplexity",
+    oracle=_ORACLE,
+    doc="INCREMENTAL Stupid Backoff (streaming/incremental_lm.py): "
+    "n-gram counts are ADDITIVE, so the standing (order, gram, count) "
+    "table folded batch-by-batch equals the one-shot build exactly. "
+    f"Three disjoint document batches (doc_id < {_LMI_SPLIT1}, "
+    f"[{_LMI_SPLIT1}, {_LMI_SPLIT2}), >= {_LMI_SPLIT2}) fold through "
+    "the same union+sum merge the streaming sink applies, and the "
+    "merged table serves the full-corpus scoring pass "
+    "(score_with_counts — prune, conditional ratios, backoff chain). "
+    "The oracle is the UNCHANGED one-shot replay: a green row proves "
+    "fold == one-shot at the value level, the additivity argument "
+    "made checkable. (Redelivery is fenced by the batch-id high-water "
+    "mark in the sink — counts are additive, NOT idempotent, so the "
+    "fence is load-bearing; pinned in tests/test_incremental_lm.py.)",
+)
+def text_incremental_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        fold_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [
+        docs.filter(F.col("doc_id") < _LMI_SPLIT1),
+        docs.filter(
+            (F.col("doc_id") >= _LMI_SPLIT1)
+            & (F.col("doc_id") < _LMI_SPLIT2)
+        ),
+        docs.filter(F.col("doc_id") >= _LMI_SPLIT2),
+    ]
+    standing = None
+    for b in batches:
+        bc = _gram_counts(_positions(token_arrays(b)))
+        standing = bc if standing is None else fold_counts(standing, bc)
+    cnt = standing.localCheckpoint(eager=False)
+    return score_with_counts(_positions(_token_arrays(spark, sf_dir)), cnt)

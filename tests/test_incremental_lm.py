@@ -1,0 +1,137 @@
+"""Streaming Stupid-Backoff LM index: stream fold == one-shot counts,
+redelivery fenced by the batch-id high-water mark (counts are additive,
+NOT idempotent — the fence is load-bearing), and crash-recovery
+contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_etl_spark.plans.lmppl import (
+    _gram_counts,
+    _positions,
+    token_arrays,
+)
+from economic_data_etl_spark.streaming.incremental_lm import (
+    foreach_batch_incremental_lm,
+    fold_counts,
+    last_batch_id,
+    read_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _one_shot(docs):
+    return _gram_counts(_positions(token_arrays(docs)))
+
+
+def _count_set(df):
+    return sorted((r.ord, r.g, r.c) for r in df.collect())
+
+
+_ROWS = [
+    (1, "s1", "the cat sat on the mat"),
+    (2, "s1", "the cat ran"),
+    (3, "s2", "a dog sat on a log"),
+    (4, "s2", "the dog and the cat"),
+    (5, "s1", "mat and log and cat"),
+    (6, "s2", "on the mat sat a cat"),
+]
+
+
+def test_stream_fold_equals_one_shot(spark, tmp_path):
+    docs = _docs(spark, _ROWS)
+    state = str(tmp_path / "lm")
+    handle = foreach_batch_incremental_lm(state)
+    for bi in range(3):
+        handle(docs.filter(F.col("doc_id") % 3 == bi), bi)
+    want = _count_set(_one_shot(docs))
+    got = _count_set(read_counts(spark, state))
+    assert got == want
+    assert last_batch_id(spark, state) == 2
+
+
+def test_redelivery_is_fenced_not_absorbed(spark, tmp_path):
+    """Replaying batch 0 under its original id must be a no-op; the
+    same ROWS under a NEW id would double-count (additive counts), so
+    the test pins exactly the high-water-mark semantics the sink
+    documents."""
+    docs = _docs(spark, _ROWS)
+    b0 = docs.filter(F.col("doc_id") <= 3)
+    b1 = docs.filter(F.col("doc_id") > 3)
+    state = str(tmp_path / "lm")
+    handle = foreach_batch_incremental_lm(state)
+    handle(b0, 0)
+    handle(b1, 1)
+    want = _count_set(_one_shot(docs))
+    handle(b0, 0)  # exact redelivery: skipped by the fence
+    handle(b1, 1)
+    assert _count_set(read_counts(spark, state)) == want
+
+
+def test_fold_is_additive(spark):
+    docs = _docs(spark, _ROWS)
+    a = _one_shot(docs.filter(F.col("doc_id") <= 2))
+    b = _one_shot(docs.filter(F.col("doc_id") > 2))
+    assert _count_set(fold_counts(a, b)) == _count_set(_one_shot(docs))
+
+
+def test_partial_staging_discarded(spark, tmp_path):
+    import os
+
+    docs = _docs(spark, _ROWS)
+    state = str(tmp_path / "lm")
+    staging = f"{state}.staging"
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-0.parquet"), "wb") as f:
+        f.write(b"mid-write crash leftovers")
+    handle = foreach_batch_incremental_lm(state)
+    handle(docs, 0)
+    assert _count_set(read_counts(spark, state)) == _count_set(
+        _one_shot(docs)
+    )
+    assert not os.path.exists(staging)
+
+
+def test_completed_staging_promoted_on_recovery(spark, tmp_path):
+    """A staging dir with _SUCCESS (crash AFTER the write, BEFORE the
+    rename) must be promoted, not discarded — the other crash shape."""
+    import os
+
+    docs = _docs(spark, _ROWS)
+    state = str(tmp_path / "lm")
+    staging = f"{state}.staging"
+    handle = foreach_batch_incremental_lm(state)
+    handle(docs.filter(F.col("doc_id") <= 3), 0)
+    # simulate: batch 1 wrote staging fully, crashed before rename
+    import shutil
+
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        STATE_SCHEMA,
+        _META_G,
+        _META_ORD,
+    )
+
+    merged = fold_counts(
+        read_counts(spark, state),
+        _one_shot(docs.filter(F.col("doc_id") > 3)),
+    ).select(
+        F.col("ord").cast("int").alias("ord"),
+        "g",
+        F.col("c").cast("long").alias("c"),
+    )
+    meta = spark.createDataFrame([(_META_ORD, _META_G, 1)], STATE_SCHEMA)
+    merged.unionByName(meta).write.mode("overwrite").parquet(staging)
+    # next batch (a redelivery of 1) finds the completed staging:
+    # recover_staging must promote it, then the fence skips the batch
+    handle(docs.filter(F.col("doc_id") > 3), 1)
+    assert _count_set(read_counts(spark, state)) == _count_set(
+        _one_shot(docs)
+    )
+    assert last_batch_id(spark, state) == 1
+    assert not os.path.exists(staging)
