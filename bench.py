@@ -186,6 +186,7 @@ HEADLINE = [
     "crawl_labelprop_communities",
     "text_unigram_tokenize",
     "text_incremental_perplexity",
+    "governance_erasure_lm",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -54,6 +54,7 @@ from pyspark.sql.window import Window
 
 from economic_data_etl_spark.plans.catalog import biased_round, register
 from economic_data_etl_spark.plans.crawlq import _CANON_CTES
+from economic_data_etl_spark.plans.lmppl import oracle_sql as _lm_oracle
 from economic_data_etl_spark.sources.tables import load_table
 
 _REVOKED_SOURCE = "src2"
@@ -706,6 +707,20 @@ def _audit_oracle() -> str:
         SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
                || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS u
         FROM rev WHERE doc_id < {_LINK_DOCS}
+    ), ltoks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text),
+                   '[ \\t\\n\\r]+'), x -> x <> '') AS w
+        FROM documents
+    ), lpos AS (
+        SELECT doc_id, source,
+               CASE WHEN i >= 3
+                    THEN w[i-2] || ' ' || w[i-1] || ' ' || w[i] END AS tri,
+               CASE WHEN i >= 2 THEN w[i-1] || ' ' || w[i] END AS big,
+               w[i] AS uni
+        FROM (SELECT * FROM ltoks WHERE len(w) >= 1),
+             UNNEST(range(1, len(w) + 1)) AS t(ii),
+             LATERAL (SELECT CAST(ii AS INTEGER) AS i)
     )
     SELECT * FROM (
         SELECT 'bm25_postings' AS index_name,
@@ -736,6 +751,14 @@ def _audit_oracle() -> str:
                 WHERE src_doc_id NOT IN (SELECT doc_id FROM rev)
                   AND split_part(dst_url, '?', 1)
                       NOT IN (SELECT u FROM revurl)),
+               0
+        UNION ALL
+        SELECT 'lm_counts',
+               (SELECT COUNT(DISTINCT uni) + COUNT(DISTINCT big)
+                       + COUNT(DISTINCT tri) FROM lpos),
+               (SELECT COUNT(DISTINCT uni) + COUNT(DISTINCT big)
+                       + COUNT(DISTINCT tri) FROM lpos
+                WHERE source <> '{_REVOKED_SOURCE}'),
                0
     )
     ORDER BY index_name
@@ -876,7 +899,89 @@ def governance_erasure_audit(
     )
     rows.append(audit_row("link_edges", edges, e_erased, e_resid))
 
+    # Stupid-Backoff LM count table: not doc-keyed, so erasure is
+    # exact SUBTRACTION of the revoked docs' recomputed counts
+    # (streaming/incremental_lm.py:erase_counts); the residual probe
+    # re-checks the erased table for grams that occur ONLY in revoked
+    # docs — subtraction zeroes them out, so a nonzero count means a
+    # leaked gram, not a tautology.
+    from economic_data_etl_spark.plans.lmppl import (
+        _gram_counts,
+        _positions,
+        token_arrays,
+    )
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        erase_counts,
+    )
+
+    lm_full = _gram_counts(_positions(token_arrays(docs)))
+    rev_counts = _gram_counts(
+        _positions(
+            token_arrays(
+                docs.filter(F.col("source") == _REVOKED_SOURCE)
+            )
+        )
+    ).localCheckpoint(eager=False)
+    lm_erased = erase_counts(lm_full, rev_counts).localCheckpoint(
+        eager=False
+    )
+    # grams occurring EXCLUSIVELY in revoked docs: full count equals
+    # the revoked count — determined from the pre-erasure tables, so
+    # the probe is independent of the erasure it checks
+    revoked_only = (
+        rev_counts.select(
+            "ord", "g", F.col("c").alias("c_rev")
+        )
+        .join(lm_full.select("ord", "g", "c"), ["ord", "g"])
+        .filter(F.col("c_rev") == F.col("c"))
+    )
+    lm_resid = lm_erased.join(
+        revoked_only.select("ord", "g"), ["ord", "g"], "left_semi"
+    )
+    rows.append(audit_row("lm_counts", lm_full, lm_erased, lm_resid))
+
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("index_name")
+
+
+@register(
+    "governance_erasure_lm",
+    oracle=_lm_oracle(f"WHERE source <> '{_REVOKED_SOURCE}'"),
+    doc="Erasure propagation through the standing Stupid-Backoff LM "
+    f"index (license revocation of source {_REVOKED_SOURCE!r}): the "
+    "(order, gram, count) table is NOT doc-keyed, so the anti-join "
+    "recipe of the other standing indexes cannot apply — counts are "
+    "ADDITIVE instead, and erasure is exact subtraction of the "
+    "revoked docs' recomputed gram counts, with zero-count grams "
+    "leaving the index entirely "
+    "(streaming/incremental_lm.py:erase_counts). The surviving corpus "
+    "is then scored from the erased index. The oracle is the "
+    "from-scratch one-shot build on the reduced corpus — green proves "
+    "the erasure is EXACT including the model statistics that shift "
+    "when documents leave (prune cut, conditional ratios, total-mass "
+    "OOV floor), not just row hiding.",
+)
+def governance_erasure_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.plans.lmppl import (
+        _gram_counts,
+        _positions,
+        score_with_counts,
+        token_arrays,
+    )
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        erase_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = _gram_counts(_positions(token_arrays(docs)))
+    revoked_docs = docs.filter(F.col("source") == _REVOKED_SOURCE)
+    revoked_counts = _gram_counts(
+        _positions(token_arrays(revoked_docs))
+    )
+    erased = erase_counts(standing, revoked_counts).localCheckpoint(
+        eager=False
+    )
+    surviving = docs.filter(F.col("source") != _REVOKED_SOURCE)
+    return score_with_counts(_positions(token_arrays(surviving)), erased)

@@ -67,12 +67,18 @@ _BACKOFF = 0.4
 # from DuckDB's literal parse).
 _BACKOFF2 = 0.16
 
-_ORACLE = f"""
+def oracle_sql(doc_where: str = "") -> str:
+    """The one-shot replay, parameterized over the document universe —
+    the erasure lane reuses it with the revoked source excluded."""
+    return _ORACLE_TEMPLATE.replace("__DOC_WHERE__", doc_where)
+
+
+_ORACLE_TEMPLATE = f"""
     WITH toks AS (
         SELECT doc_id, source,
                list_filter(string_split_regex(lower(text),
                    '[ \\t\\n\\r]+'), x -> x <> '') AS w
-        FROM documents
+        FROM documents __DOC_WHERE__
     ), toks1 AS (
         SELECT * FROM toks WHERE len(w) >= 1
     ), pos AS (
@@ -143,6 +149,8 @@ _ORACLE = f"""
     GROUP BY source
     ORDER BY source
 """
+
+_ORACLE = oracle_sql()
 
 
 def _token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

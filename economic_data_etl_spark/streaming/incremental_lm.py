@@ -119,3 +119,21 @@ def foreach_batch_incremental_lm(state_dir: str):
         os.rename(staging, state_dir)
 
     return handle
+
+
+def erase_counts(
+    standing: DataFrame, revoked_counts: DataFrame
+) -> DataFrame:
+    """Right-to-be-forgotten for the standing LM index: counts are
+    additive, so erasure is EXACT subtraction of the revoked
+    documents' gram counts (recomputed from the revoked docs at
+    erasure time — the count table itself is not doc-keyed, which is
+    precisely why the anti-join recipe of the other indexes cannot
+    apply here). Grams whose count reaches zero leave the index
+    entirely, so the erased table is bit-identical to a from-scratch
+    rebuild on the reduced corpus — the oracle's check in
+    plans/governance.py:governance_erasure_lm."""
+    negated = revoked_counts.select(
+        "ord", "g", (-F.col("c")).cast("long").alias("c")
+    )
+    return fold_counts(standing, negated).filter(F.col("c") > 0)

@@ -135,3 +135,34 @@ def test_completed_staging_promoted_on_recovery(spark, tmp_path):
     )
     assert last_batch_id(spark, state) == 1
     assert not os.path.exists(staging)
+
+
+def test_erasure_equals_rebuild_and_drops_exclusive_grams(spark):
+    """Subtractive erasure == from-scratch rebuild on the reduced
+    corpus, and a gram occurring ONLY in revoked docs leaves the
+    index entirely (the sharp case: zero-count rows must not linger)."""
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        erase_counts,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "keep", "the cat sat"),
+            (2, "keep", "the dog ran"),
+            (3, "gone", "the cat sat"),        # overlaps doc 1 fully
+            (4, "gone", "zebra quagga zebra"), # exclusive grams
+        ],
+    )
+    full = _one_shot(docs)
+    revoked = _one_shot(docs.filter(F.col("source") == "gone"))
+    erased = erase_counts(full, revoked)
+    rebuilt = _one_shot(docs.filter(F.col("source") == "keep"))
+    assert _count_set(erased) == _count_set(rebuilt)
+    grams = {r.g for r in erased.collect()}
+    assert "zebra" not in grams and "zebra quagga" not in grams
+    assert "the cat" in grams  # shared gram survives at reduced count
+    the_cat = {
+        (r.ord, r.g): r.c for r in erased.collect()
+    }[(2, "the cat")]
+    assert the_cat == 1  # was 2 in the full index
