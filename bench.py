@@ -187,6 +187,8 @@ HEADLINE = [
     "text_unigram_tokenize",
     "text_incremental_perplexity",
     "governance_erasure_lm",
+    "ml_naive_bayes_langid",
+    "ml_auc_roc",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
