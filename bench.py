@@ -189,6 +189,7 @@ HEADLINE = [
     "governance_erasure_lm",
     "ml_naive_bayes_langid",
     "ml_auc_roc",
+    "ts_yule_walker_ar2",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
