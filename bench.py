@@ -190,6 +190,7 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "ml_auc_roc",
     "ts_yule_walker_ar2",
+    "text_textrank_keywords",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each
