@@ -191,6 +191,9 @@ HEADLINE = [
     "ml_auc_roc",
     "ts_yule_walker_ar2",
     "text_textrank_keywords",
+    "governance_k_anonymity",
+    "governance_dp_release",
+    "governance_erasure_cms",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -129,3 +129,24 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("est_join_size"))
+
+
+def cms_subtract(standing: DataFrame, revoked: DataFrame) -> DataFrame:
+    """Right-to-be-forgotten for a standing CMS: the sketch is a LINEAR
+    transform of the item stream (every cell is a sum of indicator
+    counts), so erasing a revoked subset is exact CELL-WISE SUBTRACTION
+    of the subset's own sketch — the erased table is bit-identical to a
+    from-scratch build on the reduced stream, the property the
+    governance_erasure_cms oracle value-checks. Cells reaching zero
+    leave the table (the build stores only non-empty buckets). The same
+    algebra cannot work for the non-linear sketches (KMV, KLL keep
+    order statistics); those erase by rebuild."""
+    neg = revoked.select(
+        "row", "bucket", (-F.col("cnt")).cast("long").alias("cnt")
+    )
+    return (
+        standing.unionByName(neg)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )

@@ -985,3 +985,309 @@ def governance_erasure_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surviving = docs.filter(F.col("source") != _REVOKED_SOURCE)
     return score_with_counts(_positions(token_arrays(surviving)), erased)
+
+
+# ---------------------------------------------------------------------------
+# CMS erasure (the linear-sketch case), k-anonymity, DP release
+
+_CMSE_DEPTH, _CMSE_WIDTH = 3, 1024
+
+
+@register(
+    "governance_erasure_cms",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                             x -> x <> '') AS w
+          FROM documents WHERE source <> '{_REVOKED_SOURCE}'
+        ), g0 AS (
+          SELECT doc_id, w,
+                 unnest(CASE WHEN len(w) >= 2
+                             THEN generate_series(1, len(w) - 1)
+                             ELSE [] END) AS i
+          FROM toks
+        ), bg AS (
+          SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM g0
+        ), rws AS (
+          SELECT unnest(generate_series(0, {_CMSE_DEPTH - 1})) AS rw
+        ), h AS (
+          SELECT r.rw,
+                 CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':'
+                       || bg.bigram), 1, 8)) AS BIGINT)
+                     % {_CMSE_WIDTH} AS bucket
+          FROM bg CROSS JOIN rws r
+        ), sk AS (
+          SELECT rw, bucket, COUNT(*) AS cnt FROM h GROUP BY rw, bucket
+        ), q AS (
+          SELECT DISTINCT bigram FROM bg
+        ), qh AS (
+          SELECT q.bigram, r.rw,
+                 CAST(('0x' || substr(md5(CAST(r.rw AS VARCHAR) || ':'
+                       || q.bigram), 1, 8)) AS BIGINT)
+                     % {_CMSE_WIDTH} AS bucket
+          FROM q CROSS JOIN rws r
+        ), est AS (
+          SELECT bigram, MIN(COALESCE(sk.cnt, 0)) AS est
+          FROM qh LEFT JOIN sk USING (rw, bucket)
+          GROUP BY bigram
+        ), cnt AS (
+          SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY bigram
+        )
+        SELECT c.bigram,
+               CAST(c.freq AS BIGINT) AS freq,
+               CAST(e.est AS BIGINT) AS est,
+               TRUE AS no_undercount
+        FROM cnt c JOIN est e USING (bigram)
+        ORDER BY bigram
+    """,
+    doc="Erasure propagation through the standing Count-Min sketch "
+    f"(license revocation of source {_REVOKED_SOURCE!r}): a CMS is a "
+    "LINEAR transform of the item stream, so erasure is exact "
+    "CELL-WISE SUBTRACTION of the revoked docs' own sketch "
+    "(operators/cms.py:cms_subtract) — zero-count cells leave the "
+    "table, and the erased sketch is bit-identical to a from-scratch "
+    "build on the reduced corpus. The oracle IS that from-scratch "
+    "reduced build (replaying the md5 bucketing and every point "
+    "estimate), so green proves exact equality of all surviving "
+    "estimates — the linear-sketch counterpart of the additive-count "
+    "LM erasure, next to the doc-keyed anti-join indexes and the "
+    "rebuild-only sketches (KMV/KLL, which keep order statistics and "
+    "cannot subtract).",
+)
+def governance_erasure_cms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_subtract,
+    )
+    from economic_data_etl_spark.operators.substring import (
+        kgram_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bigrams(d):
+        return kgram_occurrences(d, "doc_id", "text", 2).select(
+            F.col("gram").alias("bigram")
+        )
+
+    full = cms_build(bigrams(docs), "bigram", _CMSE_DEPTH, _CMSE_WIDTH)
+    rev = cms_build(
+        bigrams(docs.filter(F.col("source") == _REVOKED_SOURCE)),
+        "bigram",
+        _CMSE_DEPTH,
+        _CMSE_WIDTH,
+    )
+    erased = cms_subtract(full, rev).localCheckpoint(eager=False)
+    surviving = bigrams(
+        docs.filter(F.col("source") != _REVOKED_SOURCE)
+    ).localCheckpoint(eager=False)
+    freq = surviving.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    est = cms_estimate(
+        erased, surviving, "bigram", _CMSE_DEPTH, _CMSE_WIDTH
+    ).withColumnRenamed("item", "bigram")
+    return (
+        freq.join(est, "bigram")
+        .select(
+            "bigram",
+            "freq",
+            "est",
+            (F.col("est") >= F.col("freq")).alias("no_undercount"),
+        )
+        .orderBy("bigram")
+    )
+
+
+_K_ANON = 4
+
+
+@register(
+    "governance_k_anonymity",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT c_nationkey, c_mktsegment,
+               FLOOR(c_acctbal / 1000) AS bal_band,
+               COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2, 3
+    ), lvl AS (
+        SELECT 0 AS level, sz FROM c0
+        UNION ALL
+        SELECT 1, SUM(sz) FROM c0 GROUP BY c_nationkey, c_mktsegment
+        UNION ALL
+        SELECT 2, SUM(sz) FROM c0 GROUP BY c_mktsegment
+    )
+    SELECT level,
+           COUNT(*) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_k,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
+                AS BIGINT) AS rows_suppressed,
+           ROUND(5e-10 + SUM(CASE WHEN sz < {_K_ANON} THEN sz
+                                  ELSE 0 END) * 1.0 / SUM(sz),
+                 4) AS suppression_rate
+    FROM lvl GROUP BY level ORDER BY level
+    """,
+    doc=f"k-anonymity audit (k={_K_ANON}) of the customer table under "
+    "a 3-step generalization ladder of quasi-identifiers: level 0 = "
+    "(nation, segment, $1000 account-balance band), level 1 drops the "
+    "band, level 2 keeps only the segment. ONE corpus pass builds the "
+    "finest equivalence classes; the coarser levels aggregate that "
+    "BOUNDED class table (the QI levels nest), so generalization "
+    "costs no extra scans. Per level: class count, smallest class, "
+    "classes below k, rows a k-anonymous release must suppress, and "
+    "the suppression rate — the standard re-identification risk "
+    "report a governance review runs before publishing microdata. "
+    "Pure integer arithmetic except the rounded rate.",
+)
+def governance_k_anonymity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    c0 = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=False)  # 3 level consumers
+    )
+    lvl = (
+        c0.select(F.lit(0).alias("level"), "sz")
+        .unionByName(
+            c0.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.sum("sz").alias("sz"))
+            .select(F.lit(1).alias("level"), "sz")
+        )
+        .unionByName(
+            c0.groupBy("c_mktsegment")
+            .agg(F.sum("sz").alias("sz"))
+            .select(F.lit(2).alias("level"), "sz")
+        )
+    )
+    small = F.col("sz") < _K_ANON
+    return (
+        lvl.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("sz").cast("long").alias("min_class_size"),
+            F.sum(F.when(small, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+            F.sum(F.when(small, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_suppressed"),
+            biased_round(
+                F.sum(F.when(small, F.col("sz")).otherwise(0))
+                / F.sum("sz")
+            ).alias("suppression_rate"),
+        )
+        .orderBy("level")
+    )
+
+
+_DP_EPS_CNT = 0.5  # count release: sensitivity 1, scale b = 1/eps = 2
+_DP_EPS_SUM = 0.5  # clamped-sum release: sensitivity 11000, b = 22000
+_DP_B_CNT = 2.0
+_DP_B_SUM = 22000.0
+_DP_CLAMP_LO, _DP_CLAMP_HI = -1000.0, 10000.0
+
+
+def _dp_noise_sql(salt: str, b: float) -> str:
+    return f"""((-{b}) * SIGN(((('0x' || substring(md5('{salt}'
+        || CAST(n_nationkey AS VARCHAR)), 1, 4))::BIGINT + 0.5)
+        / 65536.0) - 0.5)
+        * LN(1.0 - 2.0 * ABS(((('0x' || substring(md5('{salt}'
+        || CAST(n_nationkey AS VARCHAR)), 1, 4))::BIGINT + 0.5)
+        / 65536.0) - 0.5)))"""
+
+
+@register(
+    "governance_dp_release",
+    oracle=f"""
+    WITH cl AS (
+        SELECT c_nationkey,
+               LEAST(GREATEST(c_acctbal, {_DP_CLAMP_LO}),
+                     {_DP_CLAMP_HI}) AS bal
+        FROM customer
+    ), agg AS (
+        SELECT n.n_nationkey, n.n_name,
+               COUNT(*) AS n, SUM(bal) AS s
+        FROM cl JOIN nation n ON n.n_nationkey = cl.c_nationkey
+        GROUP BY n.n_nationkey, n.n_name
+    )
+    SELECT n_name,
+           ROUND(5e-10 + n + {_dp_noise_sql("dp-cnt-v1", _DP_B_CNT)},
+                 4) AS noisy_count,
+           ROUND(5e-10 + s + {_dp_noise_sql("dp-sum-v1", _DP_B_SUM)},
+                 4) AS noisy_sum_acctbal,
+           CAST({_DP_EPS_CNT + _DP_EPS_SUM} AS DOUBLE) AS epsilon_total
+    FROM agg ORDER BY n_name
+    """,
+    doc="Differentially-private release of per-nation customer counts "
+    f"and clamped account-balance sums: Laplace mechanism with the "
+    f"budget split eps = {_DP_EPS_CNT} + {_DP_EPS_SUM} (sequential "
+    f"composition; count sensitivity 1 -> scale {_DP_B_CNT}, sum "
+    f"clamped to [{_DP_CLAMP_LO}, {_DP_CLAMP_HI}] -> sensitivity "
+    f"11000 -> scale {_DP_B_SUM}). Noise is the inverse-CDF transform "
+    "-b * sign(u-.5) * ln(1-2|u-.5|) of an md5-bucket uniform keyed "
+    "on (salt, nation) — the derandomization house rule, so the "
+    "oracle replays the EXACT noise (a production release would draw "
+    "from a CSPRNG; the mechanism, clamp, and budget accounting are "
+    "the deliverable). True values never appear in the output. The "
+    "release is one broadcast-joined aggregation; noise is a pure "
+    "projection over the nations-sized result.",
+)
+def governance_dp_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cl = cust.select(
+        "c_nationkey",
+        F.least(
+            F.greatest(F.col("c_acctbal"), F.lit(_DP_CLAMP_LO)),
+            F.lit(_DP_CLAMP_HI),
+        ).alias("bal"),
+    )
+    agg = (
+        cl.join(
+            F.broadcast(nation),
+            cl["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("s"))
+    )
+
+    def noise(salt: str, b: float):
+        hex4 = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col("n_nationkey").cast("string")
+                )
+            ),
+            1,
+            4,
+        )
+        bkt = F.conv(hex4, 16, 10).cast("long")
+        v = (bkt + F.lit(0.5)) / F.lit(65536.0) - F.lit(0.5)
+        return (F.lit(-b) * F.signum(v)) * F.log(
+            F.lit(1.0) - F.lit(2.0) * F.abs(v)
+        )
+
+    return agg.select(
+        "n_name",
+        biased_round(
+            F.col("n") + noise("dp-cnt-v1", _DP_B_CNT)
+        ).alias("noisy_count"),
+        biased_round(
+            F.col("s") + noise("dp-sum-v1", _DP_B_SUM)
+        ).alias("noisy_sum_acctbal"),
+        F.lit(_DP_EPS_CNT + _DP_EPS_SUM).alias("epsilon_total"),
+    ).orderBy("n_name")
