@@ -194,6 +194,8 @@ HEADLINE = [
     "governance_k_anonymity",
     "governance_dp_release",
     "governance_erasure_cms",
+    "ts_kaplan_meier",
+    "ml_mahalanobis_outliers",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -859,3 +859,125 @@ _REG["ml_incremental_psi"] = dataclasses.replace(
     _REG["ml_incremental_psi"],
     oracle=_REG["ml_population_stability_index"].oracle,
 )
+
+
+@register(
+    "ml_mahalanobis_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+               SUM(l_quantity * l_quantity) AS sxx,
+               SUM(l_quantity * l_extendedprice) AS sxy,
+               SUM(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+    ), mu AS (
+        SELECT n, sx / n AS mx, sy / n AS my, sxx, sxy, syy FROM m
+    ), cov AS (
+        SELECT mx, my,
+               sxx / n - mx * mx AS cxx,
+               sxy / n - mx * my AS cxy,
+               syy / n - my * my AS cyy
+        FROM mu
+    ), cv AS (
+        SELECT *, cxx * cyy - cxy * cxy AS det FROM cov
+    ), scored AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               l.l_quantity, l.l_extendedprice,
+               ROUND(5e-10 +
+                     (c.cyy * (l.l_quantity - c.mx)
+                            * (l.l_quantity - c.mx)
+                      - 2.0 * c.cxy * (l.l_quantity - c.mx)
+                            * (l.l_extendedprice - c.my)
+                      + c.cxx * (l.l_extendedprice - c.my)
+                            * (l.l_extendedprice - c.my)) / c.det,
+                     4) AS d2
+        FROM lineitem l CROSS JOIN cv c
+    )
+    SELECT rank, l_orderkey, l_linenumber,
+           l_quantity, l_extendedprice, d2
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY d2 DESC, l_orderkey, l_linenumber) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+    doc="Multivariate outlier detection by Mahalanobis distance over "
+    "(l_quantity, l_extendedprice): the covariance moments are ONE "
+    "decomposable aggregation (6 doubles move, the "
+    "ml_ols_normal_equations shape), the 2x2 inverse is closed-form, "
+    "and d^2 is a pure projection against the broadcast scalar row — "
+    "the corpus is scanned twice (moments, scoring) and shuffles "
+    "never. Top-10 binds on the biased-rounded d^2 with integer "
+    "(orderkey, linenumber) tie-breaks (rounded-gate rule); the "
+    "unpartitioned rank compiles to TakeOrderedAndProject below the "
+    "window (the documented LimitPushDownThroughWindow shape), so the "
+    "cut is a bounded top-k at any scale.",
+)
+def ml_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    mu = m.select(
+        "n",
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sy") / n).alias("my"),
+        "sxx",
+        "sxy",
+        "syy",
+    )
+    mx, my = F.col("mx"), F.col("my")
+    cov = mu.select(
+        "mx",
+        "my",
+        (F.col("sxx") / n - mx * mx).alias("cxx"),
+        (F.col("sxy") / n - mx * my).alias("cxy"),
+        (F.col("syy") / n - my * my).alias("cyy"),
+    )
+    cv = cov.withColumn(
+        "det",
+        F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"),
+    )
+    dx, dy = x - mx, y - my
+    d2 = (
+        F.col("cyy") * dx * dx
+        - F.lit(2.0) * F.col("cxy") * dx * dy
+        + F.col("cxx") * dy * dy
+    ) / F.col("det")
+    scored = li.crossJoin(F.broadcast(cv)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        biased_round(d2).alias("d2"),
+    )
+    rank = F.row_number().over(
+        Window.orderBy(
+            F.col("d2").desc(), "l_orderkey", "l_linenumber"
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "d2",
+        )
+        .orderBy("rank")
+    )
