@@ -439,3 +439,44 @@ def test_unigram_tokenizer_scale_exponent(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_r12_third_wave_scale_exponents(spark):
+    """Round-12 third wave: the NB classifier (one (class, word) count
+    shuffle + in-row fold scoring under a constant-folded model), AUC
+    (score-grouped prefix sum), AR(2)/KM (per-key or per-user series
+    math over bounded frames), TextRank (one corpus pair pass into a
+    vocab^2-bounded graph), Mahalanobis (two corpus scans, 6 doubles
+    move), and the governance trio (ladder over bounded classes; CMS
+    subtraction over depth x width cells; nations-sized DP release).
+    A superlinear escape means a model join lost its broadcast or a
+    bounded table leaked onto the corpus."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "ml_naive_bayes_langid",
+        "ml_auc_roc",
+        "ts_yule_walker_ar2",
+        "text_textrank_keywords",
+        "ts_kaplan_meier",
+        "ml_mahalanobis_outliers",
+        "governance_k_anonymity",
+        "governance_dp_release",
+        "governance_erasure_cms",
+        "governance_erasure_lm",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
