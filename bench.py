@@ -196,6 +196,8 @@ HEADLINE = [
     "governance_erasure_cms",
     "ts_kaplan_meier",
     "ml_mahalanobis_outliers",
+    "ts_kalman_filter",
+    "events_ab_test",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

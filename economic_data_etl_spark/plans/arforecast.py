@@ -213,3 +213,134 @@ def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "total"
     )
     return ar2_forecast(yule_walker_ar2(daily))
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter
+
+_KQ = 100.0  # process (level random-walk) variance — config literal
+_KR = 400.0  # measurement variance — config literal
+
+# One filter step inlined for the recursive CTE (the HW-oracle
+# technique: repeated subexpressions instead of aliases, so the
+# association is pinned): pp = p + Q; k = pp / (pp + R).
+_K_LNEW = (
+    f"s.l + ((s.p + {_KQ}) / ((s.p + {_KQ}) + {_KR}))"
+    " * (r.total - s.l)"
+)
+_K_PNEW = (
+    f"(1.0 - ((s.p + {_KQ}) / ((s.p + {_KQ}) + {_KR})))"
+    f" * (s.p + {_KQ})"
+)
+
+_KALMAN_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               SUM(value) AS total
+        FROM events GROUP BY 1, 2
+    ), rn AS (
+        SELECT event_type, day, total,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS p
+        FROM daily
+    ), state AS (
+        SELECT event_type, 1 AS t, total AS l,
+               CAST({_KR} AS DOUBLE) AS p
+        FROM rn WHERE p = 1
+        UNION ALL
+        SELECT s.event_type, s.t + 1,
+               {_K_LNEW} AS l,
+               {_K_PNEW} AS p
+        FROM state s JOIN rn r
+          ON r.event_type = s.event_type AND r.p = s.t + 1
+    )
+    SELECT s.event_type, r.day, r.total AS y,
+           ROUND(5e-10 + s.l, 4) AS level,
+           ROUND(5e-10 + s.p, 4) AS variance
+    FROM state s JOIN rn r
+      ON r.event_type = s.event_type AND r.p = s.t
+    ORDER BY s.event_type, r.day
+"""
+
+
+@register(
+    "ts_kalman_filter",
+    oracle=_KALMAN_ORACLE,
+    doc="Kalman local-level filter (random-walk state + observation "
+    f"noise; process var {_KQ}, measurement var {_KR}, init l=y1 "
+    f"p={_KR}) over the per-key daily totals: predict pp = p + q, "
+    "gain k = pp/(pp+r), update l += k(y-l), p = (1-k)pp. The whole "
+    "filtered path is ONE Catalyst aggregate-fold per key over the "
+    "day-sorted array (the Holt-Winters fold pattern — zero Python, "
+    "zero per-step shuffles), with the level/variance paths carried "
+    "in the fold state; the oracle replays the recurrence as a "
+    "recursive CTE with the gain expression INLINED (no aliases) so "
+    "every IEEE double reproduces bit-for-bit. Output: the per-day "
+    "filtered level and variance — the adaptive smoother whose gain "
+    "falls as evidence accumulates, unlike fixed-alpha EWMA.",
+)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.cusum import daily_totals
+
+    daily = daily_totals(load_table(spark, sf_dir, "events")).select(
+        "event_type", "day", "total"
+    )
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "total"))
+            ).alias("pts")
+        )
+        .select(
+            "event_type",
+            F.transform(
+                F.col("pts"), lambda p: p["day"]
+            ).alias("days"),
+            F.transform(
+                F.col("pts"), lambda p: p["total"].cast("double")
+            ).alias("y"),
+            F.size("pts").alias("n"),
+        )
+    )
+    y, n = F.col("y"), F.col("n")
+    y1 = F.element_at(y, 1)
+
+    def step(acc, yv):
+        pp = acc["p"] + F.lit(_KQ)
+        k = pp / (pp + F.lit(_KR))
+        l_new = acc["l"] + k * (yv - acc["l"])
+        p_new = (F.lit(1.0) - k) * pp
+        return F.struct(
+            l_new.alias("l"),
+            p_new.alias("p"),
+            F.concat(acc["lv"], F.array(l_new)).alias("lv"),
+            F.concat(acc["pv"], F.array(p_new)).alias("pv"),
+        )
+
+    init = F.struct(
+        y1.alias("l"),
+        F.lit(_KR).alias("p"),
+        F.array(y1).alias("lv"),
+        F.array(F.lit(_KR)).alias("pv"),
+    )
+    state = F.aggregate(F.slice(y, 2, n - 1), init, step)
+    rows = ser.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.col("days").alias("day"),
+                F.col("y").alias("yv"),
+                state["lv"].alias("lv"),
+                state["pv"].alias("pv"),
+            )
+        ).alias("e"),
+    )
+    return rows.select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.yv").alias("y"),
+        biased_round(F.col("e.lv")).alias("level"),
+        biased_round(F.col("e.pv")).alias("variance"),
+    ).orderBy("event_type", "day")

@@ -189,3 +189,144 @@ def events_second_order_transitions(
             "p_next"
         ),
     ).orderBy("p2", "p1", "nxt")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout
+
+_AB_SALT = "ab-v1"
+_AB_Z = 1.96  # 95% normal quantile, fixed literal on both engines
+
+
+@register(
+    "events_ab_test",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND value > 150.0
+                   THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN ('0x' || substring(md5('{_AB_SALT}'
+                    || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    < 32768 THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(conv) AS BIGINT) AS conv
+        FROM u GROUP BY arm
+    ), wide AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+               MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+               MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+        FROM arms
+    ), zrow AS (
+        SELECT ROUND(5e-10 +
+               (ca * 1.0 / na - cb * 1.0 / nb)
+               / SQRT(((ca + cb) * 1.0 / (na + nb))
+                      * (1.0 - (ca + cb) * 1.0 / (na + nb))
+                      * (1.0 / na + 1.0 / nb)), 4) AS z
+        FROM wide
+    )
+    SELECT a.arm, CAST(a.n AS BIGINT) AS n_users, a.conv,
+           ROUND(5e-10 + a.conv * 1.0 / a.n, 4) AS rate,
+           ROUND(5e-10 +
+                 ((a.conv * 1.0 / a.n + {_AB_Z} * {_AB_Z} / (2.0 * a.n))
+                  - {_AB_Z} * SQRT((a.conv * 1.0 / a.n)
+                        * (1.0 - a.conv * 1.0 / a.n) / a.n
+                        + {_AB_Z} * {_AB_Z} / (4.0 * a.n * a.n)))
+                 / (1.0 + {_AB_Z} * {_AB_Z} / a.n), 4) AS wilson_lo,
+           ROUND(5e-10 +
+                 ((a.conv * 1.0 / a.n + {_AB_Z} * {_AB_Z} / (2.0 * a.n))
+                  + {_AB_Z} * SQRT((a.conv * 1.0 / a.n)
+                        * (1.0 - a.conv * 1.0 / a.n) / a.n
+                        + {_AB_Z} * {_AB_Z} / (4.0 * a.n * a.n)))
+                 / (1.0 + {_AB_Z} * {_AB_Z} / a.n), 4) AS wilson_hi,
+           z.z AS z_stat,
+           ABS(z.z) > {_AB_Z} AS significant
+    FROM arms a CROSS JOIN zrow z
+    ORDER BY a.arm
+    """,
+    doc="A/B experiment readout: users split into arms by the md5 "
+    "hash bucket (the training-split derandomization), conversion = "
+    "a purchase with value > 150; per arm the Wilson 95% interval (the "
+    "score interval — correct coverage at small n and extreme rates, "
+    "unlike Wald), plus the pooled two-proportion z statistic and the "
+    "5%-level call, which binds on the BIASED-ROUNDED z on both "
+    "engines (rounded-gate rule). One groupBy(user) shuffle, then "
+    "2-row arithmetic; every formula written with identical "
+    "association on both engines (sqrt/abs are libm twins).",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hex4 = F.substring(
+        F.md5(
+            F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    arm = F.when(
+        F.conv(hex4, 16, 10).cast("long") < 32768, "A"
+    ).otherwise("B")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.first(arm).alias("arm"),
+    )
+    # arm is a pure function of the grouping key, so first() is exact
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = (
+        F.col("na"),
+        F.col("ca"),
+        F.col("nb"),
+        F.col("cb"),
+    )
+    pool = (ca + cb) * F.lit(1.0) / (na + nb)
+    zrow = wide.select(
+        biased_round(
+            (ca * F.lit(1.0) / na - cb * F.lit(1.0) / nb)
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            )
+        ).alias("z")
+    )
+    zz = F.lit(_AB_Z) * F.lit(_AB_Z)
+    p = F.col("conv") * F.lit(1.0) / F.col("n")
+    n = F.col("n")
+    center = p + zz / (F.lit(2.0) * n)
+    half = F.lit(_AB_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n
+        + zz / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + zz / n
+    return (
+        arms.crossJoin(F.broadcast(zrow))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n_users"),
+            "conv",
+            biased_round(p).alias("rate"),
+            biased_round((center - half) / denom).alias("wilson_lo"),
+            biased_round((center + half) / denom).alias("wilson_hi"),
+            F.col("z").alias("z_stat"),
+            (F.abs(F.col("z")) > F.lit(_AB_Z)).alias("significant"),
+        )
+        .orderBy("arm")
+    )
