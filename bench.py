@@ -198,6 +198,7 @@ HEADLINE = [
     "ml_mahalanobis_outliers",
     "ts_kalman_filter",
     "events_ab_test",
+    "ml_incremental_naive_bayes",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

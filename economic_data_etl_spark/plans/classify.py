@@ -175,22 +175,38 @@ def _lang_token_arrays(docs: DataFrame) -> DataFrame:
     return toks.localCheckpoint(eager=False)
 
 
-def train_nb_model(train: DataFrame, k_vocab: int = _NB_K):
-    """Fit the multinomial NB sufficient statistics and return the
-    driver-side model: (langs, priors, floors, lp) where lp maps each
-    pruned-vocab word to its per-class smoothed log-prob list (class
-    order = langs, sorted ascending).
-
-    One corpus shuffle (the (lang, word) groupBy); everything after
-    operates on the vocab-bounded count table. Collects are K-, K x
-    classes-, or classes-sized — config bounds, never corpus bounds."""
-    spark = train.sparkSession
+def nb_counts(train: DataFrame) -> DataFrame:
+    """The NB sufficient statistics as a distributed (lang, wd, c)
+    table — ONE map-side-combinable corpus shuffle. ADDITIVE across
+    disjoint batches (like the LM gram counts), which is what the
+    streaming twin folds (streaming/incremental_nb.py)."""
     pos = train.select("lang", F.explode("w").alias("wd"))
-    cnt_lw = (
-        pos.groupBy("lang", "wd")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # 3 consumers below
+    return pos.groupBy("lang", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
+
+
+def nb_doc_counts(train: DataFrame) -> DataFrame:
+    """(lang, dc) per-class document counts — the prior's sufficient
+    statistic, additive like the token counts."""
+    return train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dc")
+    )
+
+
+def model_from_counts(
+    cnt_lw: DataFrame, d_l: dict, k_vocab: int = _NB_K
+):
+    """Build the driver-side model (langs, priors, floors, lp) from a
+    standing (lang, wd, c) count table plus per-class doc counts —
+    shared by the one-shot trainer and the streaming twin, so stream
+    == batch at the model level is true by construction.
+
+    Everything operates on the vocab-bounded count table. Collects are
+    K-, K x classes-, or classes-sized — config bounds, never corpus
+    bounds."""
+    spark = cnt_lw.sparkSession
+    cnt_lw = cnt_lw.localCheckpoint(eager=False)  # 3 consumers below
     vocab = [
         r["wd"]
         for r in (
@@ -207,12 +223,6 @@ def train_nb_model(train: DataFrame, k_vocab: int = _NB_K):
         r["lang"]: r["n"]
         for r in cnt_lw.groupBy("lang")
         .agg(F.sum("c").alias("n"))
-        .collect()
-    }
-    d_l = {
-        r["lang"]: r["n"]
-        for r in train.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
     langs = sorted(n_l)
@@ -240,6 +250,15 @@ def train_nb_model(train: DataFrame, k_vocab: int = _NB_K):
         for wd in vocab
     }
     return langs, priors, floors, lp
+
+
+def train_nb_model(train: DataFrame, k_vocab: int = _NB_K):
+    """One-shot fit: counts + doc counts from the tokenized train
+    docs, then the shared model builder."""
+    d_l = {
+        r["lang"]: r["dc"] for r in nb_doc_counts(train).collect()
+    }
+    return model_from_counts(nb_counts(train), d_l, k_vocab)
 
 
 def nb_score_predict(
@@ -441,4 +460,68 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         biased_round(
             F.col("twice_u") / (F.col("p") * F.col("n")) - 1.0
         ).alias("gini"),
+    )
+
+
+@register(
+    "ml_incremental_naive_bayes",
+    oracle=_NB_ORACLE,
+    doc="INCREMENTAL Naive Bayes: the train split arrives as 3 "
+    "disjoint micro-batches whose (class, word) token counts and "
+    "per-class doc counts — both ADDITIVE sufficient statistics — "
+    "are folded into a standing state table "
+    "(streaming/incremental_nb.py), then the model is built from the "
+    "standing counts (model_from_counts: prune, smoothing, OOV "
+    "bucket, priors) and the held-out split classified. The oracle is "
+    "the UNCHANGED one-shot replay: a green row proves fold == "
+    "one-shot at the value level — continuous classifier retraining "
+    "with no gradient state. (Redelivery fence + staged-swap crash "
+    "safety pinned in tests/test_incremental_nb.py.)",
+)
+def ml_incremental_naive_bayes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from economic_data_etl_spark.streaming.incremental_nb import (
+        batch_state,
+        fold_state,
+    )
+
+    toks = _lang_token_arrays(load_table(spark, sf_dir, "documents"))
+    train = toks.filter(F.col("bkt") < _NB_CUT)
+    test = toks.filter(F.col("bkt") >= _NB_CUT)
+    standing = None
+    for i in range(3):
+        b = batch_state(train.filter(F.col("doc_id") % 3 == i))
+        standing = b if standing is None else fold_state(standing, b)
+    standing = standing.localCheckpoint(eager=False)
+    cnt_lw = standing.filter(F.col("kind") == "w").select(
+        "lang", "wd", "c"
+    )
+    d_l = {
+        r["lang"]: r["c"]
+        for r in standing.filter(F.col("kind") == "d").collect()
+    }
+    langs, priors, floors, lp = model_from_counts(cnt_lw, d_l)
+    pred = nb_score_predict(test, langs, priors, floors, lp)
+    return (
+        pred.groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("pred_lang") == F.col("true_lang"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("true_lang").alias("lang"),
+            "n_test",
+            "n_correct",
+            biased_round(
+                F.col("n_correct") / F.col("n_test")
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
     )
