@@ -199,6 +199,7 @@ HEADLINE = [
     "ts_kalman_filter",
     "events_ab_test",
     "ml_incremental_naive_bayes",
+    "retrieval_mmr_diversified",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

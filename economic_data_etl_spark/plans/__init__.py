@@ -62,6 +62,7 @@ from economic_data_etl_spark.plans import classify  # noqa: E402,F401
 from economic_data_etl_spark.plans import arforecast  # noqa: E402,F401
 from economic_data_etl_spark.plans import textrank  # noqa: E402,F401
 from economic_data_etl_spark.plans import survival  # noqa: E402,F401
+from economic_data_etl_spark.plans import mmr  # noqa: E402,F401
 from economic_data_etl_spark.plans import multimodal  # noqa: E402,F401
 from economic_data_etl_spark.plans import text  # noqa: E402,F401
 from economic_data_etl_spark.plans import text2  # noqa: E402,F401
