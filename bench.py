@@ -200,6 +200,7 @@ HEADLINE = [
     "events_ab_test",
     "ml_incremental_naive_bayes",
     "retrieval_mmr_diversified",
+    "curation_stratified_sample",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

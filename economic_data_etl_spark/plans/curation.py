@@ -846,3 +846,158 @@ def curation_blocklist_filter(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocated stratified sampling
+
+_STRAT_N = 100  # total sample budget
+_STRAT_SALT = "strat-v1"
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH mom AS (
+        SELECT source, COUNT(*) AS nh,
+               SUM(n_chars * 1.0) AS sx,
+               SUM(n_chars * 1.0 * n_chars) AS sxx
+        FROM documents GROUP BY source
+    ), sig AS (
+        SELECT source, nh,
+               SQRT(GREATEST(sxx / nh - (sx / nh) * (sx / nh),
+                             0.0)) AS sigma
+        FROM mom
+    ), shares AS (
+        SELECT source, nh, sigma,
+               ROUND(5e-10 + {_STRAT_N} * (nh * sigma)
+                     / SUM(nh * sigma) OVER (), 6) AS share
+        FROM sig
+    ), alloc0 AS (
+        SELECT *, CAST(FLOOR(share) AS BIGINT) AS a0,
+               share - FLOOR(share) AS rem
+        FROM shares
+    ), defic AS (
+        SELECT {_STRAT_N} - SUM(a0) AS d FROM alloc0
+    ), alloc AS (
+        SELECT source, nh, sigma,
+               a0 + CASE WHEN ROW_NUMBER() OVER (
+                        ORDER BY rem DESC, source) <= (SELECT d
+                                                       FROM defic)
+                    THEN 1 ELSE 0 END AS nh_alloc
+        FROM alloc0
+    ), ranked AS (
+        SELECT d.source, d.doc_id, a.nh, a.sigma, a.nh_alloc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('{_STRAT_SALT}'
+                                || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id) AS rn
+        FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT source,
+           CAST(MAX(nh) AS BIGINT) AS n_docs,
+           ROUND(5e-10 + MAX(sigma), 4) AS sigma,
+           CAST(MAX(nh_alloc) AS BIGINT) AS alloc,
+           CAST(SUM(CASE WHEN rn <= nh_alloc THEN 1 ELSE 0 END)
+                AS BIGINT) AS sampled,
+           CAST(SUM(CASE WHEN rn <= nh_alloc THEN doc_id ELSE 0 END)
+                AS BIGINT) AS id_sum
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc=f"Neyman-allocated stratified sampling (budget {_STRAT_N} "
+    "docs): per-source allocation proportional to N_h * sigma_h (the "
+    "variance-optimal allocation for estimating the corpus mean), "
+    "integerized by the largest-remainder (Hamilton) method so the "
+    "budget is hit exactly. The membership decisions are rounded-"
+    "gate-safe: shares are biased-rounded to 6dp BEFORE floor/"
+    "remainder so both engines integerize identically, and the "
+    "within-stratum sample is the md5-hash-ranked prefix (determin"
+    "istic, uniform, engine-portable — ranks compare lowercase hex "
+    "strings). ONE moment pass over the corpus (3 doubles per "
+    "stratum), allocation arithmetic on the strata-bounded table, "
+    "then a source-partitioned rank to cut each stratum's prefix. "
+    "id_sum value-checks the EXACT sample membership, not just "
+    "counts.",
+)
+def curation_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars") * F.lit(1.0)
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(x).alias("sx"),
+        F.sum(x * F.col("n_chars")).alias("sxx"),
+    )
+    nh = F.col("nh")
+    sig = mom.select(
+        "source",
+        "nh",
+        F.sqrt(
+            F.greatest(
+                F.col("sxx") / nh
+                - (F.col("sx") / nh) * (F.col("sx") / nh),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    wall = Window.partitionBy()
+    shares = sig.select(
+        "source",
+        "nh",
+        "sigma",
+        biased_round(
+            F.lit(_STRAT_N)
+            * (nh * F.col("sigma"))
+            / F.sum(nh * F.col("sigma")).over(wall),
+            6,
+        ).alias("share"),
+    )
+    alloc0 = shares.select(
+        "*",
+        F.floor("share").cast("long").alias("a0"),
+        (F.col("share") - F.floor("share")).alias("rem"),
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    defic = F.lit(_STRAT_N) - F.sum("a0").over(wall)
+    alloc = alloc0.select(
+        "source",
+        "nh",
+        "sigma",
+        (
+            F.col("a0")
+            + F.when(
+                F.row_number().over(wrem) <= defic, 1
+            ).otherwise(0)
+        ).alias("nh_alloc"),
+    )
+    hashed = F.md5(
+        F.concat(
+            F.lit(_STRAT_SALT), F.col("doc_id").cast("string")
+        )
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        hashed, F.col("doc_id")
+    )
+    ranked = (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(alloc), "source")
+        .withColumn("rn", F.row_number().over(wsrc))
+    )
+    inpick = F.col("rn") <= F.col("nh_alloc")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("nh").cast("long").alias("n_docs"),
+            biased_round(F.max("sigma")).alias("sigma"),
+            F.max("nh_alloc").cast("long").alias("alloc"),
+            F.sum(F.when(inpick, 1).otherwise(0))
+            .cast("long")
+            .alias("sampled"),
+            F.sum(F.when(inpick, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("id_sum"),
+        )
+        .orderBy("source")
+    )
