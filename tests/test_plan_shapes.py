@@ -344,3 +344,67 @@ class TestLinkGraphPlans:
         assert "l_orderkey" in read and "l_linenumber" in read
         assert "l_partkey" not in read
         assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestRound12ThirdWaveShapes:
+    def test_nb_scoring_stage_has_no_window_or_python(
+        self, spark, sf_dir
+    ):
+        """NB scoring is a pure in-row fold: no Window nodes, no
+        Python-eval nodes anywhere in the classify plan; shuffles only
+        for the (class, word) model build (behind collects) and the
+        5-row final aggregate."""
+        plan = _plan(spark, sf_dir, "ml_naive_bayes_langid")
+        assert "Window" not in plan
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+            assert node not in plan
+
+    def test_auc_window_is_bucket_partitioned(self, spark, sf_dir):
+        """The AUC prefix sum must ride the two-phase cumsum: the only
+        window is partitioned by the literal bucket column, never an
+        unpartitioned window ordered on the raw score column."""
+        import re
+
+        df = REGISTRY["ml_auc_roc"].spark(spark, sf_dir)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        final = buf.getvalue().split("Initial Plan")[0]
+        assert final.count("windowspecdefinition(__b") == 1, final
+        assert not re.findall(
+            r"windowspecdefinition\(s#", final
+        ), final
+
+    def test_mahalanobis_rank_is_take_ordered(self, spark, sf_dir):
+        """The top-10 outlier cut must compile to TakeOrderedAndProject
+        below the window (LimitPushDownThroughWindow), never a global
+        sort of the corpus."""
+        plan = _plan(spark, sf_dir, "ml_mahalanobis_outliers")
+        assert "TakeOrderedAndProject" in plan
+        assert "GlobalLimit" not in plan or "Sort" not in plan.split(
+            "TakeOrderedAndProject"
+        )[0]
+
+    def test_mmr_served_plan_is_bounded_literals(self, spark, sf_dir):
+        """The candidate cut and K x K sim pass run during query
+        construction behind the lazy localCheckpoint (the documented
+        explain boundary), so the SERVED plan must be exactly: a
+        checkpoint scan filtered by a <=K literal IN-list with
+        literal-map projections — bounded at any corpus size, no join,
+        no window, no Python."""
+        plan = _plan(spark, sf_dir, "retrieval_mmr_diversified")
+        assert "Scan ExistingRDD" in plan  # the checkpointed pool
+        for node in ("Join", "Window", "BatchEvalPython"):
+            assert node not in plan
+
+    def test_kaplan_meier_gap_window_is_user_partitioned(
+        self, spark, sf_dir
+    ):
+        """The corpus-sized window must be PARTITIONED by user (the
+        sessionize shape); the unpartitioned KM windows run only over
+        the hours-bounded histogram (post-aggregation)."""
+        plan = _plan(spark, sf_dir, "ts_kaplan_meier")
+        assert "user_id" in plan  # partition key present in the plan
+        # the gap window's spec mentions user_id as partition column
+        assert "Window" in plan
