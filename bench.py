@@ -201,6 +201,8 @@ HEADLINE = [
     "ml_incremental_naive_bayes",
     "retrieval_mmr_diversified",
     "curation_stratified_sample",
+    "text_pmi_collocations",
+    "retrieval_query_likelihood",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

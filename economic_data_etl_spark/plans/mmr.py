@@ -221,3 +221,149 @@ def retrieval_mmr_diversified(
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood
+
+_QLD_TERMS = ("stream", "table", "hash")
+_QLD_MU = 300.0
+_QLD_TOPK = 10
+
+_QLD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '{WORD_SPLIT_RE}'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(w) AS token FROM toks
+    ), dl AS (
+      SELECT doc_id, len(w) AS dl FROM toks
+    ), ctot AS (SELECT COUNT(*) AS c FROM ex
+    ), cf AS (
+      SELECT
+        SUM(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS cf_s,
+        SUM(CASE WHEN token = 'table' THEN 1 ELSE 0 END) AS cf_t,
+        SUM(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS cf_h
+      FROM ex
+    ), tf AS (
+      SELECT doc_id,
+        SUM(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS tf_s,
+        SUM(CASE WHEN token = 'table' THEN 1 ELSE 0 END) AS tf_t,
+        SUM(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS tf_h
+      FROM ex WHERE token IN {_QLD_TERMS!r}
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT t.doc_id,
+             ROUND(5e-10 +
+               LN((t.tf_s + {_QLD_MU} * (f.cf_s * 1.0 / c.c))
+                  / (l.dl + {_QLD_MU}))
+             + LN((t.tf_t + {_QLD_MU} * (f.cf_t * 1.0 / c.c))
+                  / (l.dl + {_QLD_MU}))
+             + LN((t.tf_h + {_QLD_MU} * (f.cf_h * 1.0 / c.c))
+                  / (l.dl + {_QLD_MU})), 4) AS score
+      FROM tf t
+      JOIN dl l USING (doc_id)
+      CROSS JOIN cf f CROSS JOIN ctot c
+    )
+    SELECT rank, doc_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_QLD_TOPK} ORDER BY rank
+"""
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=_QLD_ORACLE,
+    doc=f"Dirichlet-smoothed query-likelihood retrieval (mu="
+    f"{_QLD_MU}, Zhai & Lafferty 2001) — the language-model IR "
+    "baseline next to BM25: score = sum over query terms of "
+    "ln((tf + mu * p_corpus(t)) / (dl + mu)), candidates = docs "
+    "matching >= 1 term (postings-filtered — absent terms contribute "
+    "the background mass, so only matching docs can beat the all-"
+    "background floor among equals... candidates are the standard "
+    "serving set). The three ln terms add in FIXED term-literal order "
+    "on both engines; corpus stats enter as one broadcast scalar row; "
+    f"top-{_QLD_TOPK} binds on the biased-rounded score with doc_id "
+    "tie-break (TakeOrderedAndProject).",
+)
+def retrieval_query_likelihood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.col("text"), WORD_SPLIT_RE),
+                lambda t: t != "",
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ex = toks.select(
+        "doc_id", F.explode("w").alias("token")
+    ).localCheckpoint(eager=False)
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    ctot = ex.agg(F.count(F.lit(1)).alias("c"))
+    term_flag = {
+        "s": "stream",
+        "t": "table",
+        "h": "hash",
+    }
+    cf = ex.agg(
+        *[
+            F.sum(
+                F.when(F.col("token") == t, 1).otherwise(0)
+            ).alias(f"cf_{k}")
+            for k, t in term_flag.items()
+        ]
+    )
+    tf = (
+        ex.filter(F.col("token").isin(list(_QLD_TERMS)))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("token") == t, 1).otherwise(0)
+                ).alias(f"tf_{k}")
+                for k, t in term_flag.items()
+            ]
+        )
+    )
+    mu = F.lit(_QLD_MU)
+
+    def term_ll(k):
+        return F.log(
+            (
+                F.col(f"tf_{k}")
+                + mu * (F.col(f"cf_{k}") * F.lit(1.0) / F.col("c"))
+            )
+            / (F.col("dl") + mu)
+        )
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            biased_round(
+                term_ll("s") + term_ll("t") + term_ll("h")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    rank = F.row_number().over(
+        _W.orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= _QLD_TOPK)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )

@@ -224,3 +224,123 @@ def text_textrank_keywords(
         .select("rank", "word", "score")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+
+_PMI_MIN = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text),
+                   '[ \\t\\n\\r]+'), x -> x <> '') AS w
+        FROM documents
+    ), uni AS (
+        SELECT unnest(w) AS t FROM toks
+    ), ucnt AS (
+        SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+    ), un AS (SELECT SUM(c) AS n FROM ucnt
+    ), bg AS (
+        SELECT w[i] AS a, w[i + 1] AS b
+        FROM (SELECT * FROM toks WHERE len(w) >= 2),
+             UNNEST(range(1, len(w))) AS t(ii),
+             LATERAL (SELECT CAST(ii AS INTEGER) AS i)
+    ), bcnt AS (
+        SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b
+    ), bn AS (SELECT SUM(cab) AS nb FROM bcnt
+    ), pmi AS (
+        SELECT x.a, x.b, x.cab,
+               ROUND(5e-10 + LN((x.cab * 1.0 / (SELECT nb FROM bn))
+                     / ((ca.c * 1.0 / (SELECT n FROM un))
+                        * (cb.c * 1.0 / (SELECT n FROM un)))),
+                     4) AS pmi
+        FROM bcnt x
+        JOIN ucnt ca ON ca.t = x.a
+        JOIN ucnt cb ON cb.t = x.b
+        WHERE x.cab >= {_PMI_MIN}
+    )
+    SELECT rank, a, b, cab, pmi FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY pmi DESC, a, b) AS rank
+        FROM pmi
+    ) WHERE rank <= {_PMI_TOPK} ORDER BY rank
+    """,
+    doc=f"PMI collocation mining (count floor {_PMI_MIN}, top-"
+    f"{_PMI_TOPK}): pointwise mutual information ln(p(ab) / "
+    "(p(a)p(b))) over adjacent-bigram and unigram counts — the "
+    "classic collocation statistic (Church & Hanks 1990). Both count "
+    "tables are ONE map-side-combinable groupBy each (vocab- and "
+    "vocab^2-bounded outputs); bigrams come from in-row adjacent "
+    "pairs (no self-join); the count floor is an integer gate and the "
+    "top-k binds on the biased-rounded PMI with (a, b) tie-breaks, "
+    "compiling to TakeOrderedAndProject.",
+)
+def text_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.lower(F.col("text")).alias("lt"))
+        .select(
+            F.filter(
+                F.split(F.col("lt"), WORD_SPLIT_RE), lambda t: t != ""
+            ).alias("w")
+        )
+        .localCheckpoint(eager=False)  # unigram + bigram consumers
+    )
+    ucnt = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two joins + total
+    )
+    un = ucnt.agg(F.sum("c").alias("n"))
+    w = F.col("w")
+    bigr = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i.cast("int")).alias("a"),
+            F.element_at(w, (i + 1).cast("int")).alias("b"),
+        ),
+    )
+    bcnt = (
+        toks.filter(F.size("w") >= 2)
+        .select(F.explode(bigr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=False)
+    )
+    # the bigram-mass normalizer sums ALL bigrams — computed BEFORE
+    # the count floor (the floor gates candidates, not probability)
+    bn = bcnt.agg(F.sum("cab").alias("nb"))
+    bcnt = bcnt.filter(F.col("cab") >= _PMI_MIN)
+    ca = ucnt.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    pmi_val = F.log(
+        (F.col("cab") * F.lit(1.0) / F.col("nb"))
+        / (
+            (F.col("c_a") * F.lit(1.0) / F.col("n"))
+            * (F.col("c_b") * F.lit(1.0) / F.col("n"))
+        )
+    )
+    scored = (
+        bcnt.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select("a", "b", "cab", biased_round(pmi_val).alias("pmi"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("rank", "a", "b", "cab", "pmi")
+        .orderBy("rank")
+    )
