@@ -203,6 +203,7 @@ HEADLINE = [
     "curation_stratified_sample",
     "text_pmi_collocations",
     "retrieval_query_likelihood",
+    "ts_logrank_test",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

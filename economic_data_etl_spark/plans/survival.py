@@ -185,3 +185,194 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).alias("cens"),
     )
     return km_curve(gaps)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between experiment arms
+
+_LR_SALT = "ab-v1"  # the SAME arm assignment as events_ab_test
+_LR_CHI1_95 = 3.8415  # chi-square(1) 95% quantile, fixed literal
+
+
+@register(
+    "ts_logrank_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ('0x' || substring(md5('{_LR_SALT}'
+                    || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    < 32768 THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ), mx AS (SELECT MAX(ts) AS max_ts FROM ev
+    ), gaps AS (
+        SELECT arm,
+               CAST(FLOOR((epoch(COALESCE(LEAD(ts) OVER w, mx.max_ts))
+                           - epoch(ts)) / 3600) AS BIGINT) AS t,
+               CASE WHEN LEAD(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS cens
+        FROM ev CROSS JOIN mx
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hist AS (
+        SELECT t,
+               SUM(CASE WHEN arm = 'A' AND cens = 0
+                   THEN 1 ELSE 0 END) AS da,
+               SUM(CASE WHEN arm = 'B' AND cens = 0
+                   THEN 1 ELSE 0 END) AS db,
+               SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS xa,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS xb
+        FROM gaps GROUP BY t
+    ), tot AS (
+        SELECT SUM(xa) AS ta, SUM(xb) AS tb FROM hist
+    ), risk AS (
+        SELECT t, da, db,
+               tot.ta - COALESCE(SUM(xa) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS na,
+               tot.tb - COALESCE(SUM(xb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS nb
+        FROM hist CROSS JOIN tot
+    ), terms AS (
+        SELECT t, da, na, nb, da + db AS d, na + nb AS n,
+               (da + db) * (na * 1.0 / (na + nb)) AS ea,
+               CASE WHEN na + nb > 1
+                    THEN (da + db) * (na * 1.0 / (na + nb))
+                         * (1.0 - na * 1.0 / (na + nb))
+                         * ((na + nb) - (da + db))
+                         * 1.0 / ((na + nb) - 1)
+                    ELSE 0.0 END AS v
+        FROM risk WHERE da + db > 0
+    ), agg AS (
+        SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+               SUM(ea ORDER BY t) AS e_a,
+               SUM(da - ea ORDER BY t) AS diff,
+               SUM(v ORDER BY t) AS var
+        FROM terms
+    )
+    SELECT o_a,
+           ROUND(5e-10 + e_a, 4) AS e_a,
+           ROUND(5e-10 + diff * diff / var, 4) AS chi2,
+           ROUND(5e-10 + diff * diff / var, 4)
+               > {_LR_CHI1_95} AS significant
+    FROM agg
+    """,
+    doc="Log-rank test (Mantel-Cox) comparing the two experiment "
+    "arms' return-gap survival curves — the censoring-correct A/B "
+    "test for time-to-event outcomes (a naive mean-gap comparison is "
+    "biased by the truncated window). Same md5 arm assignment as "
+    "events_ab_test, same gap extraction as ts_kaplan_meier (one "
+    "user-partitioned window); all risk sets, expectations and the "
+    "hypergeometric variance are windows/aggregates over the "
+    "hours-bounded gap histogram, with the float sums ordered by t "
+    "on both engines. The 5%-level call binds on the biased-rounded "
+    "chi-square against the fixed 3.8415 literal (rounded-gate "
+    "rule).",
+)
+def ts_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.functions.casts import ts_diff_seconds
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    hex4 = F.substring(
+        F.md5(
+            F.concat(F.lit(_LR_SALT), F.col("user_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    arm = F.when(
+        F.conv(hex4, 16, 10).cast("long") < 32768, "A"
+    ).otherwise("B")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gaps = ev.crossJoin(F.broadcast(mx)).select(
+        arm.alias("arm"),
+        F.floor(
+            ts_diff_seconds(
+                F.col("ts"), F.coalesce(nxt, F.col("max_ts"))
+            )
+            / 3600
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("cens"),
+    )
+    isa = F.col("arm") == "A"
+    hist = gaps.groupBy("t").agg(
+        F.sum(F.when(isa & (F.col("cens") == 0), 1).otherwise(0)).alias("da"),
+        F.sum(
+            F.when((~isa) & (F.col("cens") == 0), 1).otherwise(0)
+        ).alias("db"),
+        F.sum(F.when(isa, 1).otherwise(0)).alias("xa"),
+        F.sum(F.when(~isa, 1).otherwise(0)).alias("xb"),
+    )
+    tot = hist.agg(
+        F.sum("xa").alias("ta"), F.sum("xb").alias("tb")
+    )
+    prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "da",
+        "db",
+        (
+            F.col("ta")
+            - F.coalesce(F.sum("xa").over(prior), F.lit(0))
+        ).alias("na"),
+        (
+            F.col("tb")
+            - F.coalesce(F.sum("xb").over(prior), F.lit(0))
+        ).alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d = F.col("da") + F.col("db")
+    n = na + nb
+    share = na * F.lit(1.0) / n
+    ea = d * share
+    v = F.when(
+        n > 1,
+        d * share * (F.lit(1.0) - share) * (n - d) * F.lit(1.0) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    terms = risk.filter(d > 0).select(
+        "t", "da", ea.alias("ea"), (F.col("da") - ea).alias("dif"), v.alias("v")
+    )
+    # days-bounded table: ordered sums via a full-window cumulative,
+    # taking the last row (mirrors the oracle's SUM(... ORDER BY t))
+    full = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lastrow = Window.orderBy(F.desc("t"))
+    agg = (
+        terms.select(
+            F.sum("da").over(full).alias("o_a"),
+            F.sum("ea").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("e_cum"),
+            F.sum("dif").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("diff_cum"),
+            F.sum("v").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("var_cum"),
+            F.row_number().over(lastrow).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    chi2 = biased_round(
+        F.col("diff_cum") * F.col("diff_cum") / F.col("var_cum")
+    )
+    return agg.select(
+        F.col("o_a").cast("long").alias("o_a"),
+        biased_round(F.col("e_cum")).alias("e_a"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_LR_CHI1_95)).alias("significant"),
+    )
