@@ -204,6 +204,8 @@ HEADLINE = [
     "text_pmi_collocations",
     "retrieval_query_likelihood",
     "ts_logrank_test",
+    "agg_trimmed_mean",
+    "text_zipf_fit",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -891,3 +891,175 @@ def agg_gini_revenue_concentration(
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregates: trimmed mean (r12)
+
+_TRIM_FRAC = 0.1
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH rk AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), cut AS (
+        SELECT *, CAST(FLOOR({_TRIM_FRAC} * n) AS BIGINT) AS k
+        FROM rk
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+           ROUND(5e-10 + SUM(o_totalprice) / MAX(n), 4) AS mean,
+           ROUND(5e-10 + SUM(CASE WHEN rn > k AND rn <= n - k
+                                  THEN o_totalprice ELSE 0 END)
+                 / (MAX(n) - 2 * MAX(k)), 4) AS trimmed_mean
+    FROM cut GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=f"Two-sided {_TRIM_FRAC:.0%} trimmed mean of order totals per "
+    "priority next to the raw mean — the robust location estimate "
+    "(resistant to the heavy right tail the raw mean chases). The "
+    "trim cut is RANK-based with an (value, orderkey) tie-break, so "
+    "the trimmed SET is deterministic on both engines (a pure "
+    "value-threshold trim would be ambiguous at duplicated boundary "
+    "values); k = floor(frac*n) is integer arithmetic. One "
+    "group-partitioned rank window over orders (the standard "
+    "partitioned shape — never a global sort), then a single "
+    "aggregation.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    rk = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.lit(_TRIM_FRAC) * F.col("n")).cast("long")
+    )
+    kept = (F.col("rn") > F.col("k")) & (
+        F.col("rn") <= F.col("n") - F.col("k")
+    )
+    return (
+        rk.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.max("k").cast("long").alias("n_trimmed_each_side"),
+            biased_round(
+                F.sum("o_totalprice") / F.max("n")
+            ).alias("mean"),
+            biased_round(
+                F.sum(
+                    F.when(kept, F.col("o_totalprice")).otherwise(0)
+                )
+                / (F.max("n") - 2 * F.max("k"))
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (r12)
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text),
+                   '[ \\t\\n\\r]+'), x -> x <> '') AS w
+        FROM documents
+    ), ucnt AS (
+        SELECT t, COUNT(*) AS c
+        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+    ), rk AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+        FROM ucnt
+    ), pts AS (
+        SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+        FROM rk
+    ), m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(x ORDER BY x) AS sx, SUM(y ORDER BY x) AS sy,
+               SUM(x * x ORDER BY x) AS sxx,
+               SUM(x * y ORDER BY x) AS sxy,
+               SUM(y * y ORDER BY x) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab,
+           ROUND(5e-10 + (n * sxy - sx * sy)
+                 / (n * sxx - sx * sx), 4) AS slope,
+           ROUND(5e-10 + (sy - (n * sxy - sx * sy)
+                 / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+           ROUND(5e-10 + (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 4) AS r2
+    FROM m
+    """,
+    doc="Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over "
+    "the vocabulary table (slope near -1 is Zipf's law; r2 measures "
+    "fit). One corpus shuffle builds the vocab counts; the rank "
+    "window and moment sums run over the VOCAB-bounded table (the "
+    "Zipf-bounded exception of the unigram-tokenizer lane); the "
+    "moment sums are engine-order float adds (the accepted repo-wide "
+    "exposure — no row gates, outputs rounded), the rank tie-break "
+    "binds on the token string.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.functions.text import WORD_SPLIT_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    ucnt = (
+        docs.select(F.lower(F.col("text")).alias("lt"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("lt"), WORD_SPLIT_RE),
+                    lambda t: t != "",
+                )
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = ucnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("t")))
+        .alias("r"),
+    )
+    pts = rk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("long").alias("vocab"),
+        biased_round(slope).alias("slope"),
+        biased_round((sy - slope * sx) / n).alias("intercept"),
+        biased_round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
