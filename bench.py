@@ -206,6 +206,8 @@ HEADLINE = [
     "ts_logrank_test",
     "agg_trimmed_mean",
     "text_zipf_fit",
+    "events_markov_stationary",
+    "agg_rfm_segments",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

@@ -330,3 +330,206 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (r12)
+
+_MSD_ITERS = 8
+
+_MSD_ITER = """
+    , p{k} AS (
+        SELECT t.dst AS state, SUM(p.pi * t.pr ORDER BY t.src) AS pi
+        FROM p{p} p JOIN tm t ON t.src = p.state
+        GROUP BY t.dst
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=(
+        """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), cnt AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), tm AS (
+        SELECT src, dst,
+               c * 1.0 / SUM(c) OVER (PARTITION BY src) AS pr
+        FROM cnt
+    ), states AS (
+        SELECT src AS state, COUNT(*) OVER () AS ns
+        FROM (SELECT DISTINCT src FROM cnt)
+    ), p0 AS (
+        SELECT state, 1.0 / ns AS pi FROM states
+    )"""
+        + "".join(
+            _MSD_ITER.format(k=k, p=k - 1)
+            for k in range(1, _MSD_ITERS + 1)
+        )
+        + f"""
+    SELECT state, ROUND(5e-10 + pi, 4) AS pi
+    FROM p{_MSD_ITERS} ORDER BY state
+    """
+    ),
+    doc=f"Stationary distribution of the first-order event Markov "
+    f"chain by {_MSD_ITERS} derandomized power-iteration rounds from "
+    "the uniform start: ONE user-partitioned lag window shuffles the "
+    "events table (the transition-matrix shape); the iteration then "
+    "runs DRIVER-side over the collected |types|^2-bounded matrix "
+    "(the same bounded-collect class as the MMR greedy — 25 cells, "
+    "never corpus-sized), each round's mass accumulating as a left "
+    "fold in source-state order from 0.0 — exactly the oracle's "
+    "ordered aggregates — so the iterated doubles stay "
+    "engine-identical. "
+    "The long-run fraction of time the event stream spends in each "
+    "state — the steady-state the transition matrix only implies.",
+)
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wsrc = Window.partitionBy("src")
+    tm = cnt.select(
+        "src",
+        "dst",
+        (F.col("c") * F.lit(1.0) / F.sum("c").over(wsrc)).alias(
+            "pr"
+        ),
+    ).localCheckpoint(eager=False)
+    states = [
+        r["src"]
+        for r in tm.select("src").distinct().orderBy("src").collect()
+    ]
+    ns = len(states)
+    # per-destination ordered fold: collect each dst's (src, pr) into a
+    # src-sorted array ONCE, then every power-iteration round is a pure
+    # in-row fold over that array with the current pi vector as a map
+    # literal — the mass adds in src order, matching the oracle's
+    # ordered aggregates.
+    rows = tm.collect()  # |types|^2-bounded (the matrix itself)
+    by_dst: dict = {}
+    for r in rows:
+        by_dst.setdefault(r["dst"], []).append((r["src"], r["pr"]))
+    pi = {s: 1.0 / ns for s in states}
+    for _ in range(_MSD_ITERS):
+        nxt = {}
+        for dst, ins in by_dst.items():
+            acc = 0.0
+            for src, pr in sorted(ins):
+                acc = acc + pi[src] * pr
+            nxt[dst] = acc
+        pi = nxt
+    out = spark.createDataFrame(
+        [(s, float(pi[s])) for s in sorted(pi)], "state string, pi double"
+    )
+    return out.select(
+        "state", biased_round(F.col("pi")).alias("pi")
+    ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (r12)
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_o,
+               COUNT(*) AS f,
+               SUM(o_totalprice) AS m_raw
+        FROM orders GROUP BY o_custkey
+    ), mx AS (SELECT MAX(last_o) AS maxd FROM base
+    ), rfm AS (
+        SELECT o_custkey,
+               DATE_DIFF('day', last_o, mx.maxd) AS r,
+               f,
+               ROUND(5e-10 + m_raw, 4) AS m
+        FROM base CROSS JOIN mx
+    ), q AS (
+        SELECT o_custkey, m,
+               NTILE(4) OVER (ORDER BY r, o_custkey) AS rq,
+               NTILE(4) OVER (ORDER BY f, o_custkey) AS fq,
+               NTILE(4) OVER (ORDER BY m, o_custkey) AS mq
+        FROM rfm
+    )
+    SELECT 'r' || CAST(rq AS VARCHAR) || 'f' || CAST(fq AS VARCHAR)
+               || 'm' || CAST(mq AS VARCHAR) AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(5e-10 + SUM(m) / COUNT(*), 4) AS avg_monetary
+    FROM q GROUP BY 1 ORDER BY segment
+    """,
+    doc="RFM segmentation: per customer, Recency = days since last "
+    "order (vs corpus max), Frequency = order count, Monetary = "
+    "biased-rounded total spend (ROUNDED BEFORE ranking — the "
+    "rounded-gate rule: quartile membership is a row-set decision); "
+    "each dimension quartiled with the exact NTILE arithmetic of the "
+    "TWO-PHASE global rank (operators/rank.py — boundary literals + "
+    "bucket-partitioned windows, three ranks and zero single-task "
+    "sorts over the customer-sized table; custkey tie-breaks), then "
+    "segments labeled r#f#m# and aggregated. The classic marketing "
+    "cube computed scale-safe.",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from economic_data_etl_spark.operators.rank import (
+        ntile_from_row_number,
+        with_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("o_totalprice").alias("m_raw"),
+    )
+    mx = base.agg(F.max("last_o").alias("maxd"))
+    rfm = base.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("maxd"), F.to_date("last_o")
+        ).cast("long").alias("r"),
+        "f",
+        biased_round(F.col("m_raw")).alias("m"),
+    ).localCheckpoint(eager=False)  # three rank passes consume it
+    n_tot = rfm.count()
+    ranked = rfm
+    for dim, rn_col in (("r", "rq"), ("f", "fq"), ("m", "mq")):
+        ranked = with_global_row_number(
+            ranked, [dim, "o_custkey"], out=f"__rn_{dim}"
+        ).withColumn(
+            rn_col,
+            ntile_from_row_number(
+                F.col(f"__rn_{dim}"), F.lit(n_tot), 4
+            ),
+        )
+    seg = F.concat(
+        F.lit("r"), F.col("rq").cast("string"),
+        F.lit("f"), F.col("fq").cast("string"),
+        F.lit("m"), F.col("mq").cast("string"),
+    )
+    return (
+        ranked.select(seg.alias("segment"), "m")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            biased_round(
+                F.sum("m") / F.count(F.lit(1))
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
