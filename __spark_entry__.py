@@ -69,6 +69,10 @@ def _driver_status() -> dict[str, bool]:
 # proof age is bounded regardless of catalog growth.
 _VERY_STALE_ROUNDS = 4
 
+# The driver checks roughly this many queries() entries per round —
+# the budget the rotation allocates (tests/test_rotation_budget.py).
+_DRIVER_SAMPLE = 50
+
 
 def _rotation_order() -> list[str]:
     """All registered queries: queries whose LATEST driver row failed
@@ -118,6 +122,14 @@ def _rotation_order() -> list[str]:
     # fresh query for multiple rounds when the stale tail alone fills
     # the sample, and strict fresh-first (the old policy) starved the
     # stale tail as the catalog grew. Interleaving bounds both waits.
+    #
+    # ADAPTIVE exception (round-12): when a build wave makes
+    # failed + fresh alone exceed the driver sample, every slot spent
+    # on a stale-but-proven green delays a NEVER-proven query by a
+    # full round — the worse trade. In that mode fresh queries
+    # front-load (all unproven clear within two samples) and the
+    # stale tail waits exactly one wave; the interleave resumes the
+    # moment unproven fit in a sample again.
     fresh_rr: list[str] = []
     buckets = list(groups.values())
     while any(buckets):
@@ -125,11 +137,15 @@ def _rotation_order() -> list[str]:
             if b:
                 fresh_rr.append(b.pop(0))
     stale = green[:cut]
-    for i in range(max(len(stale), len(fresh_rr))):
-        if i < len(stale):
-            order.append(stale[i])
-        if i < len(fresh_rr):
-            order.append(fresh_rr[i])
+    if len(order) + len(fresh_rr) >= _DRIVER_SAMPLE:
+        order.extend(fresh_rr)
+        order.extend(stale)
+    else:
+        for i in range(max(len(stale), len(fresh_rr))):
+            if i < len(stale):
+                order.append(stale[i])
+            if i < len(fresh_rr):
+                order.append(fresh_rr[i])
     order.extend(green[cut:])
     return order
 

@@ -208,6 +208,8 @@ HEADLINE = [
     "text_zipf_fit",
     "events_markov_stationary",
     "agg_rfm_segments",
+    "events_cuped_adjusted",
+    "events_attribution_touch",
 ]
 
 # Several light queries share one subprocess to amortize JVM startup; each

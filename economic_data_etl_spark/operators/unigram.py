@@ -278,7 +278,12 @@ def hard_em(
         (tot,) = seg.agg(
             F.sum(F.col("wc") * F.col("ll")).alias("t")
         ).collect()
-        history.append(float(tot["t"]))
+        # empty corpus: SUM over zero rows is NULL — record 0.0 and
+        # keep the current model (the MLE of an empty assignment is
+        # undefined; freezing preserves the monotonicity invariant)
+        history.append(
+            float(tot["t"]) if tot["t"] is not None else 0.0
+        )
         counts = (
             seg.select("wc", F.explode("seg").alias("piece"))
             .groupBy("piece")
@@ -286,5 +291,8 @@ def hard_em(
             .collect()
         )
         total = sum(r["c"] for r in counts)
-        lp = {r["piece"]: math.log(r["c"] / total) for r in counts}
+        if total:
+            lp = {
+                r["piece"]: math.log(r["c"] / total) for r in counts
+            }
     return lp, history

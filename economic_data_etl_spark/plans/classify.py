@@ -77,6 +77,10 @@ _NB_SALT = "nb-v1"
 _NB_CUT = 52428  # int(0.8 * 65536): bucket < cut -> train, else test
 _NB_K = 2000  # vocabulary prune: top-K words by (total desc, word asc)
 
+_NB_OUT_SCHEMA = (
+    "lang string, n_test long, n_correct long, accuracy double"
+)
+
 _NB_ORACLE = f"""
     WITH toksrc AS (
         SELECT doc_id, lang,
@@ -329,6 +333,8 @@ def ml_naive_bayes_langid(
     train = toks.filter(F.col("bkt") < _NB_CUT)
     test = toks.filter(F.col("bkt") >= _NB_CUT)
     langs, priors, floors, lp = train_nb_model(train)
+    if not langs:  # empty corpus: untyped empty literals can't score
+        return spark.createDataFrame([], _NB_OUT_SCHEMA)
     pred = nb_score_predict(test, langs, priors, floors, lp)
     return (
         pred.groupBy("true_lang")
@@ -502,6 +508,8 @@ def ml_incremental_naive_bayes(
         for r in standing.filter(F.col("kind") == "d").collect()
     }
     langs, priors, floors, lp = model_from_counts(cnt_lw, d_l)
+    if not langs:  # empty corpus: untyped empty literals can't score
+        return spark.createDataFrame([], _NB_OUT_SCHEMA)
     pred = nb_score_predict(test, langs, priors, floors, lp)
     return (
         pred.groupBy("true_lang")

@@ -533,3 +533,283 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (r12)
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period < split <= post-period
+
+
+@register(
+    "events_cuped_adjusted",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substring(md5('ab-v1'
+                    || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                    < 32768 THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                   THEN value ELSE 0 END) AS pre,
+               SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                   THEN value ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT COUNT(*) * 1.0 AS n, SUM(pre) AS sp, SUM(post) AS sq,
+               SUM(pre * pre) AS spp, SUM(pre * post) AS spq,
+               SUM(post * post) AS sqq
+        FROM u
+    ), th AS (
+        SELECT n, sp / n AS mp, sq,
+               (spq / n - (sp / n) * (sq / n))
+               / (spp / n - (sp / n) * (sp / n)) AS theta,
+               sqq / n - (sq / n) * (sq / n) AS var_post,
+               spq, spp
+        FROM m
+    ), adj AS (
+        SELECT u.arm,
+               u.post - th.theta * (u.pre - th.mp) AS y
+        FROM u CROSS JOIN th
+    ), am AS (
+        SELECT arm, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+        FROM adj GROUP BY arm
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+          MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+          MAX(CASE WHEN arm = 'A' THEN sy END) AS sya,
+          MAX(CASE WHEN arm = 'B' THEN sy END) AS syb,
+          SUM(sy) AS sy, SUM(syy) AS syy, SUM(n) AS n
+        FROM am
+    ), raw AS (
+        SELECT arm, SUM(post) / COUNT(*) AS mpost
+        FROM u GROUP BY arm
+    ), raww AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN mpost END) AS ma,
+               MAX(CASE WHEN arm = 'B' THEN mpost END) AS mb
+        FROM raw
+    )
+    SELECT CAST(w.na AS BIGINT) AS n_a, CAST(w.nb AS BIGINT) AS n_b,
+           ROUND(5e-10 + r.ma - r.mb, 4) AS diff_raw,
+           ROUND(5e-10 + w.sya / w.na - w.syb / w.nb, 4)
+               AS diff_cuped,
+           ROUND(5e-10 + t.theta, 4) AS theta,
+           ROUND(5e-10 + 1.0 - (w.syy / w.n - (w.sy / w.n)
+                 * (w.sy / w.n)) / t.var_post, 4) AS var_reduction
+    FROM wide w CROSS JOIN th t CROSS JOIN raww r
+    """,
+    doc="CUPED variance reduction (Deng et al., WSDM 2013) for the "
+    f"A/B experiment: per-user pre-period (before {_CUPED_SPLIT}) "
+    "spend is the covariate, theta = cov(pre, post)/var(pre) pooled, "
+    "adjusted y = post - theta (pre - mean_pre). Reports the raw and "
+    "CUPED arm-mean differences, theta, and the achieved variance "
+    "reduction 1 - var(y)/var(post) — the standard trick that makes "
+    "small treatment effects detectable. Two corpus passes (per-user "
+    "aggregation, then the adjusted-moment pass against one broadcast "
+    "scalar row); every formula the identical closed form on both "
+    "engines; no float row gates.",
+)
+def events_cuped_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hex4 = F.substring(
+        F.md5(
+            F.concat(F.lit("ab-v1"), F.col("user_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    arm = F.when(
+        F.conv(hex4, 16, 10).cast("long") < 32768, "A"
+    ).otherwise("B")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.sum(
+            F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("post"),
+    ).localCheckpoint(eager=False)  # moment pass + adjusted pass
+    n = F.col("n")
+    m = u.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("sq"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("pre") * F.col("post")).alias("spq"),
+        F.sum(F.col("post") * F.col("post")).alias("sqq"),
+    )
+    th = m.select(
+        "n",
+        (F.col("sp") / n).alias("mp"),
+        (
+            (F.col("spq") / n - (F.col("sp") / n) * (F.col("sq") / n))
+            / (
+                F.col("spp") / n
+                - (F.col("sp") / n) * (F.col("sp") / n)
+            )
+        ).alias("theta"),
+        (
+            F.col("sqq") / n - (F.col("sq") / n) * (F.col("sq") / n)
+        ).alias("var_post"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - F.col("theta") * (F.col("pre") - F.col("mp"))
+        ).alias("y"),
+    )
+    am = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("post").alias("spost"),
+    )
+    isa = F.col("arm") == "A"
+    wide = am.agg(
+        F.max(F.when(isa, F.col("n"))).alias("na"),
+        F.max(F.when(~isa, F.col("n"))).alias("nb"),
+        F.max(F.when(isa, F.col("sy"))).alias("sya"),
+        F.max(F.when(~isa, F.col("sy"))).alias("syb"),
+        F.max(F.when(isa, F.col("spost"))).alias("spa"),
+        F.max(F.when(~isa, F.col("spost"))).alias("spb"),
+        F.sum("sy").alias("sy"),
+        F.sum("syy").alias("syy"),
+        F.sum("n").alias("ntot"),
+    )
+    ntot = F.col("ntot")
+    return wide.crossJoin(F.broadcast(th)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        biased_round(
+            F.col("spa") / F.col("na") - F.col("spb") / F.col("nb")
+        ).alias("diff_raw"),
+        biased_round(
+            F.col("sya") / F.col("na") - F.col("syb") / F.col("nb")
+        ).alias("diff_cuped"),
+        biased_round(F.col("theta")).alias("theta"),
+        biased_round(
+            F.lit(1.0)
+            - (
+                F.col("syy") / ntot
+                - (F.col("sy") / ntot) * (F.col("sy") / ntot)
+            )
+            / F.col("var_post")
+        ).alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (r12)
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS) OVER w
+                   AS first_touch,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS) OVER w
+                   AS last_touch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)
+    ), conv AS (
+        SELECT COALESCE(first_touch, 'none') AS first_touch,
+               COALESCE(last_touch, 'none') AS last_touch,
+               value
+        FROM seq WHERE event_type = 'purchase'
+    ), tot AS (SELECT COUNT(*) AS n, SUM(value) AS rev FROM conv
+    ), un AS (
+        SELECT 'first_touch' AS model, first_touch AS channel,
+               COUNT(*) AS conversions, SUM(value) AS revenue
+        FROM conv GROUP BY 2
+        UNION ALL
+        SELECT 'last_touch', last_touch, COUNT(*), SUM(value)
+        FROM conv GROUP BY 2
+    )
+    SELECT model, channel,
+           CAST(conversions AS BIGINT) AS conversions,
+           ROUND(5e-10 + revenue, 4) AS revenue,
+           ROUND(5e-10 + conversions * 1.0
+                 / (SELECT n FROM tot), 4) AS share
+    FROM un ORDER BY model, channel
+    """,
+    doc="Conversion attribution, first- and last-touch: for every "
+    "purchase, the user's first and most recent preceding "
+    "NON-purchase event types (the classic marketing models). ONE "
+    "user-partitioned window computes both touches in the same frame "
+    "(FIRST/LAST_VALUE ... IGNORE NULLS over the strict-past rows — "
+    "frame semantics identical on both engines, (ts, event_id) "
+    "ordering deterministic); purchases with no prior event "
+    "attribute to 'none'. Conversions and revenue per (model, "
+    "channel) with shares — models x types bounded output.",
+)
+def events_attribution_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.first(nonp, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(nonp, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("first_touch"), F.lit("none")).alias(
+            "first_touch"
+        ),
+        F.coalesce(F.col("last_touch"), F.lit("none")).alias(
+            "last_touch"
+        ),
+        "value",
+    ).localCheckpoint(eager=False)  # two model groupings + total
+    tot = conv.agg(F.count(F.lit(1)).alias("n"))
+    un = (
+        conv.groupBy(F.col("first_touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum("value").alias("revenue"),
+        )
+        .select(F.lit("first_touch").alias("model"), "*")
+        .unionByName(
+            conv.groupBy(F.col("last_touch").alias("channel"))
+            .agg(
+                F.count(F.lit(1)).alias("conversions"),
+                F.sum("value").alias("revenue"),
+            )
+            .select(F.lit("last_touch").alias("model"), "*")
+        )
+    )
+    return (
+        un.crossJoin(F.broadcast(tot))
+        .select(
+            "model",
+            "channel",
+            F.col("conversions").cast("long").alias("conversions"),
+            biased_round(F.col("revenue")).alias("revenue"),
+            biased_round(
+                F.col("conversions") * F.lit(1.0) / F.col("n")
+            ).alias("share"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -79,8 +79,9 @@ _MMR_ORACLE = f"""
       FROM tf t JOIN df d USING (token) JOIN dl l USING (doc_id)
       GROUP BY t.doc_id
     ), cand AS (
-      SELECT doc_id, rel FROM bm
-      ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL}
+      SELECT bm.doc_id, bm.rel FROM bm
+      JOIN embeddings emq ON emq.vec_id = bm.doc_id
+      ORDER BY bm.rel DESC, bm.doc_id LIMIT {_MMR_POOL}
     ), sims AS (
       SELECT a.doc_id AS i, b.doc_id AS j,
              ROUND(5e-10 + list_cosine_similarity(
@@ -173,8 +174,18 @@ def retrieval_mmr_diversified(
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # candidates are cut AMONG EMBEDDABLE docs (left-semi against the
+    # embeddings table): a doc without a vector cannot participate in
+    # the diversity term, and silently dropping it from the sim matrix
+    # while keeping it in the pool crashes the greedy (found at sf0.1,
+    # where only a subset of docs carries embeddings)
     cand = (
         bm25_scores(docs, list(_MMR_TERMS))
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
         .select("doc_id", biased_round(F.col("score")).alias("rel"))
         .orderBy(F.desc("rel"), F.asc("doc_id"))
         .limit(_MMR_POOL)

@@ -256,7 +256,8 @@ def inv_unigram_em_monotone(
             (
                 n_words,
                 int(sized["vocab_size"]),
-                int(sized["total_weight"]),
+                # SUM over an empty vocab is NULL (empty corpus)
+                int(sized["total_weight"] or 0),
                 bool(monotone),
                 bool(improved),
                 bool(coverage),

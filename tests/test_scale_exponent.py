@@ -480,3 +480,46 @@ def test_r12_third_wave_scale_exponents(spark):
             f"{name}: {times[SF001_DIR]:.2f}s -> "
             f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
         )
+
+
+@pytest.mark.slow
+def test_r12_fourth_wave_scale_exponents(spark):
+    """Round-12 fourth wave: Kalman (per-key fold), A/B + log-rank
+    (one groupBy/window then bounded arithmetic), incremental NB
+    (additive fold + in-row scoring), MMR + QLD (postings-filtered
+    pools), stratified sampling (moment pass + partitioned rank), PMI
+    + Zipf (vocab-bounded), trimmed mean (partitioned rank), Markov
+    stationary (lag window + driver iteration on the types^2 matrix),
+    RFM (three two-phase ranks)."""
+    from economic_data_etl_spark.plans import REGISTRY
+
+    for name in (
+        "ts_kalman_filter",
+        "events_ab_test",
+        "ts_logrank_test",
+        "ml_incremental_naive_bayes",
+        "retrieval_mmr_diversified",
+        "retrieval_query_likelihood",
+        "curation_stratified_sample",
+        "text_pmi_collocations",
+        "text_zipf_fit",
+        "agg_trimmed_mean",
+        "events_markov_stationary",
+        "agg_rfm_segments",
+        "events_cuped_adjusted",
+        "events_attribution_touch",
+    ):
+        q = REGISTRY[name]
+        times = {
+            sf: _min_of_two(lambda sf=sf: q.spark(spark, sf).collect())
+            for sf in (SF001_DIR, SF01_DIR)
+        }
+        ratio = times[SF01_DIR] / max(times[SF001_DIR], 1e-9)
+        assert ratio < MAX_RATIO, (
+            f"{name} grew {ratio:.1f}x for 10x data "
+            f"({times[SF001_DIR]:.2f}s -> {times[SF01_DIR]:.2f}s)"
+        )
+        print(
+            f"{name}: {times[SF001_DIR]:.2f}s -> "
+            f"{times[SF01_DIR]:.2f}s = {ratio:.1f}x"
+        )
