@@ -163,3 +163,79 @@ def test_model_from_standing_state_classifies(spark, tmp_path):
         ).collect()
     }
     assert got == {"en": "en", "de": "de"}
+
+
+def test_crash_at_every_offset_converges(spark, tmp_path):
+    """Kill the sink at EVERY internal offset of every batch — (a)
+    partial staging, no _SUCCESS; (b) complete staging, old state
+    still present; (c) old state removed, rename not yet done — then
+    let the stream redeliver the interrupted batch through the real
+    handler and finish. Final state must equal the clean run exactly:
+    (a) rolls back (partial staging deleted, batch refolds), (b)
+    refolds over the intact old state (staging overwritten), (c)
+    promotes the completed staging and the fence skips the replay."""
+    import shutil
+
+    toks = _toks(spark)
+    batches = [
+        toks.filter(F.col("doc_id").isin([1, 2])),
+        toks.filter(F.col("doc_id").isin([3, 4])),
+        toks.filter(F.col("doc_id").isin([5, 6])),
+    ]
+    clean = str(tmp_path / "clean")
+    handle = foreach_batch_incremental_nb(clean)
+    for bi, b in enumerate(batches):
+        handle(b, bi)
+    want = _state_set(
+        read_state(spark, clean).filter(F.col("kind") != _META_KIND)
+    )
+
+    def write_staging(state, staging, b, bi, complete):
+        from economic_data_etl_spark.streaming.util import (
+            read_parquet_or_empty,
+        )
+
+        merged = fold_state(
+            read_parquet_or_empty(spark, state, STATE_SCHEMA).filter(
+                F.col("kind") != _META_KIND
+            ),
+            batch_state(b),
+        )
+        meta = spark.createDataFrame(
+            [(_META_KIND, "", "", bi)], STATE_SCHEMA
+        )
+        if complete:
+            merged.unionByName(meta).write.mode(
+                "overwrite"
+            ).parquet(staging)
+        else:
+            os.makedirs(staging, exist_ok=True)
+            with open(os.path.join(staging, "part-0.parquet"), "wb") as f:
+                f.write(b"torn mid-write")
+
+    for kill_batch in range(len(batches)):
+        for mode in ("partial", "complete", "renamed-away"):
+            state = str(tmp_path / f"k{kill_batch}_{mode}")
+            h = foreach_batch_incremental_nb(state)
+            for bi, b in enumerate(batches):
+                if bi < kill_batch:
+                    h(b, bi)
+                    continue
+                if bi == kill_batch:
+                    staging = f"{state}.staging"
+                    write_staging(
+                        state, staging, b, bi, mode != "partial"
+                    )
+                    if mode == "renamed-away" and os.path.exists(
+                        state
+                    ):
+                        shutil.rmtree(state)
+                    # crash here; the stream redelivers this batch
+                h(b, bi)
+            got = _state_set(
+                read_state(spark, state).filter(
+                    F.col("kind") != _META_KIND
+                )
+            )
+            assert got == want, (kill_batch, mode)
+            assert last_batch_id(spark, state) == len(batches) - 1
