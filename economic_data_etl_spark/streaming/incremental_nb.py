@@ -154,3 +154,16 @@ def foreach_batch_incremental_nb(state_dir: str):
         os.rename(staging, state_dir)
 
     return handle
+
+
+def erase_state(standing: DataFrame, revoked_toks: DataFrame) -> DataFrame:
+    """Right-to-be-forgotten for the standing NB state: BOTH count
+    kinds are additive, so erasure is exact subtraction of the revoked
+    docs' recomputed counts (the governance_erasure_lm recipe —
+    streaming/incremental_lm.py:erase_counts); zero-count rows leave,
+    and the erased state is value-identical to a from-scratch build on
+    the reduced corpus (pinned in tests/test_incremental_nb.py)."""
+    neg = batch_state(revoked_toks).select(
+        "kind", "lang", "wd", (-F.col("c")).cast("long").alias("c")
+    )
+    return fold_state(standing, neg).filter(F.col("c") > 0)

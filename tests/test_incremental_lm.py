@@ -166,3 +166,83 @@ def test_erasure_equals_rebuild_and_drops_exclusive_grams(spark):
         (r.ord, r.g): r.c for r in erased.collect()
     }[(2, "the cat")]
     assert the_cat == 1  # was 2 in the full index
+
+
+def test_crash_at_every_offset_converges(spark, tmp_path):
+    """The NB-sink fuzz applied to the LM sink (same staged swap):
+    kill at each internal offset of every batch — partial staging,
+    complete staging with old state present, state removed before
+    rename — replay through the real handler, and require exact
+    convergence to the clean run with the fence intact."""
+    import os
+    import shutil
+
+    from economic_data_etl_spark.streaming.incremental_lm import (
+        STATE_SCHEMA,
+        _META_G,
+        _META_ORD,
+    )
+    from economic_data_etl_spark.streaming.util import (
+        read_parquet_or_empty,
+    )
+
+    docs = _docs(spark, _ROWS)
+    batches = [
+        docs.filter(F.col("doc_id").isin([1, 2])),
+        docs.filter(F.col("doc_id").isin([3, 4])),
+        docs.filter(F.col("doc_id").isin([5, 6])),
+    ]
+    clean = str(tmp_path / "clean")
+    handle = foreach_batch_incremental_lm(clean)
+    for bi, b in enumerate(batches):
+        handle(b, bi)
+    want = _count_set(read_counts(spark, clean))
+
+    def write_staging(state, staging, b, bi, complete):
+        merged = fold_counts(
+            read_parquet_or_empty(spark, state, STATE_SCHEMA).filter(
+                F.col("ord") != _META_ORD
+            ),
+            _one_shot(b),
+        ).select(
+            F.col("ord").cast("int").alias("ord"),
+            "g",
+            F.col("c").cast("long").alias("c"),
+        )
+        meta = spark.createDataFrame(
+            [(_META_ORD, _META_G, bi)], STATE_SCHEMA
+        )
+        if complete:
+            merged.unionByName(meta).write.mode(
+                "overwrite"
+            ).parquet(staging)
+        else:
+            os.makedirs(staging, exist_ok=True)
+            with open(
+                os.path.join(staging, "part-0.parquet"), "wb"
+            ) as f:
+                f.write(b"torn mid-write")
+
+    for kill_batch in range(len(batches)):
+        for mode in ("partial", "complete", "renamed-away"):
+            state = str(tmp_path / f"k{kill_batch}_{mode}")
+            h = foreach_batch_incremental_lm(state)
+            for bi, b in enumerate(batches):
+                if bi < kill_batch:
+                    h(b, bi)
+                    continue
+                if bi == kill_batch:
+                    staging = f"{state}.staging"
+                    write_staging(
+                        state, staging, b, bi, mode != "partial"
+                    )
+                    if mode == "renamed-away" and os.path.exists(
+                        state
+                    ):
+                        shutil.rmtree(state)
+                h(b, bi)
+            assert _count_set(read_counts(spark, state)) == want, (
+                kill_batch,
+                mode,
+            )
+            assert last_batch_id(spark, state) == len(batches) - 1

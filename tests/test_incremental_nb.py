@@ -239,3 +239,23 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
             )
             assert got == want, (kill_batch, mode)
             assert last_batch_id(spark, state) == len(batches) - 1
+
+
+def test_erasure_equals_rebuild(spark):
+    """Subtractive erasure == from-scratch rebuild on the survivors,
+    for BOTH count kinds, including a class that disappears entirely
+    (all 'de' docs revoked -> its doc-count and every exclusive word
+    leave the state)."""
+    from economic_data_etl_spark.streaming.incremental_nb import (
+        erase_state,
+    )
+
+    toks = _toks(spark)
+    full = batch_state(toks)
+    revoked = toks.filter(F.col("lang") == "de")
+    erased = erase_state(full, revoked)
+    rebuilt = batch_state(toks.filter(F.col("lang") == "en"))
+    assert _state_set(erased) == _state_set(rebuilt)
+    assert not [
+        r for r in erased.collect() if r["lang"] == "de"
+    ]  # the revoked class leaves entirely
