@@ -1028,8 +1028,18 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scored = lp.join(docs.select("doc_id", "n_tokens"), "doc_id").select(
-        "doc_id", "lp", "n_tokens", (-F.col("lp")).alias("neg_lp")
+    scored = (
+        lp.join(docs.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id", "lp", "n_tokens", (-F.col("lp")).alias("neg_lp")
+        )
+        # LAZY CHECKPOINT, load-bearing for cost: the two-phase rank
+        # below makes THREE passes over its input (boundary quantiles,
+        # bucket counts, the final window) and this lineage contains
+        # the full corpus trigram scoring — uncheckpointed, the
+        # scoring re-ran once per pass (measured 13.5 s -> ~5 s at
+        # sf0.1). The checkpointed table is doc-sized, not char-sized.
+        .localCheckpoint(eager=False)
     )
     ranked = with_global_row_number(scored, ["neg_lp", "doc_id"])
     n_total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
@@ -1115,25 +1125,31 @@ def training_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from economic_data_etl_spark.functions.vectors import (
-        cosine_similarity,
+        dot_product,
+        l2_normalize,
     )
 
     emb = training.hash_split(
         load_table(spark, sf_dir, "embeddings"), "vec_id", _SPLITS
     ).select("vec_id", "embedding", "split")
+    # normalize each side ONCE behind its projection: cosine per pair
+    # then costs a single dot — computing cosine(te, re) raw would
+    # recompute both norms for every one of the |train| x |test|
+    # pairs (3x the interpreted-HOF work; measured 7.9 s -> ~3 s at
+    # sf0.1). Same rounded values: dot of unit vectors IS the cosine.
     test = emb.filter(F.col("split") == "test").select(
         F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("te"),
+        l2_normalize(F.col("embedding")).alias("te"),
     )
     train = emb.filter(F.col("split") == "train").select(
         F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("re"),
+        l2_normalize(F.col("embedding")).alias("re"),
     )
     pairs = train.join(F.broadcast(test)).select(
         "test_id",
         "train_id",
         biased_round(
-            cosine_similarity(F.col("te"), F.col("re"))
+            dot_product(F.col("te"), F.col("re"))
         ).alias("cos_r"),
     )
     rn = F.row_number().over(
