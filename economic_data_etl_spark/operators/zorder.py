@@ -234,38 +234,53 @@ def hilbert_py(x: int, y: int, bits: int = 10) -> int:
     return d
 
 
+# Finite-state-transducer tables for hilbert_d. The per-level rotate/
+# flip of the classic loop is one of only FOUR transforms of the
+# remaining low bits — {identity, swap, complement-both, swap+comp} =
+# (Z/2)^2, encoded tau = swap | comp<<1 — so instead of rewriting
+# (x, y) per level (whose branches re-inline through CollapseProject
+# into a 3^bits-node tree) or folding with the interpreted F.aggregate
+# HOF, we thread the 2-bit STATE through the levels and look digit and
+# next-state up by key = tau*4 + x_bit*2 + y_bit:
+#   bits after tau: (bx', by') = comp ^ (swap ? (by, bx) : (bx, by))
+#   digit = (3*bx') ^ by'
+#   sigma = I if by'==1 else (S if bx'==0 else swap+comp)
+#   tau_next = tau ^ sigma            (the group is (Z/2)^2)
+# Verified bit-exact against hilbert_py over the full 1024x1024 10-bit
+# grid (and pinned for every grid point tests/test_zorder.py covers).
+_HILBERT_DIGIT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
+_HILBERT_NEXT = (1, 0, 3, 0, 0, 2, 1, 1, 2, 1, 2, 3, 3, 3, 0, 2)
+
+
 def hilbert_d(x: Column, y: Column, bits: int = 10) -> Column:
-    """Hilbert index as ONE Catalyst in-row fold (F.aggregate over the
-    per-level scale literals, state = (x, y, d) struct) — the same
-    interpreted-fold pattern as the Holt-Winters lane: no codegen
-    blowup (a naive per-level expression chain re-inlines through
-    CollapseProject into a 3^bits-node tree), no Python, no shuffle."""
-    levels = F.array(
-        *[F.lit(1 << k) for k in range(bits - 1, -1, -1)]
-    )
-    init = F.struct(
-        x.cast("long").alias("x"),
-        y.cast("long").alias("y"),
-        F.lit(0).cast("long").alias("d"),
-    )
-
-    def step(acc: Column, s: Column) -> Column:
-        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
-            F.lit(0)
+    """Hilbert index as a LINEAR chain of codegen-able expressions: a
+    4-state finite-state transducer over the per-level (x_bit, y_bit)
+    pairs — state = the accumulated rotate/flip as 2 bits (swap, comp),
+    digit and next-state read via element_at on 16-entry literal arrays
+    (constant-folded to one Literal each; ElementAt is codegen). Same
+    values as the classic rotate/flip loop (hilbert_py), but whole-stage
+    codegen instead of an interpreted F.aggregate fold (measured 4.99 s
+    -> z-order-class time on layout_hilbert_clustering at sf0.1):
+    neither x nor y is ever rewritten, so there is no CollapseProject
+    3^bits blowup, and expression size is O(bits^2) — tau_i feeds
+    tau_{i+1} once (linear chain) plus one digit term per level."""
+    dig_t = F.array(*[F.lit(v) for v in _HILBERT_DIGIT])
+    nxt_t = F.array(*[F.lit(v) for v in _HILBERT_NEXT])
+    xl = x.cast("long")
+    yl = y.cast("long")
+    tau: Column = F.lit(0)
+    d: Column | None = None
+    for i in range(bits - 1, -1, -1):
+        bx = F.shiftright(xl, i).bitwiseAND(F.lit(1))
+        by = F.shiftright(yl, i).bitwiseAND(F.lit(1))
+        key1 = (tau * 4 + bx * 2 + by + F.lit(1)).cast("int")  # 1-based
+        term = F.shiftleft(
+            F.element_at(dig_t, key1).cast("long"), 2 * i
         )
-        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
-        fx = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
-        fy = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
-        return F.struct(
-            F.when(ry == 0, fy).otherwise(acc["x"]).alias("x"),
-            F.when(ry == 0, fx).otherwise(acc["y"]).alias("y"),
-            d2.cast("long").alias("d"),
-        )
-
-    return F.aggregate(levels, init, step).getField("d")
+        d = term if d is None else d.bitwiseOR(term)
+        tau = F.element_at(nxt_t, key1)
+    assert d is not None
+    return d.cast("long")
 
 
 def hilbert_sql_ctes(

@@ -827,7 +827,22 @@ def governance_erasure_audit(
 
     rows = []
 
+    # Each audit row crossJoins THREE independent 1-row aggregates
+    # (full count, erased count, residual probe) — three consumers of
+    # the same index lineage, and Spark does no CSE across joins, so
+    # uncheckpointed each standing index would be rebuilt from raw text
+    # once per consumer (66 parquet scans / 114 Exchanges in the before
+    # plan -> 12 scans with the checkpoints below;
+    # plans/r12/governance_erasure_audit_*.txt). At the 100 TB design
+    # point these ARE the standing indexes a real deployment already
+    # persists — the audit should scan them, never re-derive them per
+    # counter (guide §5: cache what is reused). At sf0.1 the residual
+    # win is modest (6.23 s -> ~5.4 s: building each index ONCE already
+    # costs ~6 s standalone) but the at-scale argument is the point —
+    # every consumer past the first reads checkpoint blocks instead of
+    # re-tokenizing the corpus.
     postings, _ = build_postings(docs)
+    postings = postings.localCheckpoint(eager=False)
     p_erased = postings.join(F.broadcast(revoked), "doc_id", "left_anti")
     rows.append(
         audit_row(
@@ -838,7 +853,7 @@ def governance_erasure_audit(
         )
     )
 
-    pos = build_positional_postings(docs)
+    pos = build_positional_postings(docs).localCheckpoint(eager=False)
     pos_erased = pos.join(F.broadcast(revoked), "doc_id", "left_anti")
     rows.append(
         audit_row(
@@ -851,7 +866,11 @@ def governance_erasure_audit(
         )
     )
 
-    canon = _canonicalized(spark, sf_dir).select("doc_id", "canonical")
+    canon = (
+        _canonicalized(spark, sf_dir)
+        .select("doc_id", "canonical")
+        .localCheckpoint(eager=False)
+    )
     f_full = canon.select("canonical").distinct()
     canon_kept = canon.join(F.broadcast(revoked), "doc_id", "left_anti")
     f_erased = canon_kept.select("canonical").distinct()
@@ -870,7 +889,7 @@ def governance_erasure_audit(
         audit_row("frontier_seen_set", f_full, f_erased, f_resid)
     )
 
-    edges = _link_edges(spark, sf_dir)
+    edges = _link_edges(spark, sf_dir).localCheckpoint(eager=False)
     rev_link = docs.filter(
         (F.col("source") == _REVOKED_SOURCE)
         & (F.col("doc_id") < _LINK_DOCS)
@@ -914,7 +933,9 @@ def governance_erasure_audit(
         erase_counts,
     )
 
-    lm_full = _gram_counts(_positions(token_arrays(docs)))
+    lm_full = _gram_counts(
+        _positions(token_arrays(docs))
+    ).localCheckpoint(eager=False)
     rev_counts = _gram_counts(
         _positions(
             token_arrays(

@@ -206,10 +206,11 @@ from economic_data_etl_spark.operators.zorder import (  # noqa: E402
         FROM hil GROUP BY 1 ORDER BY bucket
     """,
     doc="Hilbert-curve clustering statistics (operators/zorder.py:"
-    "hilbert_d — ONE Catalyst in-row fold over the per-level scale "
-    "literals, the Holt-Winters fold pattern; a naive per-level "
-    "expression chain would re-inline through CollapseProject into a "
-    "3^bits-node tree): same coordinates and aligned 64-way bucketing "
+    "hilbert_d — a 4-state finite-state-transducer chain over the "
+    "per-level bit pairs, pure codegen bitwise ops + 16-entry literal "
+    "table lookups; neither coordinate is ever rewritten, so there is "
+    "no CollapseProject 3^bits blowup and no interpreted fold): same "
+    "coordinates and aligned 64-way bucketing "
     "as layout_zorder_clustering, so the two layouts are directly "
     "comparable — aligned Hilbert buckets are exactly (possibly "
     "rotated) 128x128 quadrants, bounding both dimensions like "
