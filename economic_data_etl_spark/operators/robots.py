@@ -17,12 +17,13 @@ semantics this module implements:
 
 Design for scale: robots rules are crawl CONFIG — thousands of rows
 (hosts x rules), not corpus-sized — so parsing runs driver-side on the
-fetched robots bodies and the compiled rule table broadcasts. Frontier
-URLs join the rule table on host (broadcast hash join), rule patterns
-are evaluated as anchored regexes (``regexp_like`` with a per-row
-pattern — both engines treat ``^``-anchored patterns identically), and
-the per-URL winner is one ``max_by`` aggregate over (pattern length,
-allow-wins-ties). No corpus shuffle beyond the per-URL aggregate.
+fetched robots bodies and the compiled rule table collapses to one
+guarded literal expression per rule. Each frontier URL evaluates its
+verdict IN-ROW (host equality + anchored ``regexp_like`` with a
+LITERAL pattern — compiled once, codegen; both engines treat
+``^``-anchored patterns identically — then ``greatest`` over (pattern
+length, allow-wins-ties)). Zero corpus shuffle: the gate is a pure
+projection that runs inside whatever scan/stage feeds it.
 
 No reference-repo counterpart; crawl-ingestion extension alongside
 operators/urls.py (canonicalization) and streaming/crawl_frontier.py.
@@ -144,46 +145,55 @@ def robots_filter(
 ) -> DataFrame:
     """Per URL: REP verdict (allowed, winning pattern or 'default').
 
-    LEFT broadcast-joins the rule table on (host, anchored-regex
-    match), so a URL with no matching rule survives as one null-rule
-    row, then picks the winner with ONE max_by over (rule_len,
-    allow-beats-disallow-on-ties) — a single corpus shuffle (the
-    per-URL aggregate), no window, no join back. Null winners (no rule
-    matched) coalesce to the REP default: allowed.
+    Pure per-row projection, ZERO shuffle: the rule table is crawl
+    CONFIG (driver-parsed — see module docstring), so it collapses to
+    one guarded literal expression per rule and the verdict is an
+    in-row F.greatest over the matching rules' (rule_len, allow,
+    pattern) structs. The previous join + groupBy shape re-shuffled
+    every URL row — with the caller's payload columns (document text)
+    as part of the GROUP BY key, the whole corpus crossed the exchange
+    to decide a per-row predicate (guide §2.3: shuffle keys/metadata,
+    never payloads; §2.4: remove the shuffle outright). Winner
+    selection is unchanged: longest pattern wins, exact length tie ->
+    allow, pattern string as the final determinism tiebreak; no
+    matching rule -> the REP default (allowed, 'default'). Expression
+    width is O(rules), fine for per-crawl rule sets; a deployment with
+    a very large multi-host rule table should shard calls by host
+    group before this gate (each host's own rules are always few).
     """
-    u, r = urls.alias("u"), rules.alias("r")
-    cols = [F.col(f"u.{c}") for c in urls.columns]
-    joined = u.join(
-        F.broadcast(r),
-        (F.col(f"u.{host_col}") == F.col("r.host"))
-        & F.regexp_like(F.col(f"u.{path_col}"), F.col("r.regex")),
-        "left",
-    )
-    return (
-        joined.groupBy(*cols)
-        .agg(
-            F.max_by(
-                F.struct(
-                    (F.col("r.rule_type") == "allow").alias("is_allow"),
-                    F.col("r.pattern").alias("pattern"),
-                ),
-                # longest pattern wins; exact tie -> allow (is_allow
-                # sorts true > false); pattern last for determinism
-                # when two same-type same-length rules both match
-                F.struct(
-                    F.col("r.rule_len").alias("rule_len"),
-                    (F.col("r.rule_type") == "allow").alias("a"),
-                    F.col("r.pattern").alias("pattern"),
-                ),
-            ).alias("winner")
+    rule_rows = rules.collect()  # config-sized by contract
+    out_cols = [F.col(c) for c in urls.columns]
+    if not rule_rows:
+        return urls.select(
+            *out_cols,
+            F.lit(True).alias("allowed"),
+            F.lit("default").alias("rule"),
         )
-        .select(
-            *[c.alias(n) for c, n in zip(cols, urls.columns)],
-            F.coalesce(F.col("winner.is_allow"), F.lit(True)).alias(
-                "allowed"
-            ),
-            F.coalesce(F.col("winner.pattern"), F.lit("default")).alias(
-                "rule"
+    # One guarded struct per rule, LITERAL regex (so RLike compiles the
+    # pattern once, inside whole-stage codegen, and the host/path
+    # subexpressions get CSE) — a HOF fold over a rule array would
+    # evaluate regexp_like with a NON-foldable pattern (Pattern.compile
+    # per row x rule, interpreted, and CollapseProject inlines the
+    # caller's url-derivation chain into every lambda invocation:
+    # measured 5.6 s on crawl_robots_filter vs ~1 s for this shape).
+    # Struct field order IS the winner ordering (rule_len, allow,
+    # pattern); F.greatest skips NULLs (non-matching rules).
+    host_c, path_c = F.col(host_col), F.col(path_col)
+    cands = [
+        F.when(
+            (host_c == F.lit(r["host"]))
+            & F.regexp_like(path_c, F.lit(r["regex"])),
+            F.struct(
+                F.lit(r["rule_len"]).alias("rule_len"),
+                F.lit(r["rule_type"] == "allow").alias("a"),
+                F.lit(r["pattern"]).alias("pattern"),
             ),
         )
+        for r in rule_rows
+    ]
+    winner = cands[0] if len(cands) == 1 else F.greatest(*cands)
+    return urls.select(
+        *out_cols,
+        F.coalesce(winner["a"], F.lit(True)).alias("allowed"),
+        F.coalesce(winner["pattern"], F.lit("default")).alias("rule"),
     )

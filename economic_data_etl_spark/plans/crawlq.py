@@ -630,9 +630,18 @@ def training_web_corpus_prep(
     # the expensive Arrow lane (WARC build/parse + block classifier)
     # runs ONCE; every funnel branch below reads the checkpointed
     # (doc_id, url, main) rows — the extracted corpus a real pipeline
-    # would persist at this point anyway.
+    # would persist at this point anyway. The explicit repartition by
+    # the group key pins the lane's parallelism to the executor count
+    # (the multimodal decode lanes' idiom): AQE's partition coalescing
+    # sizes by BYTES, and this stage's MBs of shuffle coalesce to ONE
+    # partition — serializing minutes of per-row Python onto one core
+    # (guide §2: AQE coalescing is right for byte-bound stages, wrong
+    # for CPU-bound Python lanes; measured 5.3 s -> 1.6 s at sf0.1).
     parsed = (
-        docs.groupBy("file_id")
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, "file_id"
+        )
+        .groupBy("file_id")
         .applyInPandas(ingest, "doc_id long, url string, main string")
         .localCheckpoint(eager=False)
     )
@@ -645,18 +654,32 @@ def training_web_corpus_prep(
         urls.url_path(u).alias("path"),
     )
     rules = compile_rules(spark, {"example.com": _WEB_ROBOTS})
-    allowed = robots_filter(canon, rules).filter(F.col("allowed"))
-    uniq = (
-        allowed.withColumn(
+    # The funnel gates (robots verdict, frontier rank, quality) are
+    # computed ONCE into flag columns behind one lazy checkpoint:
+    # stages 2-4 and the substring stage previously each re-ran the
+    # canon -> robots -> window -> quality lineage per aggregate branch
+    # (no CSE across the union's subtrees — 4x the window shuffle and
+    # the canonicalization regex chain; guide §2.4/§5). The per-stage
+    # sets are unchanged: stage 2 = all flagged rows, stage 3 = rn==1,
+    # stage 4 = rn==1 AND quality >= tau.
+    flagged = (
+        robots_filter(canon, rules)
+        .filter(F.col("allowed"))
+        .withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("curl").orderBy("doc_id")
             ),
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "main")
+        .withColumn(
+            "q_ok", T.quality_score(F.col("main")) >= _WEB_TAU
+        )
+        .select("doc_id", "main", "rn", "q_ok")
+        .localCheckpoint(eager=False)
     )
-    kept = uniq.filter(T.quality_score(F.col("main")) >= _WEB_TAU)
+    allowed = flagged
+    uniq = flagged.filter(F.col("rn") == 1)
+    kept = uniq.filter(F.col("q_ok")).select("doc_id", "main")
     cleaned = substring.remove_duplicate_spans(
         kept, "doc_id", "main", 20
     ).localCheckpoint(eager=False)

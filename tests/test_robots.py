@@ -135,9 +135,11 @@ class TestFilter:
         assert got[("h", "/other")] == (True, "default")
         assert got[("x", "/docs/1")] == (True, "default")
 
-    def test_plan_broadcasts_rules_one_shuffle(self, spark):
-        """Rules broadcast; the only corpus shuffle is the per-URL
-        aggregate — no sort-merge join-back."""
+    def test_plan_pure_projection_zero_shuffle(self, spark):
+        """The REP gate is an in-row fold over the literal rule table:
+        NO join, NO Exchange — the verdict runs inside whatever stage
+        feeds it (the old join+groupBy shape re-shuffled every caller
+        payload column as part of the GROUP BY key)."""
         rules = spark.createDataFrame(
             [("h0", "disallow", "/a", "^/a", 2),
              ("h1", "allow", "/a/b", "^/a/b", 4)],
@@ -154,5 +156,5 @@ class TestFilter:
             .executedPlan()
             .toString()
         )
-        assert "Broadcast" in plan
-        assert "SortMergeJoin" not in plan
+        assert "Exchange" not in plan
+        assert "Join" not in plan
