@@ -996,16 +996,23 @@ def governance_erasure_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    standing = _gram_counts(_positions(token_arrays(docs)))
-    revoked_docs = docs.filter(F.col("source") == _REVOKED_SOURCE)
+    # Tokenize ONCE: the standing build, the revoked-subset recount and
+    # the surviving-corpus scoring pass previously each called
+    # token_arrays on their own doc subset — three full regex
+    # tokenizations of overlapping data (guide §1.2: don't compute
+    # things twice). token_arrays self-checkpoints, so the filters
+    # below read the one cached token table; filter-after-tokenize is
+    # row-identical to tokenize-after-filter.
+    toks = token_arrays(docs)
+    standing = _gram_counts(_positions(toks))
     revoked_counts = _gram_counts(
-        _positions(token_arrays(revoked_docs))
+        _positions(toks.filter(F.col("source") == _REVOKED_SOURCE))
     )
     erased = erase_counts(standing, revoked_counts).localCheckpoint(
         eager=False
     )
-    surviving = docs.filter(F.col("source") != _REVOKED_SOURCE)
-    return score_with_counts(_positions(token_arrays(surviving)), erased)
+    surviving = toks.filter(F.col("source") != _REVOKED_SOURCE)
+    return score_with_counts(_positions(surviving), erased)
 
 
 # ---------------------------------------------------------------------------
@@ -1090,22 +1097,38 @@ def governance_erasure_cms(
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def bigrams(d):
-        return kgram_occurrences(d, "doc_id", "text", 2).select(
-            F.col("gram").alias("bigram")
+    # ONE gram pass for all three bigram streams (full build, revoked
+    # subtraction build, surviving estimate/frequency): the source tag
+    # rides through kgram_occurrences inside a struct id, and the
+    # narrow (src, bigram) table is checkpointed once — previously each
+    # stream re-tokenized its own doc subset (3 full regex+explode
+    # passes for 1 corpus; guide §1.2/§5).
+    keyed = docs.select(
+        F.struct(
+            F.col("doc_id").alias("d"), F.col("source").alias("s")
+        ).alias("k"),
+        "text",
+    )
+    grams = (
+        kgram_occurrences(keyed, "k", "text", 2)
+        .select(
+            F.col("k.s").alias("src"), F.col("gram").alias("bigram")
         )
-
-    full = cms_build(bigrams(docs), "bigram", _CMSE_DEPTH, _CMSE_WIDTH)
+        .localCheckpoint(eager=False)
+    )
+    full = cms_build(
+        grams.select("bigram"), "bigram", _CMSE_DEPTH, _CMSE_WIDTH
+    )
     rev = cms_build(
-        bigrams(docs.filter(F.col("source") == _REVOKED_SOURCE)),
+        grams.filter(F.col("src") == _REVOKED_SOURCE).select("bigram"),
         "bigram",
         _CMSE_DEPTH,
         _CMSE_WIDTH,
     )
     erased = cms_subtract(full, rev).localCheckpoint(eager=False)
-    surviving = bigrams(
-        docs.filter(F.col("source") != _REVOKED_SOURCE)
-    ).localCheckpoint(eager=False)
+    surviving = grams.filter(
+        F.col("src") != _REVOKED_SOURCE
+    ).select("bigram")
     freq = surviving.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("freq")
     )

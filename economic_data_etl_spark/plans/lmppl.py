@@ -411,18 +411,24 @@ def text_incremental_perplexity(
         fold_counts,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Tokenize ONCE: the three batch folds and the scoring pass share
+    # the one self-checkpointed token table (previously each batch AND
+    # the scorer re-ran the regex tokenization on its own subset — 4
+    # passes' worth for 1 corpus). Filtering the tokenized table by
+    # doc_id is row-identical to tokenizing the filtered subset, so the
+    # fold semantics (batch-by-batch count merge) are unchanged.
+    toks = _token_arrays(spark, sf_dir)
     batches = [
-        docs.filter(F.col("doc_id") < _LMI_SPLIT1),
-        docs.filter(
+        toks.filter(F.col("doc_id") < _LMI_SPLIT1),
+        toks.filter(
             (F.col("doc_id") >= _LMI_SPLIT1)
             & (F.col("doc_id") < _LMI_SPLIT2)
         ),
-        docs.filter(F.col("doc_id") >= _LMI_SPLIT2),
+        toks.filter(F.col("doc_id") >= _LMI_SPLIT2),
     ]
     standing = None
     for b in batches:
-        bc = _gram_counts(_positions(token_arrays(b)))
+        bc = _gram_counts(_positions(b))
         standing = bc if standing is None else fold_counts(standing, bc)
     cnt = standing.localCheckpoint(eager=False)
-    return score_with_counts(_positions(_token_arrays(spark, sf_dir)), cnt)
+    return score_with_counts(_positions(toks), cnt)
