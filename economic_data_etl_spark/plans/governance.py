@@ -658,8 +658,16 @@ def governance_erasure_frontier(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    pages = _canonicalized(spark, sf_dir).select(
-        "doc_id", "url", "canonical"
+    # Canonicalize ONCE: the index build, the surviving-pages scan and
+    # the erasure patch all consume the (doc_id, canonical) table —
+    # uncheckpointed, the canonicalization regex chain ran per consumer
+    # and the patch re-canonicalized the surviving pages a third time
+    # (guide §1.2/§5; the table is id + two URL strings per page, cheap
+    # to materialize next to the regex chain it saves).
+    pages = (
+        _canonicalized(spark, sf_dir)
+        .select("doc_id", "url", "canonical")
+        .localCheckpoint(eager=False)
     )
     index = pages.groupBy("canonical").agg(
         F.min("doc_id").alias("first_doc")
@@ -668,10 +676,10 @@ def governance_erasure_frontier(
         F.col("source") == _REVOKED_SOURCE
     ).select("doc_id")
     surviving_pages = pages.join(
-        revoked, "doc_id", "left_anti"
-    ).select("doc_id", "url")
+        F.broadcast(revoked), "doc_id", "left_anti"
+    ).select("doc_id", "url", "canonical")
     return erase_frontier_index(
-        index, revoked, surviving_pages
+        index, revoked, surviving_pages, canonical_col="canonical"
     ).orderBy("canonical")
 
 

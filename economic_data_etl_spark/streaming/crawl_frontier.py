@@ -51,6 +51,7 @@ def frontier_erasure_patch(
     surviving_pages: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "url",
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Replacement rows for erasing revoked docs from the standing
     seen-set: for each canonical whose retained first_doc is revoked,
@@ -59,17 +60,27 @@ def frontier_erasure_patch(
     canonicals — broadcast when revocations are few). Canonicals with
     no surviving occurrence leave the seen-set entirely, so a future
     re-crawl re-fetches them — the right-to-be-forgotten semantics a
-    replay of the reduced stream would produce."""
+    replay of the reduced stream would produce.
+
+    ``canonical_col``: when the caller's pages already carry the
+    canonical URL (e.g. a checkpointed canonicalize pass shared with
+    the index build), name it here to skip re-running the
+    canonicalization regex chain per page."""
     rev = revoked.select(
         F.col(revoked.columns[0]).alias("first_doc")
     )
     affected = index.join(rev, "first_doc", "left_semi").select(
         "canonical"
     )
+    canon = (
+        F.col(canonical_col)
+        if canonical_col is not None
+        else canonical_url(F.col(url_col))
+    )
     return (
         surviving_pages.select(
             F.col(id_col).alias("first_doc"),
-            canonical_url(F.col(url_col)).alias("canonical"),
+            canon.alias("canonical"),
         )
         .join(affected, "canonical", "left_semi")
         .groupBy("canonical")
@@ -84,12 +95,13 @@ def erase_frontier_index(
     surviving_pages: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "url",
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """The seen-set a from-scratch replay of the reduced stream would
     build: unaffected rows verbatim, affected canonicals reassigned to
     their earliest surviving doc (or dropped when none survives)."""
     patch = frontier_erasure_patch(
-        index, revoked, surviving_pages, id_col, url_col
+        index, revoked, surviving_pages, id_col, url_col, canonical_col
     )
     rev = revoked.select(
         F.col(revoked.columns[0]).alias("first_doc")
