@@ -64,6 +64,10 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr"))
         )
+        # The convergence flag rides the round's own projection (labels
+        # only ever DECREASE, so changed ≡ new < old): the fixpoint
+        # check is then a filter-count over the round's checkpointed
+        # blocks instead of a second node-table join per round.
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
@@ -71,16 +75,14 @@ def connected_components(
                 F.least(
                     labels.label, F.coalesce(nbr_min.nbr, labels.label)
                 ).alias("label"),
+                (
+                    F.coalesce(nbr_min.nbr, labels.label) < labels.label
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(
                 "node", F.col("label").alias("component")

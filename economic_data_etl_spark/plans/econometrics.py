@@ -1230,8 +1230,13 @@ def ts_streaming_holt_winters(
         _fold_batch,
     )
 
-    daily = _daily_totals(spark, sf_dir).select(
-        "event_type", "day", "total"
+    # days-sized table consumed 4x (the day-boundary collect + three
+    # batch folds, each its own action): checkpoint once so the events
+    # aggregation does not re-run per consumer (guide §5).
+    daily = (
+        _daily_totals(spark, sf_dir)
+        .select("event_type", "day", "total")
+        .localCheckpoint(eager=False)
     )
     days = [
         r.day
