@@ -46,7 +46,16 @@ def l2_normalize(a: Column) -> Column:
     that 3× the whole pair-scoring bill (measured 67 s → 12 s on the
     semantic-dedup pair join at sf0.1).
     """
-    n = l2_norm(a)
-    return F.transform(
-        _as_double(a), lambda x: F.when(n != 0.0, x / n)
+    from economic_data_etl_spark.functions.text import let
+
+    # Bind the norm ONCE per row: a captured expression re-evaluates on
+    # every lambda invocation, so referencing the O(dim) norm fold
+    # inside the per-element lambda was O(dim²) interpreted work per
+    # row (the lambda-CSE rule). Same value, same arithmetic — the
+    # norm is now a bound lambda-variable slot read per element.
+    return let(
+        l2_norm(a),
+        lambda n: F.transform(
+            _as_double(a), lambda x: F.when(n != 0.0, x / n)
+        ),
     )

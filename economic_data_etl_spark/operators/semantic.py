@@ -55,18 +55,34 @@ def _lit_vec(vals: list[float]) -> Column:
 def _ranked_clusters(
     vec: Column, centroids: list[list[float]]
 ) -> Column:
-    """Array of cluster ids sorted by cosine desc, ties to lowest id."""
-    return F.array_sort(
-        F.array(
-            *[
+    """Array of cluster ids sorted by cosine desc, ties to lowest id.
+
+    The row's own norm is bound ONCE via `let` instead of re-running
+    the O(dim) interpreted fold inside every centroid's cosine (k
+    norm folds -> 1 per row; the arithmetic is unchanged expression
+    for expression — denom = |v|·|c|, same guard, same division — so
+    the doubles are bit-identical to cosine_similarity's)."""
+    from economic_data_etl_spark.functions.text import let
+    from economic_data_etl_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    def ranked(vn: Column) -> Column:
+        entries = []
+        for i, c in enumerate(centroids):
+            lc = _lit_vec(c)
+            denom = vn * l2_norm(lc)
+            cos = F.when(denom != 0.0, dot_product(vec, lc) / denom)
+            entries.append(
                 F.struct(
-                    (-cosine_similarity(vec, _lit_vec(c))).alias("neg"),
+                    (-cos).alias("neg"),
                     F.lit(i).cast("int").alias("cid"),
                 )
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )["cid"]
+            )
+        return F.array_sort(F.array(*entries))["cid"]
+
+    return let(l2_norm(vec), ranked)
 
 
 # Above this k, the expression path's O(k) interpreted cosine folds per
