@@ -565,20 +565,37 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Shared block entropy coding
 # --------------------------------------------------------------------------
+def _quant_levels_plane(padded: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Batched DCT + quantize of an (8·bh, 8·bw) float64 plane ->
+    (bh, bw, 8, 8) int64 levels. ONE broadcast np.matmul over every
+    block replaces the per-block Python loop's 2×(8×8) matmuls — the
+    dominant encoder cost in the profile (the entropy loop is
+    inherently sequential, the transform is not). Per-block results
+    are BITWISE identical to the scalar path: batched matmul runs the
+    same 8×8 dgemm per slice (pinned in tests/test_jpeg.py)."""
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coeff = _M @ (blocks - 128.0) @ _M.T
+    return _round_half_up(coeff / qtab).astype(np.int64)
+
+
 def _encode_block(
     writer: _BitWriter,
-    block: np.ndarray,
+    block: np.ndarray | None,
     qtab: np.ndarray,
     dc_enc: dict,
     ac_enc: dict,
     prev_dc: int,
+    levels: np.ndarray | None = None,
 ) -> int:
     """DCT -> quantize -> zigzag -> Huffman one 8x8 spatial block
     (already level-shift-ready uint8 domain); returns the new DC
-    predictor."""
-    coeff = _M @ (block - 128.0) @ _M.T
-    levels = _round_half_up(coeff / qtab).astype(np.int64)
-    zz = [int(v) for v in levels.ravel()[_ZIG_FLAT]]
+    predictor. Pass precomputed ``levels`` (see _quant_levels_plane)
+    to skip the per-block transform."""
+    if levels is None:
+        coeff = _M @ (block - 128.0) @ _M.T
+        levels = _round_half_up(coeff / qtab).astype(np.int64)
+    zz = levels.ravel()[_ZIG_FLAT].tolist()
     diff = zz[0] - prev_dc
     size, bits = _magnitude(diff)
     code, length = dc_enc[size]
@@ -608,15 +625,29 @@ def _encode_block(
     return zz[0]
 
 
-def _decode_block(
+def _idct_pixels_batch(
+    levels: np.ndarray, qtab: np.ndarray
+) -> np.ndarray:
+    """Dequantize + IDCT + round/clip a stack of (n, 8, 8) level
+    blocks in ONE broadcast matmul — bitwise identical per block to
+    the scalar path (same 8×8 dgemm per slice; the elementwise
+    dequantize/round/clip are shape-independent). The decoder's
+    entropy walk is sequential; the transform is not (profile: the
+    IDCT matmuls dominated _decode_block)."""
+    block = _M.T @ (levels * qtab).astype(np.float64) @ _M
+    return np.clip(_round_half_up(block + 128.0), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _decode_levels(
     reader: _BitReader,
-    qtab: np.ndarray,
     dc_dec: dict,
     ac_dec: dict,
     prev_dc: int,
 ) -> tuple[np.ndarray, int]:
-    """Huffman -> dezigzag -> dequantize -> IDCT one block; returns the
-    uint8 spatial block and the new DC predictor."""
+    """Huffman -> dezigzag one block's quantized (8, 8) int64 levels
+    (the sequential half of _decode_block; IDCT happens batched)."""
     zz = [0] * 64
     size = reader.read_symbol(dc_dec)
     if size > 15:
@@ -643,10 +674,20 @@ def _decode_block(
         i += 1
     levels = np.zeros(64, dtype=np.int64)
     levels[_ZIG_FLAT] = zz
-    levels = levels.reshape(8, 8)
-    block = _M.T @ (levels * qtab).astype(np.float64) @ _M
-    pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
-    return pixels.astype(np.uint8), prev_dc
+    return levels.reshape(8, 8), prev_dc
+
+
+def _decode_block(
+    reader: _BitReader,
+    qtab: np.ndarray,
+    dc_dec: dict,
+    ac_dec: dict,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Huffman -> dezigzag -> dequantize -> IDCT one block; returns the
+    uint8 spatial block and the new DC predictor."""
+    levels, prev_dc = _decode_levels(reader, dc_dec, ac_dec, prev_dc)
+    return _idct_pixels_batch(levels[None], qtab)[0], prev_dc
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -673,6 +714,7 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     h, w = img.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
     padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
+    levels_all = _quant_levels_plane(padded, QTAB)
     writer = _TokenWriter()
     prev_dc = 0
     mcu_index = 0
@@ -688,11 +730,12 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
             mcu_index += 1
             prev_dc = _encode_block(
                 writer,
-                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                None,
                 QTAB,
                 _DC_ENC,
                 _AC_ENC,
                 prev_dc,
+                levels=levels_all[by, bx],
             )
     entropy = writer.flush()
     dht = (
@@ -771,6 +814,9 @@ def encode_jpeg_color(
     y_pad = _pad_to(y_plane, mh * mcu_h, mw * mcu_w)
     cb_pad = _pad_to(cb, mh * 8, mw * 8)
     cr_pad = _pad_to(cr, mh * 8, mw * 8)
+    y_levels = _quant_levels_plane(y_pad, QTAB)
+    cb_levels = _quant_levels_plane(cb_pad, QTAB_CHROMA)
+    cr_levels = _quant_levels_plane(cr_pad, QTAB_CHROMA)
 
     writer = _TokenWriter()
     dc = [0, 0, 0]
@@ -791,20 +837,22 @@ def encode_jpeg_color(
                     bx = mx * yh + vx
                     dc[0] = _encode_block(
                         writer,
-                        y_pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        None,
                         QTAB,
                         _DC_ENC,
                         _AC_ENC,
                         dc[0],
+                        levels=y_levels[by, bx],
                     )
-            for ci, plane in ((1, cb_pad), (2, cr_pad)):
+            for ci, comp_levels in ((1, cb_levels), (2, cr_levels)):
                 dc[ci] = _encode_block(
                     writer,
-                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    None,
                     QTAB_CHROMA,
                     _DC_ENC_C,
                     _AC_ENC_C,
                     dc[ci],
+                    levels=comp_levels[my, mx],
                 )
     entropy = writer.flush()
 
@@ -996,6 +1044,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         )
     dc = [0] * len(comps)
     mcu_index = 0
+    # entropy-decode every block's levels first (inherently sequential
+    # bitstream walk), then IDCT each component's stack in ONE batched
+    # matmul — bitwise identical to block-at-a-time (see
+    # _idct_pixels_batch).
+    pending: list[list[tuple[int, int, np.ndarray]]] = [
+        [] for _ in comps
+    ]
     for my in range(mh):
         for mx in range(mw):
             if (
@@ -1017,13 +1072,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("missing Huffman table")
                 for vy in range(vi):
                     for vx in range(hi):
-                        block, dc[ci] = _decode_block(
-                            reader, qtabs[tq], dc_dec, ac_dec, dc[ci]
+                        lev, dc[ci] = _decode_levels(
+                            reader, dc_dec, ac_dec, dc[ci]
                         )
                         by, bx = my * vi + vy, mx * hi + vx
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = block
+                        pending[ci].append((by, bx, lev))
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if not pending[ci]:
+            continue
+        pix = _idct_pixels_batch(
+            np.stack([lv for _, _, lv in pending[ci]]), qtabs[tq]
+        )
+        for (by, bx, _), blk in zip(pending[ci], pix):
+            planes[ci][
+                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+            ] = blk
     if len(comps) == 1:
         return planes[0][:h, :w]
     out_planes = []

@@ -39,6 +39,7 @@ import struct
 import numpy as np
 
 from economic_data_etl_spark.operators.jpeg import (
+    _idct_pixels_batch,
     _JFIF_APP0,
     _M,
     _SUBSAMPLE_MODES,
@@ -697,17 +698,16 @@ def decode_arith_progressive(payload: bytes) -> np.ndarray:
             raise ValueError("missing quantization table")
         q = qtabs[tq]
         nbh, nbw = coefs[ci].shape[:2]
-        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
-        for by in range(nbh):
-            for bx in range(nbw):
-                levels = np.zeros(64, dtype=np.int64)
-                levels[_ZIG_FLAT] = coefs[ci][by, bx]
-                levels = levels.reshape(8, 8)
-                block = _M.T @ (levels * q).astype(np.float64) @ _M
-                pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    pixels.astype(np.uint8)
-                )
+        # batched dezigzag + IDCT (bitwise identical to per-block —
+        # see jpeg._idct_pixels_batch)
+        levels = np.zeros((nbh * nbw, 64), dtype=np.int64)
+        levels[:, _ZIG_FLAT] = coefs[ci].reshape(nbh * nbw, 64)
+        pix = _idct_pixels_batch(levels.reshape(nbh * nbw, 8, 8), q)
+        plane = np.ascontiguousarray(
+            pix.reshape(nbh, nbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbh * 8, nbw * 8)
+        )
         planes.append(plane)
     if len(comps) == 1:
         return planes[0][:h, :w]

@@ -69,6 +69,8 @@ import struct
 import numpy as np
 
 from economic_data_etl_spark.operators.jpeg import (
+    _idct_pixels_batch,
+    _quant_levels_plane,
     _JFIF_APP0,
     _M,
     _SUBSAMPLE_MODES,
@@ -512,6 +514,7 @@ def encode_jpeg_arith_gray(
     h, w = img.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
     padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
+    levels_all = _quant_levels_plane(padded, QTAB)  # batched DCT
     fixed = _new_stats(1)
     fixed[0] = FIXED_BIN
     comp = _ArithComponentState()
@@ -534,9 +537,7 @@ def encode_jpeg_arith_gray(
                 comp = _ArithComponentState()
                 enc = _QMEncoder()
             mcu_index += 1
-            zz = _quantize_block(
-                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], QTAB
-            )
+            zz = levels_all[by, bx].ravel()[_ZIG_FLAT].tolist()
             comp.dc_context = _encode_dc(
                 enc, comp.dc_stats, zz[0] - comp.prev_dc, comp.dc_context
             )
@@ -585,6 +586,9 @@ def encode_jpeg_arith_color(
     y_pad = _pad_to(y_plane, mh * mcu_h, mw * mcu_w)
     cb_pad = _pad_to(cb, mh * 8, mw * 8)
     cr_pad = _pad_to(cr, mh * 8, mw * 8)
+    y_levels = _quant_levels_plane(y_pad, QTAB)  # batched DCT
+    cb_levels = _quant_levels_plane(cb_pad, QTAB_CHROMA)
+    cr_levels = _quant_levels_plane(cr_pad, QTAB_CHROMA)
 
     def fresh():
         fixed = _new_stats(1)
@@ -621,21 +625,15 @@ def encode_jpeg_arith_color(
             for vy in range(yv):
                 for vx in range(yh):
                     by, bx = my * yv + vy, mx * yh + vx
-                    zz = _quantize_block(
-                        y_pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                        QTAB,
-                    )
+                    zz = y_levels[by, bx].ravel()[_ZIG_FLAT].tolist()
                     c = comps[0]
                     c.dc_context = _encode_dc(
                         enc, c.dc_stats, zz[0] - c.prev_dc, c.dc_context
                     )
                     c.prev_dc = zz[0]
                     _encode_ac(enc, c.ac_stats, fixed, zz)
-            for ci, plane in ((1, cb_pad), (2, cr_pad)):
-                zz = _quantize_block(
-                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
-                    QTAB_CHROMA,
-                )
+            for ci, comp_levels in ((1, cb_levels), (2, cr_levels)):
+                zz = comp_levels[my, mx].ravel()[_ZIG_FLAT].tolist()
                 c = comps[ci]
                 c.dc_context = _encode_dc(
                     enc, c.dc_stats, zz[0] - c.prev_dc, c.dc_context
@@ -845,6 +843,9 @@ def decode_arithmetic(payload: bytes) -> np.ndarray:
     seg_idx = 0
     dec = _QMDecoder(segments[0])
     fixed, states = fresh_states()
+    pending: list[list[tuple[int, int, list[int]]]] = [
+        [] for _ in comps
+    ]
     for my in range(mh):
         for mx in range(mw):
             if (
@@ -867,11 +868,24 @@ def decode_arithmetic(payload: bytes) -> np.ndarray:
                         s.prev_dc += diff
                         zz[0] = s.prev_dc
                         _decode_ac(dec, s.ac_stats, fixed, zz)
-                        block = _dequantize_block(zz, qtabs[tq])
                         by, bx = my * vi + vy, mx * hi + vx
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = block
+                        pending[ci].append((by, bx, zz))
+    # batched dezigzag + IDCT per component (bitwise identical to the
+    # per-block _dequantize_block — see jpeg._idct_pixels_batch)
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if not pending[ci]:
+            continue
+        levels = np.zeros((len(pending[ci]), 64), dtype=np.int64)
+        levels[:, _ZIG_FLAT] = np.asarray(
+            [zz for _, _, zz in pending[ci]], dtype=np.int64
+        )
+        pix = _idct_pixels_batch(
+            levels.reshape(-1, 8, 8), qtabs[tq]
+        )
+        for (by, bx, _), blk in zip(pending[ci], pix):
+            planes[ci][
+                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+            ] = blk
     if len(comps) == 1:
         return planes[0][:h, :w]
     out_planes = []

@@ -56,6 +56,7 @@ import struct
 import numpy as np
 
 from economic_data_etl_spark.operators.jpeg import (
+    _idct_pixels_batch,
     _AC_BITS,
     _ZIG_FLAT,
     _AC_BITS_C,
@@ -109,18 +110,16 @@ def _pt_ac_band(band: np.ndarray, al: int) -> np.ndarray:
 
 def _quantize_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """(H, W) float64 plane (H, W multiples of 8) → (bh, bw, 64) int32
-    quantized coefficients in ZIGZAG order. Per-block with the exact
-    same expression as jpeg._encode_block so the coefficient set — and
-    therefore the decode — is bit-identical to the baseline encoder's."""
+    quantized coefficients in ZIGZAG order. ONE batched matmul over
+    every block with the exact same expression as jpeg._encode_block —
+    batched np.matmul runs the same 8×8 dgemm per slice, so the
+    coefficient set (and therefore the decode) stays bit-identical to
+    the baseline encoder's (identity pinned in tests/test_jpeg.py)."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    out = np.zeros((bh, bw, 64), dtype=np.int32)
-    for by in range(bh):
-        for bx in range(bw):
-            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coeff = _M @ (block - 128.0) @ _M.T
-            levels = _round_half_up(coeff / qtab).astype(np.int64)
-            out[by, bx] = levels.ravel()[_ZIG_FLAT]
-    return out
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coeff = _M @ (blocks - 128.0) @ _M.T
+    levels = _round_half_up(coeff / qtab).astype(np.int64)
+    return levels.reshape(bh, bw, 64)[:, :, _ZIG_FLAT].astype(np.int32)
 
 
 def _comp_grid(
@@ -746,17 +745,16 @@ def decode_progressive(payload: bytes) -> np.ndarray:
             raise ValueError("missing quantization table")
         q = qtabs[tq]
         nbh, nbw = coefs[ci].shape[:2]
-        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.uint8)
-        for by in range(nbh):
-            for bx in range(nbw):
-                levels = np.zeros(64, dtype=np.int64)
-                levels[_ZIG_FLAT] = coefs[ci][by, bx]
-                levels = levels.reshape(8, 8)
-                block = _M.T @ (levels * q).astype(np.float64) @ _M
-                pixels = np.clip(_round_half_up(block + 128.0), 0, 255)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    pixels.astype(np.uint8)
-                )
+        # batched dezigzag + IDCT (bitwise identical to per-block —
+        # see jpeg._idct_pixels_batch)
+        levels = np.zeros((nbh * nbw, 64), dtype=np.int64)
+        levels[:, _ZIG_FLAT] = coefs[ci].reshape(nbh * nbw, 64)
+        pix = _idct_pixels_batch(levels.reshape(nbh * nbw, 8, 8), q)
+        plane = np.ascontiguousarray(
+            pix.reshape(nbh, nbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbh * 8, nbw * 8)
+        )
         planes.append(plane)
     if len(comps) == 1:
         return planes[0][:h, :w]

@@ -941,14 +941,15 @@ def governance_erasure_audit(
         erase_counts,
     )
 
+    # tokenize once; the revoked recount filters the same checkpointed
+    # token table (the governance_erasure_lm fix, applied here too)
+    lm_toks = token_arrays(docs)
     lm_full = _gram_counts(
-        _positions(token_arrays(docs))
+        _positions(lm_toks)
     ).localCheckpoint(eager=False)
     rev_counts = _gram_counts(
         _positions(
-            token_arrays(
-                docs.filter(F.col("source") == _REVOKED_SOURCE)
-            )
+            lm_toks.filter(F.col("source") == _REVOKED_SOURCE)
         )
     ).localCheckpoint(eager=False)
     lm_erased = erase_counts(lm_full, rev_counts).localCheckpoint(

@@ -385,3 +385,53 @@ class TestTokenWriterEquivalence:
         finally:
             jm._TokenWriter = saved
         assert got == want
+
+
+class TestBatchedTransformIdentity:
+    """The batched DCT/IDCT (one broadcast matmul over every block)
+    must be BITWISE identical to the scalar per-block path — numpy
+    dispatches the same 8x8 dgemm per slice, and the quantize/round/
+    clip steps are elementwise. A single ulp of drift could flip a
+    _round_half_up boundary and change encoded bytes."""
+
+    def test_quant_levels_batch_equals_scalar(self):
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            _M,
+            _quant_levels_plane,
+            _round_half_up,
+            QTAB,
+            QTAB_CHROMA,
+        )
+
+        rng = np.random.default_rng(11)
+        for qtab in (QTAB, QTAB_CHROMA):
+            plane = rng.uniform(0, 255, size=(40, 56))
+            got = _quant_levels_plane(plane, qtab)
+            for by in range(5):
+                for bx in range(7):
+                    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coeff = _M @ (block - 128.0) @ _M.T
+                    want = _round_half_up(coeff / qtab).astype(np.int64)
+                    assert np.array_equal(got[by, bx], want)
+
+    def test_idct_pixels_batch_equals_scalar(self):
+        import numpy as np
+
+        from economic_data_etl_spark.operators.jpeg import (
+            _M,
+            _idct_pixels_batch,
+            _round_half_up,
+            QTAB,
+        )
+
+        rng = np.random.default_rng(12)
+        levels = rng.integers(-80, 80, size=(64, 8, 8)).astype(np.int64)
+        got = _idct_pixels_batch(levels, QTAB)
+        for i, lv in enumerate(levels):
+            block = _M.T @ (lv * QTAB).astype(np.float64) @ _M
+            want = np.clip(_round_half_up(block + 128.0), 0, 255).astype(
+                np.uint8
+            )
+            assert np.array_equal(got[i], want)
