@@ -355,20 +355,25 @@ def main() -> None:
             print(line, flush=True)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    best_ever = _update_best_ever(timings, sf)
+    _update_best_ever(timings, sf)
     # Output order matters for the driver's bounded TAIL capture
     # (round 6: the single summary line outgrew it and the artifact
-    # lost the total, "parsed": null). The full per-query map goes
-    # FIRST; the LAST line is short and total-only, so truncation can
-    # never eat the headline number.
+    # lost the total, "parsed": null; rounds 11-12: the full-map line
+    # carried the persisted best-ever floor book AFTER the current-run
+    # map, so front-truncation of that line kept stale floors and
+    # discarded the current run — per_query came back empty two rounds
+    # running). Fix: the floor book lives only in BENCH_BEST.json; the
+    # full-map line carries ONLY the current run's "queries" map, with
+    # the map as the LAST key so front-truncation eats metadata before
+    # it eats measurements. The LAST line stays short and total-only,
+    # so truncation can never eat the headline number.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_full_map",
                 "unit": "sec",
-                "queries": timings,
-                "best_ever": best_ever,
                 "sf": float(sf),
+                "queries": timings,
             }
         )
     )

@@ -165,29 +165,50 @@ _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
 
 
 class _HuffTable(dict):
-    """(length, code) -> symbol decode table, plus a 256-entry
-    first-byte lookup (`fast[prefix8] = (symbol, length)` for codes of
-    length <= 8) that lets read_symbol resolve the common case with
-    one table hit instead of a bit-at-a-time walk. Still a plain dict
-    to every existing caller."""
+    """(length, code) -> symbol decode table, plus a full 16-bit
+    canonical-code lookup (`lut_sym[prefix16]` / `lut_len[prefix16]`,
+    length 0 = invalid code) that resolves EVERY symbol — T.81 caps
+    code lengths at 16 — with one list index instead of a
+    bit-at-a-time walk. Still a plain dict to every existing caller."""
 
-    __slots__ = ("fast",)
+    __slots__ = ("lut_sym", "lut_len")
+
+
+# Decode tables are built per DHT segment but the corpus reuses a
+# handful of them (the Annex-K luma/chroma pairs); memoize so the
+# 65536-entry LUT is built once per distinct table per worker, not per
+# image (guide §4.5: heavyweight init once). Bounded so corrupt-stream
+# fuzzing cannot grow it without limit.
+_TABLE_CACHE: dict[bytes, _HuffTable] = {}
+_TABLE_CACHE_MAX = 32
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
-    """(length, code) -> symbol, for the decoder; carries the
-    accelerated first-byte lookup as `.fast`."""
+    """(length, code) -> symbol, for the decoder; carries the 16-bit
+    table-driven lookup as `.lut_sym`/`.lut_len` (plain lists — list
+    indexing beats numpy scalar indexing in the per-symbol loop)."""
+    key = bytes(bits) + bytes(vals)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = _HuffTable(
         ((length, code), sym)
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     )
-    fast: list[tuple[int, int] | None] = [None] * 256
+    sym_arr = np.zeros(1 << 16, dtype=np.int32)
+    len_arr = np.zeros(1 << 16, dtype=np.int32)
     for (length, code), sym in t.items():
-        if length <= 8:
-            base = code << (8 - length)
-            for i in range(1 << (8 - length)):
-                fast[base + i] = (sym, length)
-    t.fast = fast
+        base = code << (16 - length)
+        if base >= (1 << 16):  # corrupt DHT: code overflows its length
+            continue
+        span = 1 << (16 - length)
+        sym_arr[base : base + span] = sym
+        len_arr[base : base + span] = length
+    t.lut_sym = sym_arr.tolist()
+    t.lut_len = len_arr.tolist()
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = t
     return t
 
 
@@ -313,111 +334,123 @@ class _TokenWriter:
         return bytes(self.out)
 
 
+def _split_entropy(
+    entropy: bytes,
+) -> tuple[list[bytes], list[int]]:
+    """Split a scan's entropy-coded bytes at RSTn markers and UNSTUFF
+    each segment (drop the 0x00 after every 0xFF data byte). Returns
+    (unstuffed segments, restart-marker numbers between them). A
+    non-RST marker inside the data is malformed — the same condition
+    the byte-at-a-time reader reported when it reached it."""
+    segs: list[bytes] = []
+    nums: list[int] = []
+    start = i = 0
+    n = len(entropy)
+    while True:
+        j = entropy.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            break  # a lone trailing 0xFF stays data (truncated stuffing)
+        m = entropy[j + 1]
+        if m == 0x00:
+            i = j + 2
+            continue
+        if 0xD0 <= m <= 0xD7:
+            segs.append(
+                entropy[start:j].replace(b"\xff\x00", b"\xff")
+            )
+            nums.append(m - 0xD0)
+            start = i = j + 2
+            continue
+        raise ValueError("unexpected marker in entropy data")
+    segs.append(entropy[start:].replace(b"\xff\x00", b"\xff"))
+    return segs, nums
+
+
+def _bit_windows(seg: bytes) -> list[int]:
+    """32-bit big-endian windows over an unstuffed segment:
+    win[i] = seg[i:i+4] zero-padded, one per byte offset plus slack so
+    a bounded overrun past the data end indexes zeros instead of
+    raising. Any k <= 16 bits at bit position p are
+    (win[p >> 3] >> (24 - (p & 7) - k)) & ((1 << k) - 1) — one list
+    index, one shift, one mask. Built in one vectorized pass."""
+    b = np.frombuffer(seg + b"\x00" * 8, dtype=np.uint8).astype(
+        np.int64
+    )
+    return (
+        (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+    ).tolist()
+
+
 class _BitReader:
+    """MSB-first bit reader over a JPEG entropy-coded stream. The
+    stream is split at RSTn markers and unstuffed ONCE up front
+    (_split_entropy); reads then index precomputed 32-bit windows
+    (_bit_windows) — no per-byte stuffing branch, and read_symbol is
+    one 16-bit table lookup. Public behavior (APIs, ValueError
+    conditions) matches the retired byte-at-a-time reader."""
+
+    __slots__ = ("segs", "nums", "seg_i", "win", "total", "p")
+
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+        self.segs, self.nums = _split_entropy(data)
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.seg_i = i
+        seg = self.segs[i]
+        self.win = _bit_windows(seg)
+        self.total = 8 * len(seg)
+        self.p = 0
+
+    def _starve(self) -> None:
+        """Raise the error the byte-at-a-time reader raised when a
+        read consumed past the segment: a following restart marker
+        means the read ran into it, otherwise the data ended."""
+        if self.seg_i + 1 < len(self.segs):
+            raise ValueError("unexpected marker in entropy data")
+        raise ValueError("truncated entropy data")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy data")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated stuffing")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:
-                    raise ValueError("unexpected marker in entropy data")
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def _fill(self, want: int) -> int:
-        """Prefetch whole bytes into the accumulator until `want` bits
-        are buffered (or a marker / end of data is reached — then stop
-        SILENTLY: the caller's slow path reproduces the original
-        truncation/marker errors if it actually consumes past them).
-        Keeps read_bit's invariant: the next bit is acc >> (nbits-1)."""
-        # fill PAST `want` up to a 24-bit watermark: refill entry is
-        # the decoder's hottest call site, and topping up 3 bytes per
-        # entry instead of 1 cuts the call count ~3x (stopping at a
-        # marker or data end is still silent)
-        data = self.data
-        n = len(data)
-        pos, acc, nbits = self.pos, self.acc, self.nbits
-        target = want if want > 24 else 24
-        while nbits < target:
-            if pos >= n:
-                break
-            byte = data[pos]
-            if byte == 0xFF:
-                if pos + 1 >= n or data[pos + 1] != 0x00:
-                    break  # marker or truncated stuffing: don't consume
-                pos += 2
-            else:
-                pos += 1
-            acc = (acc << 8) | byte
-            nbits += 8
-        self.pos, self.acc, self.nbits = pos, acc, nbits
-        return nbits
+        p = self.p
+        if p >= self.total:
+            self._starve()
+        self.p = p + 1
+        return (self.win[p >> 3] >> (31 - (p & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        if self.nbits < n:
-            self._fill(n)
-        if self.nbits >= n:
-            self.nbits -= n
-            return (self.acc >> self.nbits) & ((1 << n) - 1)
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        p = self.p
+        if p + n > self.total:
+            self._starve()
+        self.p = p + n
+        return (self.win[p >> 3] >> (32 - (p & 7) - n)) & (
+            (1 << n) - 1
+        )
 
     def sync_restart(self, n: int) -> None:
         """Discard pad bits to the byte boundary and consume the
-        expected RSTn marker. A 0xFF pad byte carries a stuffed 0x00
-        which read_bit already consumed when it loaded the byte, so the
-        marker is the next byte pair; the stuffed-pair skip below is
-        defensive for streams padded differently."""
-        self.nbits = 0
-        while True:
-            if self.pos + 1 >= len(self.data):
-                raise ValueError("missing restart marker")
-            b0, b1 = self.data[self.pos], self.data[self.pos + 1]
-            if b0 != 0xFF:
-                raise ValueError("missing restart marker")
-            if b1 == 0x00:
-                self.pos += 2
-                continue
-            if b1 != 0xD0 + (n & 7):
-                raise ValueError("restart marker out of sequence")
-            self.pos += 2
-            return
+        expected RSTn marker. Whole unconsumed bytes before the marker
+        are legal only if they are (unstuffed) 0xFF pad bytes — the
+        stuffed-pair skip the old reader performed."""
+        i = self.seg_i
+        if i + 1 >= len(self.segs):
+            raise ValueError("missing restart marker")
+        tail = self.segs[i][(self.p + 7) >> 3 :]
+        if tail.strip(b"\xff"):
+            raise ValueError("missing restart marker")
+        if self.nums[i] != (n & 7):
+            raise ValueError("restart marker out of sequence")
+        self._load(i + 1)
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        # fast path: resolve codes of length <= 8 (the overwhelming
-        # majority under the Annex-K-style tables) with ONE lookup on
-        # the next 8 buffered bits
-        fast = getattr(table, "fast", None)
-        if fast is not None and (
-            self.nbits >= 8 or self._fill(8) >= 8
-        ):
-            hit = fast[(self.acc >> (self.nbits - 8)) & 0xFF]
-            if hit is not None:
-                self.nbits -= hit[1]
-                return hit[0]
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+        p = self.p
+        idx = (self.win[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        length = table.lut_len[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        if p + length > self.total:
+            self._starve()
+        self.p = p + length
+        return table.lut_sym[idx]
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -688,6 +721,96 @@ def _decode_block(
     uint8 spatial block and the new DC predictor."""
     levels, prev_dc = _decode_levels(reader, dc_dec, ac_dec, prev_dc)
     return _idct_pixels_batch(levels[None], qtab)[0], prev_dc
+
+
+def _decode_mcu_run(
+    seg: bytes,
+    n_mcus: int,
+    unit_cis: list[int],
+    luts: list[tuple[_HuffTable, _HuffTable]],
+    zz_all: list[np.ndarray],
+    bi: list[int],
+    more_segments: bool,
+) -> int:
+    """Entropy-decode `n_mcus` interleaved MCUs from ONE unstuffed
+    restart segment into per-component (n_blocks, 64) zigzag level
+    arrays (written in block-arrival order at bi[ci]); returns the
+    final bit position. decode_jpeg's hot loop: identical
+    symbol/extend semantics to _decode_levels, with the bit cursor in
+    a local and one 16-bit LUT hit per Huffman symbol (no per-byte
+    stuffing branches — the segment is pre-unstuffed)."""
+    win = _bit_windows(seg)
+    total = 8 * len(seg)
+    p = 0
+    dc = [0] * len(zz_all)
+    tabs = [
+        (d.lut_sym, d.lut_len, a.lut_sym, a.lut_len) for d, a in luts
+    ]
+    starve_msg = (
+        "unexpected marker in entropy data"
+        if more_segments
+        else "truncated entropy data"
+    )
+    for _ in range(n_mcus):
+        for ci in unit_cis:
+            dsym, dlen, asym, alen = tabs[ci]
+            row = zz_all[ci][bi[ci]]
+            bi[ci] += 1
+            idx = (win[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            length = dlen[idx]
+            if length == 0:
+                raise ValueError("invalid Huffman code")
+            p += length
+            size = dsym[idx]
+            pred = dc[ci]
+            if size:
+                if size > 15:
+                    raise ValueError(
+                        "DC magnitude category out of range"
+                    )
+                v = (win[p >> 3] >> (32 - (p & 7) - size)) & (
+                    (1 << size) - 1
+                )
+                p += size
+                if v < (1 << (size - 1)):
+                    v += 1 - (1 << size)
+                pred += v
+                dc[ci] = pred
+            row[0] = pred
+            k = 1
+            while k < 64:
+                # consuming past the segment is the old reader's
+                # starvation error; checking at each symbol also keeps
+                # the window index within its zero slack
+                if p > total:
+                    raise ValueError(starve_msg)
+                idx = (win[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                length = alen[idx]
+                if length == 0:
+                    raise ValueError("invalid Huffman code")
+                p += length
+                sym = asym[idx]
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k >= 64:
+                    raise ValueError("AC index overflow")
+                size = sym & 0x0F
+                if size:
+                    v = (win[p >> 3] >> (32 - (p & 7) - size)) & (
+                        (1 << size) - 1
+                    )
+                    p += size
+                    if v < (1 << (size - 1)):
+                        v += 1 - (1 << size)
+                    row[k] = v
+                k += 1
+            if p > total:
+                raise ValueError(starve_msg)
+    return p
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -1034,59 +1157,82 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"sampling layout {factors}")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
-    reader = _BitReader(entropy)
     planes = []
-    for cid, hi, vi, tq in comps:
+    luts: list[tuple[_HuffTable, _HuffTable]] = []
+    unit_cis: list[int] = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError("missing quantization table")
         planes.append(
             np.zeros((mh * vi * 8, mw * hi * 8), dtype=np.uint8)
         )
-    dc = [0] * len(comps)
-    mcu_index = 0
+        if cid not in scan_map:
+            raise ValueError("SOS/SOF component id mismatch")
+        dc_dec = huff.get((0, scan_map[cid][0]))
+        ac_dec = huff.get((1, scan_map[cid][1]))
+        if dc_dec is None or ac_dec is None:
+            raise ValueError("missing Huffman table")
+        luts.append((dc_dec, ac_dec))
+        unit_cis.extend([ci] * (hi * vi))
     # entropy-decode every block's levels first (inherently sequential
-    # bitstream walk), then IDCT each component's stack in ONE batched
-    # matmul — bitwise identical to block-at-a-time (see
-    # _idct_pixels_batch).
-    pending: list[list[tuple[int, int, np.ndarray]]] = [
-        [] for _ in comps
+    # bitstream walk, one restart segment at a time) into preallocated
+    # (n_blocks, 64) arrays, then IDCT each component's stack in ONE
+    # batched matmul — bitwise identical to block-at-a-time (see
+    # _idct_pixels_batch / _decode_mcu_run).
+    segs, rst_nums = _split_entropy(entropy)
+    zz_all = [
+        np.zeros((mh * mw * hi * vi, 64), dtype=np.int64)
+        for _cid, hi, vi, _tq in comps
     ]
-    for my in range(mh):
-        for mx in range(mw):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                reader.sync_restart(
-                    (mcu_index // restart_interval - 1) % 8
-                )
-                dc = [0] * len(comps)
-            mcu_index += 1
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                if cid not in scan_map:
-                    raise ValueError("SOS/SOF component id mismatch")
-                dc_dec = huff.get((0, scan_map[cid][0]))
-                ac_dec = huff.get((1, scan_map[cid][1]))
-                if dc_dec is None or ac_dec is None:
-                    raise ValueError("missing Huffman table")
-                for vy in range(vi):
-                    for vx in range(hi):
-                        lev, dc[ci] = _decode_levels(
-                            reader, dc_dec, ac_dec, dc[ci]
-                        )
-                        by, bx = my * vi + vy, mx * hi + vx
-                        pending[ci].append((by, bx, lev))
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        if not pending[ci]:
-            continue
-        pix = _idct_pixels_batch(
-            np.stack([lv for _, _, lv in pending[ci]]), qtabs[tq]
+    bi = [0] * len(comps)
+    total_mcus = mh * mw
+    ri = restart_interval
+    seg_i = 0
+    done = 0
+    while done < total_mcus:
+        if seg_i > 0:
+            # validate the restart boundary the way sync_restart did
+            expected = (done // ri - 1) % 8
+            if seg_i >= len(segs):
+                raise ValueError("missing restart marker")
+            if rst_nums[seg_i - 1] != expected:
+                raise ValueError("restart marker out of sequence")
+        run = min(ri, total_mcus - done) if ri else total_mcus
+        p = _decode_mcu_run(
+            segs[seg_i],
+            run,
+            unit_cis,
+            luts,
+            zz_all,
+            bi,
+            seg_i + 1 < len(segs),
         )
-        for (by, bx, _), blk in zip(pending[ci], pix):
-            planes[ci][
-                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-            ] = blk
+        done += run
+        if done < total_mcus:
+            # pad bits (and unstuffed 0xFF pad bytes) may remain; any
+            # other unconsumed data means the marker was not where the
+            # old reader required it
+            if segs[seg_i][(p + 7) >> 3 :].strip(b"\xff"):
+                raise ValueError("missing restart marker")
+            if seg_i + 1 >= len(segs):
+                raise ValueError("missing restart marker")
+        seg_i += 1
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        zz = zz_all[ci]
+        if zz.shape[0] == 0:
+            continue
+        levels = np.zeros((zz.shape[0], 64), dtype=np.int64)
+        levels[:, _ZIG_FLAT] = zz
+        pix = _idct_pixels_batch(
+            levels.reshape(-1, 8, 8), qtabs[tq]
+        )
+        # analytic block positions in arrival order (MCU-major)
+        karr = np.arange(zz.shape[0])
+        mcu_idx, r = karr // (hi * vi), karr % (hi * vi)
+        by = (mcu_idx // mw) * vi + r // hi
+        bx = (mcu_idx % mw) * hi + r % hi
+        plane4 = planes[ci].reshape(mh * vi, 8, mw * hi, 8)
+        plane4[by, :, bx, :] = pix
     if len(comps) == 1:
         return planes[0][:h, :w]
     out_planes = []

@@ -36,8 +36,10 @@ import numpy as np
 from economic_data_etl_spark.operators.jpeg import (
     _BitReader,
     _BitWriter,
+    _bit_windows,
     _canonical_codes,
     _decode_table,
+    _split_entropy,
     _JFIF_APP0,
     _seg,
 )
@@ -370,26 +372,168 @@ def decode_lossless(payload: bytes) -> np.ndarray:
         if sel is None or sel not in huff:
             raise ValueError("missing Huffman table")
         tables.append(huff[sel])
-    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
-    reader = _BitReader(entropy)
-    seg_start = (0, 0)
-    mcu_index = 0
-    for y in range(h):
-        for x in range(w):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                reader.sync_restart(
-                    (mcu_index // restart_interval - 1) % 8
-                )
-                seg_start = (y, x)
-            mcu_index += 1
-            for plane, table in zip(planes, tables):
-                pred = _predict(plane, y, x, predictor, seg_start)
-                diff = _decode_diff(reader, table)
-                plane[y, x] = (pred + diff) & 0xFF
+    n = h * w
+    ri = restart_interval
+    seg_ranges = (
+        [(s, min(s + ri, n)) for s in range(0, n, ri)]
+        if ri
+        else [(0, n)]
+    )
+    diffs = _decode_diffs_fast(entropy, tables, seg_ranges, n)
+    planes = [
+        _undiff_plane(
+            diffs[:, ci].reshape(h, w), predictor, seg_ranges
+        )
+        for ci in range(len(comps))
+    ]
     if len(planes) == 1:
         return planes[0].astype(np.uint8)
     return np.stack(planes, axis=2).astype(np.uint8)
+
+
+def _decode_diffs_fast(
+    entropy: bytes,
+    tables: list[dict],
+    seg_ranges: list[tuple[int, int]],
+    n: int,
+) -> np.ndarray:
+    """Entropy-decode the interleaved lossless diff stream: one 16-bit
+    LUT hit per Huffman symbol over pre-unstuffed restart segments
+    (jpeg._split_entropy), with the same ValueError conditions the
+    per-bit reader raised. Returns (n, ncomp) int64 diffs. The
+    sequential half of decode_lossless; prediction inversion is
+    vectorized separately (_undiff_plane)."""
+    segs, rst_nums = _split_entropy(entropy)
+    ncomp = len(tables)
+    tabs = [(t.lut_sym, t.lut_len) for t in tables]
+    out: list[int] = [0] * (n * ncomp)
+    oi = 0
+    prev_tail_clean = True
+    for si, (s0, s1) in enumerate(seg_ranges):
+        if si:
+            # boundary validation, mirroring _BitReader.sync_restart
+            if si >= len(segs) or not prev_tail_clean:
+                raise ValueError("missing restart marker")
+            if rst_nums[si - 1] != (si - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+        seg = segs[si] if si < len(segs) else b""
+        win = _bit_windows(seg)
+        total = 8 * len(seg)
+        more = si + 1 < len(segs)
+        p = 0
+        # unroll the interleaved component cycle into one flat table
+        # sequence (pointer repeats) so the hot loop has no nesting
+        for lsym, llen in tabs * (s1 - s0):
+            idx = (win[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            length = llen[idx]
+            if length == 0:
+                raise ValueError("invalid Huffman code")
+            p += length
+            size = lsym[idx]
+            if size == 0:
+                v = 0
+            elif size == 16:
+                v = 32768  # category 16: no appended bits
+            else:
+                b = (win[p >> 3] >> (32 - (p & 7) - size)) & (
+                    (1 << size) - 1
+                )
+                p += size
+                if b < (1 << (size - 1)):
+                    b += 1 - (1 << size)
+                v = b
+            out[oi] = v
+            oi += 1
+            if p > total:
+                raise ValueError(
+                    "unexpected marker in entropy data"
+                    if more
+                    else "truncated entropy data"
+                )
+        # only pad bits / unstuffed 0xFF pad bytes may remain before
+        # the next restart marker
+        prev_tail_clean = not seg[(p + 7) >> 3 :].strip(b"\xff")
+    return np.array(out, dtype=np.int64).reshape(n, ncomp)
+
+
+def _undiff_plane(
+    d2: np.ndarray,
+    predictor: int,
+    seg_ranges: list[tuple[int, int]],
+) -> np.ndarray:
+    """Invert the T.81 Annex H DPCM prediction for one component given
+    its decoded (h, w) diff plane — bitwise-identical to the
+    per-sample _predict walk (pinned in tests/test_jpeg_lossless.py).
+    Row structure: every row splits into a NORMAL prefix (cells whose
+    segment started on an earlier row: x=0 is Rb, the rest the scan's
+    predictor) and an Ra SUFFIX (cells whose segment starts within
+    this row: 128 at the start, then a running Ra chain). Predictors
+    1/4/5 and every Ra chain are mod-256 prefix sums (vectorized per
+    row); 2/3 are pure shifts of the previous row; 6/7 carry the
+    running value through a floor-shift and stay scalar per row."""
+    h, w = d2.shape
+    plane = np.zeros((h, w), dtype=np.int64)
+    starts = [s0 for s0, _ in seg_ranges]
+    si = 0
+    for y in range(h):
+        base = y * w
+        row_starts: list[int] = []
+        while si < len(starts) and starts[si] < base + w:
+            if starts[si] >= base:
+                row_starts.append(starts[si] - base)
+            si += 1
+        t = row_starts[0] if row_starts else w
+        if t > 0:
+            # normal prefix: y >= 1 here (row 0 always begins a segment)
+            dr = d2[y, :t]
+            rb = plane[y - 1, :t]
+            if predictor == 2:
+                plane[y, :t] = (rb + dr) & 0xFF
+            elif predictor == 3:
+                plane[y, 0] = (rb[0] + dr[0]) & 0xFF
+                if t > 1:
+                    plane[y, 1:t] = (
+                        plane[y - 1, : t - 1] + dr[1:]
+                    ) & 0xFF
+            elif predictor == 1:
+                c = dr.copy()
+                c[0] += rb[0]
+                plane[y, :t] = np.cumsum(c) & 0xFF
+            elif predictor in (4, 5):
+                rc = plane[y - 1, : t - 1]
+                c = np.empty(t, dtype=np.int64)
+                c[0] = rb[0] + dr[0]
+                if t > 1:
+                    delta = rb[1:] - rc
+                    if predictor == 5:
+                        delta >>= 1
+                    c[1:] = delta + dr[1:]
+                plane[y, :t] = np.cumsum(c) & 0xFF
+            else:  # 6, 7: running value feeds a floor shift
+                prevl = plane[y - 1, :t].tolist()
+                drl = dr.tolist()
+                cur = [0] * t
+                v = (prevl[0] + drl[0]) & 0xFF
+                cur[0] = v
+                if predictor == 6:
+                    for x in range(1, t):
+                        v = (
+                            prevl[x]
+                            + ((v - prevl[x - 1]) >> 1)
+                            + drl[x]
+                        ) & 0xFF
+                        cur[x] = v
+                else:
+                    for x in range(1, t):
+                        v = (((v + prevl[x]) >> 1) + drl[x]) & 0xFF
+                        cur[x] = v
+                plane[y, :t] = cur
+        for j, sx in enumerate(row_starts):
+            ex = row_starts[j + 1] if j + 1 < len(row_starts) else w
+            if ex - sx == 1:
+                plane[y, sx] = (128 + d2[y, sx]) & 0xFF
+            else:
+                c = d2[y, sx:ex].copy()
+                c[0] += 128
+                plane[y, sx:ex] = np.cumsum(c) & 0xFF
+    return plane

@@ -435,3 +435,92 @@ class TestBatchedTransformIdentity:
                 np.uint8
             )
             assert np.array_equal(got[i], want)
+
+
+class TestTableDrivenReaderIdentity:
+    """The round-13 table-driven bit reader (segment pre-unstuffing +
+    16-bit canonical-code LUT, jpeg._split_entropy/_bit_windows/
+    _decode_mcu_run) must decode bit-identically to the retired
+    byte-at-a-time reader. The sha256 below fingerprints decoded
+    pixels over a matrix spanning gray/color, every supported chroma
+    layout, restart intervals, progressive scans at Al 0..2, all
+    seven lossless predictors, and both arithmetic modes; it was
+    computed on the pre-rewrite implementation and must never move."""
+
+    FINGERPRINT = (
+        "979d05eb79b5075d994a2e55fec2f06e"
+        "4461ccb48350da22c527ddb403be2ff1"
+    )
+
+    def test_decode_fingerprint_pinned(self):
+        import hashlib
+
+        import economic_data_etl_spark.operators.jpeg as J
+        import economic_data_etl_spark.operators.jpeg_arithmetic as A
+        import economic_data_etl_spark.operators.jpeg_lossless as L
+        import economic_data_etl_spark.operators.jpeg_progressive as P
+        from economic_data_etl_spark.operators.codecs import gray_pattern
+
+        h_ = hashlib.sha256()
+
+        def add(arr):
+            h_.update(np.ascontiguousarray(arr).tobytes())
+            h_.update(str(arr.shape).encode())
+
+        for seed in range(6):
+            r = np.random.default_rng(seed)
+            hh, ww = int(r.integers(8, 70)), int(r.integers(8, 70))
+            g = r.integers(0, 256, (hh, ww), np.uint8)
+            c = r.integers(0, 256, (hh, ww, 3), np.uint8)
+            for ri in (0, 1, 3, 7):
+                add(J.decode_jpeg(J.encode_jpeg_gray(g, restart_interval=ri)))
+            for ss in (False, True, "422", "440"):
+                add(
+                    J.decode_jpeg(
+                        J.encode_jpeg_color(
+                            c, subsample=ss, restart_interval=seed % 4
+                        )
+                    )
+                )
+            for al in (0, 1, 2):
+                add(
+                    J.decode_jpeg(
+                        P.encode_jpeg_progressive(
+                            g, al=al, restart_interval=seed % 3
+                        )
+                    )
+                )
+                add(
+                    J.decode_jpeg(
+                        P.encode_jpeg_progressive(c, subsample=True, al=al)
+                    )
+                )
+            for pred in range(1, 8):
+                add(
+                    J.decode_jpeg(
+                        L.encode_jpeg_lossless(
+                            g, pred, restart_interval=(seed * 3) % 9
+                        )
+                    )
+                )
+            add(
+                J.decode_jpeg(
+                    L.encode_jpeg_lossless(
+                        c, 1 + seed % 7, restart_interval=2
+                    )
+                )
+            )
+            add(J.decode_jpeg(A.encode_jpeg_arith_gray(g, restart_interval=seed % 3)))
+            add(J.decode_jpeg(A.encode_jpeg_arith_color(c, subsample=True)))
+        for d in range(0, 4000, 333):
+            w = 16 + d % 64
+            add(
+                J.decode_jpeg(
+                    L.encode_jpeg_lossless(
+                        gray_pattern(d),
+                        predictor=1 + d % 7,
+                        restart_interval=(d % 3) * w,
+                    )
+                )
+            )
+        assert h_.hexdigest() == self.FINGERPRINT

@@ -236,3 +236,40 @@ class TestVectorizedEncoderEquivalence:
                 [img.astype(np.int64)], 4, ri
             )
             assert got[-2 - len(want) : -2] == want
+
+
+class TestUndiffPlaneEquivalence:
+    """_undiff_plane (row-vectorized DPCM inversion) must reproduce the
+    scalar _predict walk bit-for-bit on ARBITRARY diff planes — not
+    just diffs produced by the encoder — across every predictor and
+    restart geometry, including mid-row segment starts and the
+    mod-2^16 wrap values."""
+
+    def test_matches_scalar_walk_on_random_diffs(self):
+        from economic_data_etl_spark.operators.jpeg_lossless import (
+            _predict,
+            _undiff_plane,
+        )
+
+        rng = np.random.default_rng(7)
+        for pred in range(1, 8):
+            for ri in (0, 1, 2, 3, 5, 9, 100):
+                h, w = int(rng.integers(1, 15)), int(rng.integers(1, 15))
+                n = h * w
+                d2 = rng.integers(-32768, 32769, (h, w)).astype(np.int64)
+                seg_ranges = (
+                    [(s, min(s + ri, n)) for s in range(0, n, ri)]
+                    if ri
+                    else [(0, n)]
+                )
+                got = _undiff_plane(d2, pred, seg_ranges)
+                want = np.zeros((h, w), np.int64)
+                starts = {s0 for s0, _ in seg_ranges}
+                seg_start = (0, 0)
+                for y in range(h):
+                    for x in range(w):
+                        if y * w + x in starts:
+                            seg_start = (y, x)
+                        p = _predict(want, y, x, pred, seg_start)
+                        want[y, x] = (p + int(d2[y, x])) & 0xFF
+                assert np.array_equal(got, want), (pred, ri, h, w)
