@@ -275,6 +275,26 @@ class _BitWriter:
         self.out.append(0xD0 + (n & 7))
 
 
+def _pack_tokens_small(values, lengths) -> bytes:
+    """Scalar twin of _pack_tokens for SHORT token runs (tiny restart
+    segments): accumulate the bits in one Python int, 1-pad, stuff.
+    Bitwise-identical to _BitWriter.write + _byte_align — each write
+    appends the low `length` bits of `value` MSB-first."""
+    acc = 0
+    nbits = 0
+    for v, ln in zip(values, lengths):
+        ln = int(ln)  # callers may pass numpy arrays
+        acc = (acc << ln) | (int(v) & ((1 << ln) - 1))
+        nbits += ln
+    pad = (-nbits) % 8
+    if pad:
+        acc = (acc << pad) | ((1 << pad) - 1)
+        nbits += pad
+    return acc.to_bytes(nbits // 8, "big").replace(
+        b"\xff", b"\xff\x00"
+    )
+
+
 def _pack_tokens(values: np.ndarray, lengths: np.ndarray) -> bytes:
     """MSB-first bit packing of (value, length<=16) tokens with JPEG
     byte stuffing and 1-padding to the byte boundary — one vectorized
@@ -317,10 +337,14 @@ class _TokenWriter:
 
     def _pack_segment(self) -> None:
         if self._vals:
-            self.out += _pack_tokens(
-                np.array(self._vals, np.int64),
-                np.array(self._lens, np.int64),
-            )
+            if len(self._vals) < 48:
+                # numpy setup dwarfs the work on tiny restart segments
+                self.out += _pack_tokens_small(self._vals, self._lens)
+            else:
+                self.out += _pack_tokens(
+                    np.array(self._vals, np.int64),
+                    np.array(self._lens, np.int64),
+                )
             self._vals.clear()
             self._lens.clear()
 
@@ -373,9 +397,18 @@ def _bit_windows(seg: bytes) -> list[int]:
     raising. Any k <= 16 bits at bit position p are
     (win[p >> 3] >> (24 - (p & 7) - k)) & ((1 << k) - 1) — one list
     index, one shift, one mask. Built in one vectorized pass."""
-    b = np.frombuffer(seg + b"\x00" * 8, dtype=np.uint8).astype(
-        np.int64
-    )
+    padded = seg + b"\x00" * 8
+    if len(seg) < 64:
+        # tiny restart segments (1-2 MCU intervals) are common in the
+        # corpus; numpy call overhead dwarfs the work at this size
+        return [
+            (padded[i] << 24)
+            | (padded[i + 1] << 16)
+            | (padded[i + 2] << 8)
+            | padded[i + 3]
+            for i in range(len(seg) + 5)
+        ]
+    b = np.frombuffer(padded, dtype=np.uint8).astype(np.int64)
     return (
         (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
     ).tolist()

@@ -98,26 +98,28 @@ def _enc_ac_band_first(
 ) -> None:
     """First AC scan of one block's band: point-transformed values
     (magnitude shift toward zero) under the sequential AC decision
-    tree, band-limited. EOB is one adaptive decision per coding event."""
-    band = {
-        k: (abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
-        for k in range(ss, se + 1)
-    }
-    ke = ss - 1
-    for k in range(se, ss - 1, -1):
-        if band[k]:
-            ke = k
-            break
+    tree, band-limited. EOB is one adaptive decision per coding event.
+    The band is point-transformed in ONE vectorized pass (the per-k
+    dict build dominated the encoder profile on sparse blocks), and an
+    all-zero band short-circuits to its lone EOB decision — the same
+    decision sequence the scalar walk emitted."""
+    vals = zz[ss : se + 1]
+    mags = np.abs(vals) >> al
+    if not mags.any():
+        enc.encode(stats, 3 * (ss - 1), 1)  # all-zero band: lone EOB
+        return
+    band = np.where(vals < 0, -mags, mags).tolist()
+    ke = ss + int(np.flatnonzero(mags)[-1])
     k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not EOB
-        while band[k] == 0:
+        while band[k - ss] == 0:
             enc.encode(stats, st + 1, 0)
             k += 1
             st += 3
         enc.encode(stats, st + 1, 1)
-        v = band[k]
+        v = band[k - ss]
         if v > 0:
             enc.encode(fixed, 0, 0)
         else:
@@ -211,31 +213,42 @@ def _enc_ac_band_refine(
     significant decision at st+1 (sign through the fixed bin); the
     end-of-band decision is asked only for k past the last history
     coefficient."""
-    p1 = 1 << al
-    hist_nonzero = [
-        k for k in range(ss, se + 1) if (abs(int(zz[k])) >> ah) != 0
-    ]
-    kex = hist_nonzero[-1] if hist_nonzero else ss - 1
-    newly = [
-        k
-        for k in range(ss, se + 1)
-        if (abs(int(zz[k])) >> ah) == 0 and (abs(int(zz[k])) >> al) != 0
-    ]
+    # history / newly-significant sets in one vectorized pass; the
+    # walk itself is decision-sequential. `newly` is ascending and k
+    # only grows, so the old per-iteration "any newly >= k" list scan
+    # collapses to a pointer.
+    vals = zz[ss : se + 1]
+    az = np.abs(vals)
+    if not az.any():
+        # no history, nothing newly significant: the walk's first
+        # decision is the EOB (same sequence as the general path)
+        enc.encode(stats, 3 * (ss - 1), 1)
+        return
+    hist_nz = np.flatnonzero((az >> ah) != 0)
+    kex = ss + int(hist_nz[-1]) if hist_nz.size else ss - 1
+    newly = (
+        ss + np.flatnonzero(((az >> ah) == 0) & ((az >> al) != 0))
+    ).tolist()
+    n_new = len(newly)
+    ni = 0
+    band = vals.tolist()
     k = ss
     while k <= se:
         st = 3 * (k - 1)
         if k > kex:
-            remaining = [t for t in newly if t >= k]
-            if not remaining:
+            while ni < n_new and newly[ni] < k:
+                ni += 1
+            if ni >= n_new:
                 enc.encode(stats, st, 1)  # EOB
                 return
             enc.encode(stats, st, 0)
         while True:
-            v = int(zz[k])
-            if (abs(v) >> ah) != 0:  # history: correction bit
-                enc.encode(stats, st + 2, (abs(v) >> al) & 1)
+            v = band[k - ss]
+            av = v if v >= 0 else -v
+            if (av >> ah) != 0:  # history: correction bit
+                enc.encode(stats, st + 2, (av >> al) & 1)
                 break
-            if (abs(v) >> al) != 0:  # newly significant (must be ±1)
+            if (av >> al) != 0:  # newly significant (must be ±1)
                 enc.encode(stats, st + 1, 1)
                 enc.encode(fixed, 0, 0 if v > 0 else 1)
                 break
@@ -245,7 +258,6 @@ def _enc_ac_band_refine(
             if k > se:
                 raise ValueError("refinement walk overran the band")
         k += 1
-    del p1
 
 
 def _dec_ac_band_refine(
@@ -259,11 +271,8 @@ def _dec_ac_band_refine(
     al: int,
 ) -> None:
     p1, m1 = 1 << al, -(1 << al)
-    kex = ss - 1
-    for k in range(se, ss - 1, -1):
-        if (abs(int(zz[k])) >> ah) != 0:
-            kex = k
-            break
+    hist_nz = np.flatnonzero((np.abs(zz[ss : se + 1]) >> ah) != 0)
+    kex = ss + int(hist_nz[-1]) if hist_nz.size else ss - 1
     k = ss
     while k <= se:
         st = 3 * (k - 1)

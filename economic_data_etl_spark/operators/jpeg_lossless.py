@@ -175,7 +175,15 @@ def _predictions_vec(
 def _pack_tokens(values: np.ndarray, lengths: np.ndarray) -> bytearray:
     """MSB-first bit packing of (value, length) tokens with JPEG byte
     stuffing and 1-padding to the byte boundary — the vectorized twin
-    of _BitWriter.write/_byte_align (bitwise-pinned in tests)."""
+    of _BitWriter.write/_byte_align (bitwise-pinned in tests). Short
+    runs (tiny restart segments) take the scalar big-int path, where
+    numpy setup would dwarf the work."""
+    if values.size < 48:
+        from economic_data_etl_spark.operators.jpeg import (
+            _pack_tokens_small,
+        )
+
+        return bytearray(_pack_tokens_small(values, lengths))
     k = np.arange(16)
     shifts = lengths[:, None] - 1 - k[None, :]
     bits_mat = (values[:, None] >> np.maximum(shifts, 0)) & 1

@@ -75,6 +75,7 @@ from economic_data_etl_spark.operators.jpeg import (
     _ZIGZAG,
     _BitReader,
     _BitWriter,
+    _TokenWriter,
     _decode_table,
     _dqt_payload,
     _extend,
@@ -167,7 +168,7 @@ def _restart_due(i: int, ri: int) -> int | None:
 
 
 def _enc_dc_first(coefs, units, n_comps, al, dc_encs, ri=0) -> bytes:
-    w = _BitWriter()
+    w = _TokenWriter()
     preds = [0] * n_comps
     for i, unit in enumerate(units):
         n = _restart_due(i, ri)
@@ -188,7 +189,7 @@ def _enc_dc_first(coefs, units, n_comps, al, dc_encs, ri=0) -> bytes:
 
 def _enc_dc_refine(coefs, units, al, ri=0) -> bytes:
     """DC refinement: ONE raw bit per block, no Huffman (G.1.2.1)."""
-    w = _BitWriter()
+    w = _TokenWriter()
     for i, unit in enumerate(units):
         n = _restart_due(i, ri)
         if n is not None:
@@ -203,14 +204,18 @@ def _enc_ac_first(coef, cbh, cbw, ss, se, al, ac_enc, ri=0) -> bytes:
     point-transformed, with a per-block EOB (eobrun = 1) for trailing
     zeros — a valid stream that trades a few bits for simplicity.
     Restart intervals count BLOCKS in non-interleaved scans."""
-    w = _BitWriter()
+    w = _TokenWriter()
     blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
     eob_code, eob_len = ac_enc[0x00]
     for i, (by, bx) in enumerate(blocks):
         n = _restart_due(i, ri)
         if n is not None:
             w.restart(n)
-        band = _pt_ac_band(coef[by, bx, ss : se + 1], al)
+        raw = coef[by, bx, ss : se + 1]
+        if not raw.any():  # all-zero band: lone EOB, skip the PT pass
+            w.write(eob_code, eob_len)
+            continue
+        band = _pt_ac_band(raw, al)
         nz = np.flatnonzero(band)
         if nz.size == 0:  # all-zero band: lone EOB
             w.write(eob_code, eob_len)
@@ -241,13 +246,19 @@ def _enc_ac_refine(coef, cbh, cbw, ss, se, ah, al, ac_enc, ri=0) -> bytes:
     significant coefficients (|v|>>Al == 1) are coded as (run«4)|1 +
     sign bit, where run counts only ZERO-HISTORY positions; history
     coefficients passed contribute correction bits, not run length."""
-    w = _BitWriter()
+    w = _TokenWriter()
     _blocks = [(by, bx) for by in range(cbh) for bx in range(cbw)]
     for _i, (by, bx) in enumerate(_blocks):
         n_rst = _restart_due(_i, ri)
         if n_rst is not None:
             w.restart(n_rst)
         band = coef[by, bx, ss : se + 1]
+        if not band.any():
+            # nothing in this block's band: lone EOB closes it
+            # (skips the two point-transform passes on sparse blocks)
+            code, length = ac_enc[0x00]
+            w.write(code, length)
+            continue
         now = _pt_ac_band(band, al)
         hist = _pt_ac_band(band, ah) != 0
         newly = np.flatnonzero(np.abs(now) == 1)
