@@ -661,34 +661,231 @@ def _encode_block(
     if levels is None:
         coeff = _M @ (block - 128.0) @ _M.T
         levels = _round_half_up(coeff / qtab).astype(np.int64)
-    zz = levels.ravel()[_ZIG_FLAT].tolist()
-    diff = zz[0] - prev_dc
-    size, bits = _magnitude(diff)
+    zz = levels.ravel()[_ZIG_FLAT]
+    zz0 = int(zz[0])
+    size, bits = _magnitude(zz0 - prev_dc)
     code, length = dc_enc[size]
     writer.write(code, length)
     if size:
         writer.write(bits, size)
-    run = 0
-    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-    for i in range(1, 64):
-        if i > last_nz:
-            code, length = ac_enc[0x00]  # EOB
-            writer.write(code, length)
-            break
-        v = zz[i]
-        if v == 0:
-            run += 1
-            continue
+    # walk only the NONZERO AC positions (typical blocks are sparse);
+    # runs fall out of the index gaps — token stream identical to the
+    # retired full 1..63 scan
+    nz = np.flatnonzero(zz[1:])
+    if nz.size == 0:
+        code, length = ac_enc[0x00]  # EOB
+        writer.write(code, length)
+        return zz0
+    prev = 0
+    for idx in nz.tolist():
+        i = idx + 1
+        run = i - prev - 1
         while run >= 16:
             code, length = ac_enc[0xF0]  # ZRL
             writer.write(code, length)
             run -= 16
-        size, bits = _magnitude(v)
+        size, bits = _magnitude(int(zz[i]))
         code, length = ac_enc[(run << 4) | size]
         writer.write(code, length)
         writer.write(bits, size)
-        run = 0
-    return zz[0]
+        prev = i
+    if prev < 63:
+        code, length = ac_enc[0x00]  # EOB after trailing zeros
+        writer.write(code, length)
+    return zz0
+
+
+def _enc_table_arrays(
+    enc: dict[int, tuple[int, int]], nsyms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(code, length) dict -> dense numpy code/length arrays for the
+    batched token synthesizer (missing symbols keep length 0 and are
+    never emitted)."""
+    codes = np.zeros(nsyms, dtype=np.int64)
+    lens = np.zeros(nsyms, dtype=np.int64)
+    for sym, (code, length) in enc.items():
+        codes[sym] = code
+        lens[sym] = length
+    return codes, lens
+
+
+_DC_CODE_ARRS = np.stack(
+    [
+        _enc_table_arrays(_DC_ENC, 16)[0],
+        _enc_table_arrays(_DC_ENC_C, 16)[0],
+    ]
+)
+_DC_LEN_ARRS = np.stack(
+    [
+        _enc_table_arrays(_DC_ENC, 16)[1],
+        _enc_table_arrays(_DC_ENC_C, 16)[1],
+    ]
+)
+_AC_CODE_ARRS = np.stack(
+    [
+        _enc_table_arrays(_AC_ENC, 256)[0],
+        _enc_table_arrays(_AC_ENC_C, 256)[0],
+    ]
+)
+_AC_LEN_ARRS = np.stack(
+    [
+        _enc_table_arrays(_AC_ENC, 256)[1],
+        _enc_table_arrays(_AC_ENC_C, 256)[1],
+    ]
+)
+
+
+def _entropy_encode_batch(
+    zz_comps: list[np.ndarray],
+    tsels: list[int],
+    bpms: list[int],
+    n_mcus: int,
+    restart_interval: int,
+) -> bytes:
+    """Vectorized baseline-JPEG entropy coder: synthesize the ENTIRE
+    token stream (DC diffs with restart resets, AC run/size symbols,
+    ZRLs, EOBs) for every component in one set of numpy passes, merge
+    into interleaved-MCU emission order with one lexsort, and pack one
+    restart segment at a time. Token-for-token identical to walking
+    _encode_block over the MCU order (pinned by the encoder-bytes and
+    decode-fingerprint tests).
+
+    zz_comps[c]: (N_c, 64) int64 zigzag-ordered levels in that
+    component's block-arrival order; tsels[c] selects the table pair
+    (0 luma, 1 chroma); bpms[c] = blocks per MCU (hi*vi)."""
+    ri = restart_interval
+    btot = sum(bpms)
+    prefix = np.cumsum([0] + bpms[:-1])
+    all_vals: list[np.ndarray] = []
+    all_lens: list[np.ndarray] = []
+    all_pos: list[np.ndarray] = []
+    all_key: list[np.ndarray] = []
+
+    for ci, zz in enumerate(zz_comps):
+        n = zz.shape[0]
+        if n == 0:
+            continue
+        bpm = bpms[ci]
+        tsel = tsels[ci]
+        k_arr = np.arange(n)
+        # emission position of this component's k-th block in the
+        # interleaved MCU walk
+        epos = (k_arr // bpm) * btot + prefix[ci] + (k_arr % bpm)
+        # --- DC: diff against the previous block, reset per segment
+        dc = zz[:, 0]
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = dc[:-1]
+        if ri:
+            resets = np.arange(0, n_mcus, ri) * bpm
+            prev[resets[resets < n]] = 0
+        diff = dc - prev
+        dsize = np.frexp(np.abs(diff).astype(np.float64))[1].astype(
+            np.int64
+        )
+        dbits = np.where(diff >= 0, diff, diff + (1 << dsize) - 1)
+        all_vals.append(_DC_CODE_ARRS[tsel][dsize])
+        all_lens.append(_DC_LEN_ARRS[tsel][dsize])
+        all_pos.append(epos)
+        all_key.append(np.zeros(n, dtype=np.int64))
+        # appended magnitude bits (length 0 when diff == 0 — packs to
+        # nothing, exactly like the skipped write in _encode_block)
+        all_vals.append(np.where(dsize > 0, dbits, 0))
+        all_lens.append(dsize)
+        all_pos.append(epos)
+        all_key.append(np.ones(n, dtype=np.int64))
+        # --- AC: nonzero positions only (row-major => block, then k)
+        rows, cols0 = np.nonzero(zz[:, 1:])
+        kpos = cols0 + 1
+        if rows.size:
+            v = zz[rows, kpos]
+            first = np.empty(rows.size, dtype=bool)
+            first[0] = True
+            first[1:] = rows[1:] != rows[:-1]
+            prevk = np.empty(rows.size, dtype=np.int64)
+            prevk[0] = 0
+            prevk[1:] = kpos[:-1]
+            prevk[first] = 0
+            run = kpos - prevk - 1
+            nzrl = run >> 4
+            rem = run & 15
+            asize = np.frexp(np.abs(v).astype(np.float64))[1].astype(
+                np.int64
+            )
+            abits = np.where(v >= 0, v, v + (1 << asize) - 1)
+            # ZRL tokens: the m-th ZRL of the nonzero at position k
+            # carries key 8k+4+m, before that coefficient's code (8k+8)
+            if nzrl.any():
+                zr_rows = np.repeat(rows, nzrl)
+                zr_k = np.repeat(kpos, nzrl)
+                m = np.arange(int(nzrl.sum())) - np.repeat(
+                    np.cumsum(nzrl) - nzrl, nzrl
+                )
+                zrl_code, zrl_len = (
+                    _AC_ENC[0xF0] if tsel == 0 else _AC_ENC_C[0xF0]
+                )
+                all_vals.append(
+                    np.full(zr_rows.size, zrl_code, dtype=np.int64)
+                )
+                all_lens.append(
+                    np.full(zr_rows.size, zrl_len, dtype=np.int64)
+                )
+                all_pos.append(epos[zr_rows])
+                all_key.append(8 * zr_k + 4 + m)
+            sym = (rem << 4) | asize
+            all_vals.append(_AC_CODE_ARRS[tsel][sym])
+            all_lens.append(_AC_LEN_ARRS[tsel][sym])
+            all_pos.append(epos[rows])
+            all_key.append(8 * kpos + 8)
+            all_vals.append(abits)
+            all_lens.append(asize)
+            all_pos.append(epos[rows])
+            all_key.append(8 * kpos + 9)
+        # --- EOB for every block whose last nonzero sits before 63
+        lastnz = np.zeros(n, dtype=np.int64)
+        if rows.size:
+            lastnz[rows] = kpos  # ascending per row: last write wins
+        eob_blocks = np.flatnonzero(lastnz < 63)
+        if eob_blocks.size:
+            eob_code, eob_len = (
+                _AC_ENC[0x00] if tsel == 0 else _AC_ENC_C[0x00]
+            )
+            all_vals.append(
+                np.full(eob_blocks.size, eob_code, dtype=np.int64)
+            )
+            all_lens.append(
+                np.full(eob_blocks.size, eob_len, dtype=np.int64)
+            )
+            all_pos.append(epos[eob_blocks])
+            all_key.append(
+                np.full(eob_blocks.size, 8 * 64 + 10, dtype=np.int64)
+            )
+
+    vals = np.concatenate(all_vals)
+    lens = np.concatenate(all_lens)
+    pos = np.concatenate(all_pos)
+    key = np.concatenate(all_key)
+    order = np.lexsort((key, pos))
+    vals, lens, pos = vals[order], lens[order], pos[order]
+    if not ri:
+        return _pack_tokens(vals, lens)
+    # segment s covers MCUs [s*ri, (s+1)*ri) => emission positions
+    # [s*ri*btot, ...); tokens are sorted by pos, so searchsorted
+    # yields each segment's token range
+    out = bytearray()
+    bounds = np.searchsorted(
+        pos, np.arange(ri * btot, n_mcus * btot, ri * btot)
+    )
+    start = 0
+    for si, b in enumerate(list(bounds) + [vals.size]):
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        if b - start < 48:  # tiny segment: scalar big-int packing
+            out += _pack_tokens_small(vals[start:b], lens[start:b])
+        else:
+            out += _pack_tokens(vals[start:b], lens[start:b])
+        start = b
+    return bytes(out)
 
 
 def _idct_pixels_batch(
@@ -871,29 +1068,13 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     bh, bw = (h + 7) // 8, (w + 7) // 8
     padded = _pad_to(img.astype(np.float64), bh * 8, bw * 8)
     levels_all = _quant_levels_plane(padded, QTAB)
-    writer = _TokenWriter()
-    prev_dc = 0
-    mcu_index = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                writer.restart((mcu_index // restart_interval - 1) % 8)
-                prev_dc = 0
-            mcu_index += 1
-            prev_dc = _encode_block(
-                writer,
-                None,
-                QTAB,
-                _DC_ENC,
-                _AC_ENC,
-                prev_dc,
-                levels=levels_all[by, bx],
-            )
-    entropy = writer.flush()
+    # fully batched entropy coding: raster block order IS the MCU
+    # order for a single component (token-identical to the retired
+    # _encode_block walk — see _entropy_encode_batch)
+    zz = levels_all.reshape(bh * bw, 64)[:, _ZIG_FLAT]
+    entropy = _entropy_encode_batch(
+        [zz], [0], [1], bh * bw, restart_interval
+    )
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
@@ -974,43 +1155,25 @@ def encode_jpeg_color(
     cb_levels = _quant_levels_plane(cb_pad, QTAB_CHROMA)
     cr_levels = _quant_levels_plane(cr_pad, QTAB_CHROMA)
 
-    writer = _TokenWriter()
-    dc = [0, 0, 0]
-    mcu_index = 0
-    for my in range(mh):
-        for mx in range(mw):
-            if (
-                restart_interval
-                and mcu_index
-                and mcu_index % restart_interval == 0
-            ):
-                writer.restart((mcu_index // restart_interval - 1) % 8)
-                dc = [0, 0, 0]
-            mcu_index += 1
-            for vy in range(yv):
-                for vx in range(yh):
-                    by = my * yv + vy
-                    bx = mx * yh + vx
-                    dc[0] = _encode_block(
-                        writer,
-                        None,
-                        QTAB,
-                        _DC_ENC,
-                        _AC_ENC,
-                        dc[0],
-                        levels=y_levels[by, bx],
-                    )
-            for ci, comp_levels in ((1, cb_levels), (2, cr_levels)):
-                dc[ci] = _encode_block(
-                    writer,
-                    None,
-                    QTAB_CHROMA,
-                    _DC_ENC_C,
-                    _AC_ENC_C,
-                    dc[ci],
-                    levels=comp_levels[my, mx],
-                )
-    entropy = writer.flush()
+    # gather each component's blocks into MCU-arrival order and run
+    # the batched entropy coder (token-identical to the retired
+    # per-block walk — see _entropy_encode_batch)
+    bpm_y = yh * yv
+    bw_y = mw * yh
+    karr = np.arange(mh * mw * bpm_y)
+    mcu, r = karr // bpm_y, karr % bpm_y
+    by = (mcu // mw) * yv + r // yh
+    bx = (mcu % mw) * yh + r % yh
+    zz_y = y_levels.reshape(-1, 64)[by * bw_y + bx][:, _ZIG_FLAT]
+    zz_cb = cb_levels.reshape(-1, 64)[:, _ZIG_FLAT]
+    zz_cr = cr_levels.reshape(-1, 64)[:, _ZIG_FLAT]
+    entropy = _entropy_encode_batch(
+        [zz_y, zz_cb, zz_cr],
+        [0, 1, 1],
+        [bpm_y, 1, 1],
+        mh * mw,
+        restart_interval,
+    )
 
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
