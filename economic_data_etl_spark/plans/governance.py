@@ -418,22 +418,135 @@ ORDER BY t.doc_id
 def governance_erasure_substring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Row-identical restructure of the erase_substring_index
+    composition (r13 optimization): the standing index, the span
+    table, and the erasure patch all derive from ONE k-gram pass and
+    ONE gram-string shuffle. A single Window over (gram) ordered by
+    (doc_id, pos) yields, per occurrence, its rank and its gram's
+    first occurrence (first_id, first_pos) — and since a gram is
+    identified EXACTLY by its first occurrence (two grams share a
+    first iff they are the same string), every later step keys on
+    those two ints and the gram string never leaves the window stage:
+
+    - spans of the full corpus     = rn > 1 occurrences, merged;
+    - affected grams               = first_id revoked;
+    - new firsts (erasure patch)   = min surviving (id, pos) per
+      affected gram, grouped by (first_id, first_pos);
+    - redo spans (prov rule)       = redo-doc occurrences that are not
+      their gram's retained first (original first, or the new first
+      when the original was revoked).
+
+    Equivalence with the operator composition is argued step-by-step
+    above each block and value-checked by the oracle; the narrow
+    (5-int) occurrence stream is checkpointed once where the previous
+    shape re-derived corpus-wide gram STRINGS per consumer (the r12
+    attempt to checkpoint the string stream lost to recompute)."""
     from economic_data_etl_spark.operators.substring import (
-        duplicate_spans,
-        erase_substring_index,
-        gram_index_firsts,
+        kgram_occurrences,
+        merge_spans,
         word_array,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    index = gram_index_firsts(docs, "doc_id", "text", _GSUB_K)
-    spans = duplicate_spans(docs, "doc_id", "text", _GSUB_K)
     revoked = docs.filter(
         F.col("source") == _GSUB_REVOKED_SOURCE
     ).select("doc_id")
     surviving = docs.filter(F.col("source") != _GSUB_REVOKED_SOURCE)
-    _index2, spans2 = erase_substring_index(
-        index, spans, revoked, surviving, "doc_id", "text", _GSUB_K
+
+    occ = kgram_occurrences(docs, "doc_id", "text", _GSUB_K)
+    w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    rev = F.broadcast(
+        revoked.select(F.col("doc_id").alias("rid"), F.lit(True).alias("rv"))
+    )
+    stream = (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.row_number().over(w).alias("rn"),
+            F.first("doc_id").over(w).alias("first_id"),
+            F.first("pos").over(w).alias("first_pos"),
+        )
+        .join(
+            rev.select(
+                F.col("rid").alias("first_id"),
+                F.col("rv").alias("first_rev"),
+            ),
+            "first_id",
+            "left",
+        )
+        .join(
+            rev.select(
+                F.col("rid").alias("doc_id"), F.col("rv").alias("self_rev")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "rn",
+            "first_id",
+            "first_pos",
+            F.coalesce("first_rev", F.lit(False)).alias("first_rev"),
+            F.coalesce("self_rev", F.lit(False)).alias("self_rev"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # full-corpus spans: rn > 1 ≡ duplicate_occurrences (whose cnt > 1
+    # filter is implied by rn > 1)
+    spans = merge_spans(
+        stream.filter(F.col("rn") > 1).select("doc_id", "pos"),
+        "doc_id",
+        _GSUB_K,
+    )
+    # erasure patch: earliest SURVIVING occurrence of each gram whose
+    # retained first lived in a revoked doc
+    new_firsts = (
+        stream.filter(F.col("first_rev") & ~F.col("self_rev"))
+        .groupBy("first_id", "first_pos")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("i"), F.col("pos").alias("p")
+                )
+            ).alias("f")
+        )
+        .select(
+            F.col("first_id").alias("gfid"),
+            F.col("first_pos").alias("gfpos"),
+            F.col("f.i").alias("new_id"),
+            F.col("f.p").alias("new_pos"),
+        )
+    )
+    redo_ids = new_firsts.select(
+        F.col("new_id").alias("doc_id")
+    ).distinct()
+    # redo docs' spans under the corrected index: an occurrence is a
+    # duplicate iff it is not its gram's retained first (the prov
+    # rule); a redo doc survives, so every one of its grams has a
+    # retained first and the rule is total
+    redo_occ = stream.join(
+        F.broadcast(redo_ids), "doc_id", "left_semi"
+    ).join(
+        F.broadcast(new_firsts),
+        (F.col("first_id") == F.col("gfid"))
+        & (F.col("first_pos") == F.col("gfpos")),
+        "left",
+    )
+    ret_id = F.when(F.col("first_rev"), F.col("new_id")).otherwise(
+        F.col("first_id")
+    )
+    ret_pos = F.when(F.col("first_rev"), F.col("new_pos")).otherwise(
+        F.col("first_pos")
+    )
+    redo_dups = redo_occ.filter(
+        ~((F.col("doc_id") == ret_id) & (F.col("pos") == ret_pos))
+    ).select("doc_id", "pos")
+    redo_spans = merge_spans(redo_dups, "doc_id", _GSUB_K)
+    spans2 = (
+        spans.join(F.broadcast(revoked), "doc_id", "left_anti")
+        .join(F.broadcast(redo_ids), "doc_id", "left_anti")
+        .unionByName(redo_spans)
     )
     per_doc = spans2.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
