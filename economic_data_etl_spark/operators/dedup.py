@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from economic_data_etl_spark.functions.text import tokens, word_shingles
 from economic_data_etl_spark.plans.catalog import biased_round
@@ -128,28 +129,36 @@ def jaccard_similar_pairs_prefix(
     full shingle arrays, plus the length filter |B| >= t·|A| (a pair
     failing it cannot reach threshold).
 
-    Shuffle budget: df-count agg, per-doc re-sort agg, candidate join,
-    two verify joins — all on keys that shrink as threshold rises.
+    Shuffle budget: one occurrence shuffle (the df window), the
+    candidate join, two candidate-only verify joins — all on keys that
+    shrink as threshold rises.
+
+    Pass-count note (r13): the shingle projection is expensive
+    (interpreted HOF over every token), so the operator derives it
+    exactly ONCE corpus-wide — document frequency rides a window over
+    the same occurrence stream instead of a groupBy+join re-derivation
+    — and the verify sides re-shingle only CANDIDATE docs (the
+    candidate id set is checkpointed; it is pairs-of-ids small by the
+    prefix filter's selectivity). Corpus-wide shingle builds: 4 -> 1.
     """
     shingled = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    # Deliberately NOT persisted: the shingle arrays are read three times
-    # (index build + both verify sides) but recomputing the projection is
-    # cheaper than materializing a corpus-sized array column into the
-    # cache (measured 2× faster cold at sf0.1), and at real scale caching
-    # the full shingle table is exactly the memory pressure to avoid.
+    # Deliberately NOT persisted: materializing a corpus-sized array
+    # column into the cache measured 2× slower cold at sf0.1, and at
+    # real scale caching the full shingle table is exactly the memory
+    # pressure to avoid.
 
     inv = shingled.select("doc", "n_sh", F.explode("sh").alias("shingle"))
-    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Re-assemble each doc's shingles rarest-first; keep only the prefix
     # that can witness a >= t pair.
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")
+    wsh = Window.partitionBy("shingle")
     ordered = (
-        inv.join(dfreq, "shingle")
+        inv.withColumn("df", F.count(F.lit(1)).over(wsh))
         .groupBy("doc")
         .agg(
             F.first("n_sh").alias("n_sh"),
@@ -183,9 +192,23 @@ def jaccard_similar_pairs_prefix(
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    sa = shingled.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc"))
+        .unionByName(cand.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    cand_sh = df.join(
+        F.broadcast(cand_ids.withColumnRenamed("doc", id_col)),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    sa = cand_sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = cand_sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     raw = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
