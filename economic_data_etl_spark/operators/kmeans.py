@@ -34,7 +34,17 @@ def _cents_lit(cents: list[list[float]]) -> Column:
 
 
 def _dist2_all(vec: Column, cents: list[list[float]]) -> Column:
-    """array of squared euclidean distances to every centroid."""
+    """array of squared euclidean distances to every centroid.
+
+    Stays the interpreted fold over ONE constant-folded literal matrix
+    on purpose: an r13 experiment replaced it with per-centroid scalar
+    multiply-add chains (k x dim explicit terms) and the query
+    REGRESSED 3.2 s -> 19 s — Lloyd re-plans with fresh literals every
+    round, and CollapseProject inlines the giant d2 array into its
+    three consumers (array_min twice + array_position), so each round
+    paid Janino compilation of ~3x k x dim x 4 expression nodes. The
+    PQ lesson (never inline k expression subtrees) applies even at
+    k=8 when the expression is rebuilt per iteration."""
     return F.transform(
         _cents_lit(cents),
         lambda c: F.aggregate(
