@@ -137,6 +137,12 @@ def compile_rules(
     )
 
 
+# robots_filter unrolls one guarded literal expression per rule;
+# Catalyst analysis/codegen degrade past a few thousand subtrees, so an
+# oversized rule table must fail loudly rather than build that plan.
+MAX_INLINE_RULES = 4000
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -159,9 +165,24 @@ def robots_filter(
     matching rule -> the REP default (allowed, 'default'). Expression
     width is O(rules), fine for per-crawl rule sets; a deployment with
     a very large multi-host rule table should shard calls by host
-    group before this gate (each host's own rules are always few).
+    group before this gate (each host's own rules are always few) —
+    the MAX_INLINE_RULES cap below makes an oversized table fail
+    loudly instead of building a pathological plan.
+
+    Cardinality contract: this is a pure projection — exact-duplicate
+    input rows stay duplicated in the output (the retired join+groupBy
+    shape collapsed them; current callers are unique by doc_id, and
+    the per-row verdict semantics are the correct ones). Pinned by
+    tests/test_robots.py.
     """
     rule_rows = rules.collect()  # config-sized by contract
+    if len(rule_rows) > MAX_INLINE_RULES:
+        raise ValueError(
+            f"robots_filter inlines one expression per rule; got "
+            f"{len(rule_rows)} rules (> {MAX_INLINE_RULES}). Shard "
+            "calls by host group so each call sees a config-sized "
+            "rule set."
+        )
     out_cols = [F.col(c) for c in urls.columns]
     if not rule_rows:
         return urls.select(

@@ -6,6 +6,8 @@ state after replay."""
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 from collections import Counter
 
 import pytest
@@ -76,7 +78,7 @@ def test_stream_bounds_and_presence(spark, tmp_path):
 
 
 @settings(
-    max_examples=8,
+    max_examples=5,
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -196,7 +198,7 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
     )
     assert want  # non-trivial
 
-    for kill_at in range(3 * len(batches)):
+    for kill_at in crash_offsets(3 * len(batches)):
         state_dir = str(tmp_path / f"kill{kill_at}")
         _run_with_kill(spark, state_dir, batches, k, kill_at)
         got_state = _read_state(spark, state_dir)

@@ -6,6 +6,8 @@ no-crash state after replay (the postings-then-doclens order contract).
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -182,7 +184,7 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
     assert want  # non-trivial
 
     total_steps = 2 * len(batches)
-    for kill_at in range(total_steps):
+    for kill_at in crash_offsets(total_steps):
         p_dir = str(tmp_path / f"k{kill_at}_p")
         l_dir = str(tmp_path / f"k{kill_at}_l")
         _run_with_kill(spark, batches, p_dir, l_dir, kill_at)

@@ -5,6 +5,8 @@ converge after replay."""
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 from pyspark.sql import functions as F
 
 from economic_data_etl_spark.operators.cms import cms_build, cms_estimate
@@ -73,7 +75,7 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
         handle(_df(spark, b), bi)
     want = _sketch_dict(read_sketch(spark, clean))
 
-    for kill_at in range(3 * len(BATCHES)):
+    for kill_at in crash_offsets(3 * len(BATCHES)):
         state_dir = str(tmp_path / f"k{kill_at}")
         staging = f"{state_dir}.staging"
         h = foreach_batch_incremental_cms(state_dir, "item", D, W)

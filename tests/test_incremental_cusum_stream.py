@@ -5,6 +5,8 @@ converge after replay."""
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 from pyspark.sql import functions as F
 
 from economic_data_etl_spark.operators.cusum import (
@@ -147,7 +149,7 @@ def test_crash_at_every_offset_converges(spark, sf_dir, tmp_path):
         handle(b, bi)
     want = _daily_dict(read_daily(spark, clean))
 
-    for kill_at in range(3 * len(batches)):
+    for kill_at in crash_offsets(3 * len(batches)):
         state_dir = str(tmp_path / f"k{kill_at}")
         staging = f"{state_dir}.staging"
         h = foreach_batch_incremental_cusum(state_dir)

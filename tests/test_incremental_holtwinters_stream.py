@@ -7,6 +7,8 @@ converging after replay."""
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -141,7 +143,7 @@ def test_crash_at_every_offset_converges(spark, sf_dir, tmp_path):
     want = _fc_rows(forecast_now(spark, clean))
     assert want
 
-    for kill_at in range(3 * len(batches)):
+    for kill_at in crash_offsets(3 * len(batches)):
         state_dir = str(tmp_path / f"k{kill_at}")
         staging = f"{state_dir}.staging"
         h = foreach_batch_incremental_holtwinters(state_dir)

@@ -5,6 +5,8 @@ staged swap."""
 
 from __future__ import annotations
 
+from tests.crash_points import crash_offsets
+
 from economic_data_etl_spark.streaming.incremental_kll import (
     _BATCH_META_LEVEL,
     foreach_batch_incremental_kll,
@@ -79,7 +81,7 @@ def test_crash_at_every_offset_converges(spark, tmp_path):
         handle(_df(spark, b), bi)
     want = _rows_dict(read_sketch_rows(spark, clean))
 
-    for kill_at in range(3 * len(BATCHES)):
+    for kill_at in crash_offsets(3 * len(BATCHES)):
         state_dir = str(tmp_path / f"k{kill_at}")
         staging = f"{state_dir}.staging"
         h = foreach_batch_incremental_kll(state_dir, "value", K)

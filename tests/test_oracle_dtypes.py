@@ -21,6 +21,13 @@ from economic_data_etl_spark.sources.tables import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# The full per-query sweep executes the whole catalog a second time
+# (~7 min); it rides the opt-in `-m slow` tier with the sf0.01 oracle
+# sweep — the default tier still runs every query via
+# test_catalog_oracle, and a real dtype drift also fails the driver's
+# pandas-hash correctness gate.
+pytestmark = pytest.mark.slow
+
 ORACLE_BACKED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
 

@@ -158,3 +158,42 @@ class TestFilter:
         )
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+
+class TestFilterContracts:
+    """r13 ADVICE pins: the inline-expression rule cap fails loudly,
+    and the pure-projection shape preserves exact-duplicate input rows
+    (the retired join+groupBy collapsed them; per-row verdicts are the
+    contract)."""
+
+    def test_oversized_rule_table_raises(self, spark):
+        import pytest
+
+        rows = [
+            (f"h{i}.example", "disallow", "/x", "^/x", 2)
+            for i in range(robots.MAX_INLINE_RULES + 1)
+        ]
+        rules = spark.createDataFrame(
+            rows,
+            "host string, rule_type string, pattern string, "
+            "regex string, rule_len int",
+        )
+        urls = spark.createDataFrame(
+            [("h0.example", "/x")], "host string, path string"
+        )
+        with pytest.raises(ValueError, match="rules"):
+            robots.robots_filter(urls, rules)
+
+    def test_duplicate_input_rows_preserved(self, spark):
+        rules = spark.createDataFrame(
+            [("a.example", "disallow", "/private", "^/private", 8)],
+            "host string, rule_type string, pattern string, "
+            "regex string, rule_len int",
+        )
+        urls = spark.createDataFrame(
+            [("a.example", "/private")] * 3 + [("a.example", "/ok")],
+            "host string, path string",
+        )
+        out = robots.robots_filter(urls, rules).collect()
+        assert len(out) == 4  # pure projection: duplicates stay
+        assert sum(1 for r in out if not r["allowed"]) == 3

@@ -111,6 +111,7 @@ class TestSemanticDedup:
             (F.col("cluster") < 0) | (F.col("cluster") >= 8)
         ).count() == 0
 
+    @pytest.mark.slow
     def test_vectorized_assignment_matches_expression_k256(
         self, spark, sf_dir
     ):
@@ -136,6 +137,7 @@ class TestSemanticDedup:
                 f"probes={probes}: {len(e ^ v)} assignment diffs"
             )
 
+    @pytest.mark.slow
     def test_vectorized_pairs_match_expression_k256(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         k = min(256, emb.count())
@@ -677,7 +679,7 @@ def test_compaction_crash_at_any_offset_recovers(spark, sf_dir):
     real_write = skew.write_bucketed
 
     @settings(
-        max_examples=6,
+        max_examples=3,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

@@ -160,7 +160,7 @@ def test_crash_at_any_offset_recovers(spark, tmp_path_factory):
     counter = itertools.count()
 
     @settings(
-        max_examples=12,
+        max_examples=5,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
